@@ -1,0 +1,82 @@
+"""Cross-engine-portable scalar helpers.
+
+The correctness oracle for this engine is DuckDB executing ANSI SQL on the
+same parquet inputs (driver contract; also BASELINE.md — DuckDB is literally
+the reference's execution engine). Two classes of expression diverge between
+Spark and DuckDB and are centralized here:
+
+1. **Hashes** — Spark's ``hash()`` (murmur3) and DuckDB's ``hash()``
+   (xxhash-family) are incompatible. Everything that needs a deterministic
+   64-bit-ish integer hash (MinHash, SimHash, LSH banding, fingerprints)
+   uses the first 15 hex chars of md5 (60 bits, always positive, fits a
+   signed 64-bit int) — both engines produce identical md5 hex.
+
+2. **Date parts** — DuckDB ``extract(dow ...)`` is 0=Sunday while Spark
+   ``dayofweek`` is 1=Sunday (reference dim_date.sql:22-27; SURVEY §2.3 F5).
+
+All helpers return Column expressions built from JVM-side built-ins — no
+Python UDFs — so they stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits < 2^63: always a valid positive BIGINT in both engines.
+_HASH_HEX_CHARS = 15
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """60-bit positive integer hash identical in Spark and DuckDB.
+
+    Spark:  conv(substring(md5(x), 1, 15), 16, 10)::long
+    DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, _HASH_HEX_CHARS), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB SQL text equivalent of :func:`portable_hash60`."""
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, {_HASH_HEX_CHARS}))::BIGINT)"
+
+
+def seeded_hash60(col: Column | str, seed: int) -> Column:
+    """Member #``seed`` of a portable hash family: h_i(x) = H(i || ':' || x)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return portable_hash60(F.concat(F.lit(f"{seed}:"), c.cast("string")))
+
+
+def seeded_hash60_sql(expr: str, seed: int) -> str:
+    return portable_hash60_sql(f"'{seed}:' || CAST({expr} AS VARCHAR)")
+
+
+def dow_sunday0(date_col: Column | str) -> Column:
+    """Day-of-week with DuckDB numbering (0=Sunday..6=Saturday).
+
+    Spark ``dayofweek`` is 1=Sunday..7=Saturday (SURVEY §2.3 F5 gotcha);
+    subtract 1 for parity with the reference's ``extract(dow ...)``
+    (reference dbt_project/models/marts/core/dimensions/dim_date.sql:26).
+    """
+    c = F.col(date_col) if isinstance(date_col, str) else date_col
+    return (F.dayofweek(c) - F.lit(1)).cast("int")
+
+
+def is_weekend(date_col: Column | str) -> Column:
+    """Weekend flag matching reference dim_date.sql:27
+    (``CASE WHEN extract(dow ...) IN (0, 6)``)."""
+    d = dow_sunday0(date_col)
+    return d.isin(0, 6)
+
+
+def epoch_seconds_between(start: Column | str, end: Column | str) -> Column:
+    """Seconds between two timestamps.
+
+    Reference: ``EXTRACT(EPOCH FROM (end - start))``
+    (stg_clickstream_sessions.sql:38). Spark: unix_timestamp difference —
+    stays JVM-side, no interval arithmetic in Python.
+    """
+    s = F.col(start) if isinstance(start, str) else start
+    e = F.col(end) if isinstance(end, str) else end
+    return (e.cast("double") - s.cast("double")).cast("long")

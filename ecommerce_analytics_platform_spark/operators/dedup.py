@@ -1,0 +1,193 @@
+"""Deduplication operators.
+
+Two families:
+
+1. **Latest-record dedup** — the reference's core silver-layer pattern
+   (reference dbt_project/models/staging/stg_clickstream_events.sql:8-33 and
+   stg_orders.sql:7-32, SURVEY §2.6 W1/W2): keep, per key, the row with the
+   greatest ordering column (``row_number() ... desc`` then ``rn = 1``).
+
+2. **Near-dup detection for training corpora** (beyond the reference):
+   exact-hash, MinHash+LSH banding, SimHash, n-gram Jaccard. All hashing is
+   cross-engine portable (functions/compat.py) so DuckDB oracles verify them.
+
+Scale notes (100 TB): both dedup families are single-shuffle on the dedup
+key. ``dedup_latest`` uses a window (one shuffle + per-partition sort);
+at extreme skew (one hot key), switch to the groupBy/max_by form
+(``dedup_latest_agg``) which gets map-side partial aggregation for free.
+MinHash-LSH's pair-join shuffles on (band, bucket-hash) — bucket sizes are
+bounded by construction, so no skew mitigation is needed beyond AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.functions.compat import portable_hash60
+from ecommerce_analytics_platform_spark.functions.text import minhash_signature
+
+
+def dedup_latest(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column | str],
+) -> DataFrame:
+    """Keep one row per key: the first under ``order_by`` (pass desc() cols
+    for latest-wins). Callers should include a unique tiebreaker column to
+    make results deterministic (SURVEY §7 watch-list: row_number ties are
+    nondeterministic in both engines).
+
+    Reference parity: stg_clickstream_events.sql:8-33 (keys=[event_id],
+    order_by=[desc(pipeline_ingested_at)]).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_latest_agg(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Skew-robust latest-wins dedup via max_by aggregation.
+
+    Same semantics as :func:`dedup_latest` for a single ordering column, but
+    executes as hash aggregation (partial + final), so a hot key combines
+    map-side instead of sorting one giant window partition.
+    """
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(payload, F.col(order_col)).alias("__row"))
+        .select("__row.*")
+    )
+
+
+def dedup_exact(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    normalize_ws: bool = True,
+) -> DataFrame:
+    """Exact-content dedup: hash the (optionally whitespace-normalized)
+    content, keep the smallest id per hash — one shuffle on the 60-bit hash,
+    not on the full text (cheap network at 100 TB).
+    """
+    c = F.col(content_col)
+    if normalize_ws:
+        c = F.regexp_replace(F.trim(c), r"\s+", " ")
+    h = portable_hash60(c)
+    return (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .withColumnRenamed("__h", "content_hash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    signature → split into ``bands`` bands of ``num_hashes/bands`` rows →
+    band-bucket key = hash(band minhashes) → self-join within buckets →
+    distinct (id_a < id_b) pairs.
+
+    Scale path: the only shuffle is on (band_id, bucket) — documents only
+    meet if they collide in ≥1 band, so the join never goes quadratic.
+    Output: id_a, id_b, n_bands (how many bands collided).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    sig_df = df.select(
+        F.col(id_col).alias("__id"),
+        *[s.alias(f"mh{i}") for i, s in enumerate(sigs)],
+    ).filter(F.col("mh0").isNotNull())
+
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        bucket = portable_hash60(F.concat_ws("_", *[c.cast("string") for c in cols]))
+        band_rows.append(
+            sig_df.select(
+                F.lit(b).alias("band"),
+                bucket.alias("bucket"),
+                F.col("__id"),
+            )
+        )
+    buckets = band_rows[0]
+    for r in band_rows[1:]:
+        buckets = buckets.unionAll(r)
+
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs
+
+
+def jaccard_ngram_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    length_band: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Blocking: only compare documents whose token counts are within
+    ``length_band`` relative difference (a pair below that can't reach a
+    high Jaccard). For production LSH does the blocking; this operator is
+    the exact verifier run on LSH candidates.
+    """
+    from ecommerce_analytics_platform_spark.functions.text import word_shingles
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), F.size("__sh").alias("n_a")
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"), F.size("__sh").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("n_a") + F.col("n_b") - inter
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("id_a") < F.col("id_b"),
+                F.col("n_a") * F.lit(length_band) <= F.col("n_b"),
+                F.col("n_b") * F.lit(length_band) <= F.col("n_a"),
+            ],
+        )
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

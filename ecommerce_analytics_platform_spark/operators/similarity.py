@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond the reference surface (BASELINE.json north star): approximate
+nearest-neighbor search for training-data pipelines.
+
+- :func:`cosine_topk_bruteforce` — the exact baseline: block-nested-loop
+  cross join + JVM-side dot product (``aggregate``/``zip_with`` higher-order
+  functions — no Python in the loop), then per-query top-k via window.
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH buckets
+  candidates first so the join is bucket-local instead of full N×M.
+  At 100 TB / billions of vectors this is the difference between a
+  broadcast-bucket join and an impossible quadratic shuffle.
+
+Vectors are L2-normalized once up front (cosine = dot of normals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _l2norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def normalize(df: DataFrame, vec_col: str, out_col: str = "__nvec") -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _l2norm(v)
+    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Physical plan: corpus is broadcast when small (AQE decides); the dot
+    product runs as codegen'd array ops. Score rounded for cross-engine
+    comparability; ties broken by corpus id for determinism.
+    """
+    q = normalize(queries, vec_col, "__qv").select(F.col(query_id).alias("qid"), "__qv")
+    c = normalize(corpus, vec_col, "__cv").select(F.col(corpus_id).alias("cid"), "__cv")
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(_dot(F.col("__qv"), F.col("__cv")), round_digits).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH signature → join within
+    bucket → exact cosine re-rank inside the bucket.
+
+    Hyperplanes are generated deterministically from ``seed`` on the driver
+    (tiny: n_planes × dim floats) and embedded as literals — broadcast by
+    construction, no shuffle to score signatures.
+    """
+    import random
+
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+    def signature(v: Column) -> Column:
+        sig = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            lit = F.array(*[F.lit(x) for x in p])
+            sig = sig + F.when(_dot(v, lit) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return sig
+
+    q = normalize(queries, vec_col, "__qv").select(
+        F.col(query_id).alias("qid"), "__qv", signature(F.col("__qv")).alias("bucket")
+    )
+    c = normalize(corpus, vec_col, "__cv").select(
+        F.col(corpus_id).alias("cid"), "__cv", signature(F.col("__cv")).alias("bucket")
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(_dot(F.col("__qv"), F.col("__cv")), round_digits).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )

@@ -1,0 +1,891 @@
+"""Driver-facing query registry: every implemented operator from SURVEY §2
+(plus the training-data extensions) expressed over the driver testdata
+tables, each with an exact DuckDB oracle.
+
+Registry shape: ``QUERIES[name] = (spark_builder, duckdb_sql | None)`` where
+``spark_builder(spark, sf_dir) -> DataFrame``. ``__spark_entry__`` exposes
+this registry to the driver. Column names/types are aligned 1:1 between the
+Spark plan and the oracle SQL (driver hashes values after sorting columns by
+name). Doubles that aggregate across partitions are rounded identically on
+both sides to absorb summation-order noise.
+
+Operator ↔ reference citations are in each builder's docstring
+(paths into /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.functions.compat import (
+    dow_sunday0,
+    is_weekend,
+    portable_hash60,
+)
+from ecommerce_analytics_platform_spark.functions.text import (
+    language_scores,
+    predicted_lang,
+    quality_features,
+    minhash_signature,
+    simhash64,
+    tokens,
+)
+from ecommerce_analytics_platform_spark.operators.calendar import build_dim_date
+from ecommerce_analytics_platform_spark.operators.dedup import (
+    dedup_exact,
+    dedup_latest,
+    minhash_lsh_pairs,
+)
+from ecommerce_analytics_platform_spark.operators.sessionize import sessionize_by_gap
+from ecommerce_analytics_platform_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+)
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# Exact cross-engine aggregation helpers.
+#
+# Double sums are summation-order-dependent, and Spark (partial aggs over N
+# partitions) and DuckDB (its own parallel agg) WILL disagree in low bits —
+# observed already at 6k rows. Casting to DECIMAL before summing makes the
+# aggregate exact and order-independent in both engines (double→decimal cast
+# parity verified over all 600k sf0.1 values). The same trick is what you'd
+# do on a real cluster for money math anyway.
+# ---------------------------------------------------------------------------
+
+
+def _dec_sum(col: str, scale: int = 2):
+    """sum(decimal(x)) :: double — exact, order-independent, bit-identical
+    cross-engine (so no rounding needed — rounding identical doubles can
+    actually DIVERGE: Spark rounds the shortest decimal repr HALF_UP, DuckDB
+    rounds the binary value)."""
+    del scale
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+
+
+def _dec_sum_sql(col: str, scale: int = 2) -> str:
+    del scale
+    return f"CAST(sum(CAST({col} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def _dec_avg(col: str, scale: int = 4):
+    del scale
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))
+
+
+def _dec_avg_sql(col: str, scale: int = 4) -> str:
+    del scale
+    return f"(CAST(sum(CAST({col} AS DECIMAL(18,4))) AS DOUBLE) / count(*))"
+
+
+def _net_revenue():
+    """sum(extendedprice * (1 - discount)) in exact decimal arithmetic.
+
+    The sum (scale 8) is re-rounded to scale 4 in the DECIMAL domain before
+    the double cast: DuckDB's decimal→double goes int128→double→÷10^scale
+    (two roundings), which diverges from Spark's correctly-rounded
+    BigDecimal.doubleValue once the scaled integer exceeds 2^53. At scale 4
+    the integer stays well under 2^53, making both casts exact.
+    """
+    ext = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    one = F.lit(1).cast("decimal(6,4)")
+    return F.sum(ext * (one - disc)).cast("decimal(38,4)").cast("double")
+
+
+_NET_REVENUE_SQL = (
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * "
+    "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE)"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark has no native type
+    for — read it as long (legacy conf) and floor-convert to microseconds,
+    exactly what DuckDB's ns→µs cast does, so oracle parity holds.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / filters / projections (SURVEY §2.2, §2.5)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide hash-aggregate with filter pushdown (SURVEY A6/P6/P13 analog;
+    TPC-H Q1 shape). Exercises: parquet scan + pushed predicate, groupBy
+    partial/final agg, arithmetic expressions."""
+    li = _t(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    tax = F.col("l_tax").cast("decimal(6,4)")
+    one = F.lit(1).cast("decimal(6,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", 2).alias("sum_qty"),
+            _dec_sum("l_extendedprice", 2).alias("sum_base_price"),
+            F.sum(ext * (one - disc)).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
+            F.sum(ext * (one - disc) * (one + tax)).cast("decimal(38,4)").cast("double").alias("sum_charge"),
+            _dec_avg("l_quantity", 4).alias("avg_qty"),
+            _dec_avg("l_extendedprice", 4).alias("avg_price"),
+            _dec_avg("l_discount", 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dec_sum_sql('l_quantity', 2)}        AS sum_qty,
+       {_dec_sum_sql('l_extendedprice', 2)}   AS sum_base_price,
+       {_NET_REVENUE_SQL} AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+                      * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_charge,
+       {_dec_avg_sql('l_quantity', 4)}        AS avg_qty,
+       {_dec_avg_sql('l_extendedprice', 4)}   AS avg_price,
+       {_dec_avg_sql('l_discount', 4)}        AS avg_disc,
+       count(*)                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily KPI rollup — reference marts/metrics/metrics_daily_kpis.sql:5-57
+    (SURVEY A6, P9/P10/P13, F2) re-expressed over the events table: per-day
+    event count, DAU, revenue-ish sum, AOV-ish avg, purchase rate."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("event_date")
+    purchases = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    return (
+        ev.groupBy(day)
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.countDistinct("user_id").alias("daily_active_users"),
+            _dec_sum("value", 2).alias("total_value"),
+            _dec_avg("value", 4).alias("avg_value"),
+            purchases.alias("purchases"),
+            (purchases / F.count(F.lit(1))).alias("purchase_rate"),
+        )
+    )
+
+
+SQL_DAILY_KPIS = f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       count(*) AS events,
+       count(DISTINCT user_id) AS daily_active_users,
+       {_dec_sum_sql('value', 2)} AS total_value,
+       {_dec_avg_sql('value', 4)} AS avg_value,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / count(*)) AS purchase_rate
+FROM events
+GROUP BY 1
+"""
+
+
+def q_daily_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-stage bitmap then day rollup — reference
+    marts/metrics/metrics_daily_funnel.sql:5-38 (SURVEY A7/A8/J5): per
+    (day,user) max(case-when) stage flags, then per-day distinct users +
+    stage sums + conversion rate."""
+    ev = _t(spark, sf_dir, "events")
+    flags = (
+        ev.select(F.col("ts").cast("date").alias("event_date"), "user_id", "event_type")
+        .groupBy("event_date", "user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("viewed"),
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicked"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchased"),
+        )
+    )
+    return flags.groupBy("event_date").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.sum("viewed").alias("users_viewed"),
+        F.sum("clicked").alias("users_clicked"),
+        F.sum("purchased").alias("users_purchased"),
+        (F.sum("purchased") / F.countDistinct("user_id")).alias("purchase_conversion_rate"),
+    )
+
+
+SQL_DAILY_FUNNEL = """
+WITH flags AS (
+    SELECT CAST(ts AS DATE) AS event_date, user_id,
+           max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+    FROM events GROUP BY 1, 2
+)
+SELECT event_date,
+       count(DISTINCT user_id) AS users,
+       CAST(sum(viewed) AS BIGINT) AS users_viewed,
+       CAST(sum(clicked) AS BIGINT) AS users_clicked,
+       CAST(sum(purchased) AS BIGINT) AS users_purchased,
+       (sum(purchased) / count(DISTINCT user_id)) AS purchase_conversion_rate
+FROM flags GROUP BY 1
+"""
+
+
+def q_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifecycle metrics — reference
+    marts/metrics/metrics_user_lifecycle.sql:5-46 (SURVEY A3, F6, P9/P10):
+    per-user first/last activity, tenure days, event counts, value sum,
+    CASE-WHEN segment."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_seen_date"),
+        F.max(F.col("ts").cast("date")).alias("last_seen_date"),
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+        _dec_sum("value", 2).alias("total_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
+    )
+    return agg.select(
+        "*",
+        F.datediff("last_seen_date", "first_seen_date").cast("long").alias("tenure_days"),
+        F.when(F.col("purchases") >= 2, "repeat_buyer")
+        .when(F.col("purchases") == 1, "one_time_buyer")
+        .otherwise("prospect")
+        .alias("lifecycle_segment"),
+    )
+
+
+SQL_USER_LIFECYCLE = f"""
+SELECT user_id,
+       min(CAST(ts AS DATE)) AS first_seen_date,
+       max(CAST(ts AS DATE)) AS last_seen_date,
+       count(*) AS total_events,
+       count(DISTINCT CAST(ts AS DATE)) AS active_days,
+       {_dec_sum_sql('value', 2)} AS total_value,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS tenure_days,
+       CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 2 THEN 'repeat_buyer'
+            WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 THEN 'one_time_buyer'
+            ELSE 'prospect' END AS lifecycle_segment
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions: dedup + first-touch (SURVEY §2.6 W1-W3)
+# ---------------------------------------------------------------------------
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record dedup — reference staging/stg_clickstream_events.sql:8-33
+    (W1): keep each user's most recent event; event_id desc as the
+    deterministic tiebreak (SURVEY §7 watch-list)."""
+    ev = _t(spark, sf_dir, "events")
+    return dedup_latest(ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]).select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+
+
+SQL_DEDUP_LATEST = """
+SELECT user_id, event_id, event_type, ts, value
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-event-of-entity attributes — reference
+    marts/core/dimensions/dim_session_context.sql:5-27 (W3): first event per
+    user ascending, carrying its attributes."""
+    ev = _t(spark, sf_dir, "events")
+    return dedup_latest(ev, ["user_id"], [F.asc("ts"), F.asc("event_id")]).select(
+        "user_id",
+        F.col("event_type").alias("first_event_type"),
+        F.col("ts").alias("first_ts"),
+    )
+
+
+SQL_FIRST_TOUCH = """
+SELECT user_id, event_type AS first_event_type, ts AS first_ts
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calendar dimension (SURVEY F5/F8)
+# ---------------------------------------------------------------------------
+
+def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine — reference marts/core/dimensions/dim_date.sql:5-28:
+    generate_series between min/max order dates + date parts + weekend flag.
+    DuckDB dow(0=Sun) vs Spark dayofweek(1=Sun) handled in compat (F5)."""
+    orders = _t(spark, sf_dir, "orders")
+    return build_dim_date(orders, F.col("o_orderdate"))
+
+
+SQL_DIM_DATE = """
+WITH bounds AS (
+    SELECT CAST(min(o_orderdate) AS DATE) AS min_d, CAST(max(o_orderdate) AS DATE) AS max_d
+    FROM orders
+), spine AS (
+    SELECT CAST(unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS DATE) AS date FROM bounds
+)
+SELECT date,
+       extract(day FROM date) AS day_of_month,
+       extract(week FROM date) AS week_of_year,
+       extract(month FROM date) AS month,
+       extract(quarter FROM date) AS quarter,
+       extract(year FROM date) AS year,
+       extract(dow FROM date) AS day_of_week,
+       extract(dow FROM date) IN (0, 6) AS is_weekend
+FROM spine
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4 J1-J11)
+# ---------------------------------------------------------------------------
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained dim joins + rollup (J3/J4 analog; TPC-H Q5 shape). customer ⨝
+    orders shuffles on custkey; nation/region are broadcast by AQE (tiny)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.countDistinct("o_custkey").alias("customers"),
+            _dec_sum("o_totalprice", 2).alias("revenue"),
+            _dec_avg("o_totalprice", 4).alias("avg_order_value"),
+        )
+    )
+
+
+SQL_REVENUE_BY_REGION = f"""
+SELECT r_name AS region, n_name AS nation,
+       count(*) AS order_count,
+       count(DISTINCT o_custkey) AS customers,
+       {_dec_sum_sql('o_totalprice', 2)} AS revenue,
+       {_dec_avg_sql('o_totalprice', 4)} AS avg_order_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-membership — reference spark_jobs/bronze.py:32-34 `WHERE x NOT IN
+    (SELECT DISTINCT ...)` (P7/J10): left-anti join, the Catalyst rewrite of
+    NOT IN over non-null keys."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders.select("o_custkey").distinct(), customer.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+"""
+
+
+def q_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily product sales — reference
+    marts/metrics/metrics_product_performance_daily.sql:5-47 (A9, J7/J8):
+    lineitem ⨝ orders (date source) ⨝ part (dim), grouped by (brand, month)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(
+            _dec_sum("l_quantity", 2).alias("units_sold"),
+            F.countDistinct("l_orderkey").alias("order_count"),
+            _net_revenue().alias("net_revenue"),
+            _dec_avg("l_extendedprice", 4).alias("avg_line_price"),
+        )
+    )
+
+
+SQL_PRODUCT_PERFORMANCE = f"""
+SELECT p_brand AS brand,
+       strftime(o_orderdate, '%Y-%m') AS order_month,
+       {_dec_sum_sql('l_quantity', 2)} AS units_sold,
+       count(DISTINCT l_orderkey) AS order_count,
+       {_NET_REVENUE_SQL} AS net_revenue,
+       {_dec_avg_sql('l_extendedprice', 4)} AS avg_line_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Arrays / explode / higher-order functions (SURVEY F9/F10/A10)
+# ---------------------------------------------------------------------------
+
+def q_order_items_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-struct aggregation — reference stg_orders.sql:41-52 computes
+    item_count/order_total from a LIST<STRUCT> without unnesting (F10/A10).
+    Here: build the items array per order (sorted for determinism), then
+    size() + aggregate() higher-order fold — explode-free, JVM-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = (
+        li.groupBy(F.col("l_orderkey").alias("order_key"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("line"),
+                        F.col("l_quantity").alias("quantity"),
+                        F.col("l_extendedprice").alias("price"),
+                    )
+                )
+            ).alias("items")
+        )
+    )
+    fold = F.aggregate(
+        "items",
+        F.lit(0).cast("decimal(32,8)"),
+        lambda acc, x: (
+            acc + x.quantity.cast("decimal(12,4)") * x.price.cast("decimal(12,4)")
+        ).cast("decimal(32,8)"),
+    )
+    return items.select(
+        "order_key",
+        F.size("items").cast("long").alias("item_count"),
+        fold.cast("double").alias("order_total"),
+    )
+
+
+SQL_ORDER_ITEMS_ARRAY = """
+WITH items AS (
+    SELECT l_orderkey AS order_key,
+           list(struct_pack(line := l_linenumber, quantity := l_quantity, price := l_extendedprice)
+                ORDER BY l_linenumber) AS items
+    FROM lineitem GROUP BY 1
+)
+SELECT order_key,
+       len(items) AS item_count,
+       CAST(list_sum(list_transform(items,
+             x -> CAST(x.quantity AS DECIMAL(12,4)) * CAST(x.price AS DECIMAL(12,4)))) AS DOUBLE) AS order_total
+FROM items
+"""
+
+
+def q_exploded_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/unnest roundtrip — reference stg_order_items.sql:19 `cross
+    join unnest(items)` (F9/J9): rebuild per-line rows from the array and
+    compute line amounts."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.groupBy(F.col("l_orderkey").alias("order_key")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("l_linenumber").alias("line"), F.col("l_quantity").alias("quantity"), F.col("l_extendedprice").alias("price")))
+        ).alias("items")
+    )
+    exploded = items.select("order_key", F.explode("items").alias("item"))
+    return exploded.select(
+        "order_key",
+        F.col("item.line").alias("line"),
+        (F.col("item.quantity") * F.col("item.price")).alias("line_amount"),
+    )
+
+
+SQL_EXPLODED_LINES = """
+SELECT l_orderkey AS order_key, l_linenumber AS line,
+       (l_quantity * l_extendedprice) AS line_amount
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (SURVEY §2.8, A1)
+# ---------------------------------------------------------------------------
+
+def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) then per-user rollup —
+    the lag+cumsum construction; reference sessionizes upstream in its
+    generator (SURVEY §2.8 'Sessionization')."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_by_gap(ev, "user_id", "ts", 1800, order_tiebreak="event_id")
+    return s.groupBy("user_id").agg(
+        F.max("session_seq").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_SESSION_ROLLUP = """
+WITH flagged AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct / set ops (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT — reference bronze.py:33,63."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON props (ingest-boundary parsing, SURVEY F11)
+# ---------------------------------------------------------------------------
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + rollup. The reference parses JSON only at the
+    ingest boundary (S2/S3); here the same capability inside a query."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.round(F.avg(k), 4).alias("k_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+       round(avg(CAST(props ->> '$.k' AS BIGINT)), 4) AS k_avg,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: text analysis (extension surface)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring over documents — whitespace
+    tokenization, punct/stopword ratios, mean token length (C4/Gopher-style
+    pre-filters). All JVM-side higher-order functions."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       round((length(text) - length(regexp_replace(text, $$[.,;:!?'"()\[\]{}-]$$, '', 'g')))
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(CASE WHEN trim(text) = '' THEN 0 ELSE
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> lower(w) IN ('the','and','of','to','is'))) END
+             / greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END, 1), 6) AS stopword_ratio,
+       round(CASE WHEN trim(text) = '' OR len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0 ELSE
+             length(regexp_replace(trim(text), '\s+', '', 'g'))
+             / len(string_split_regex(trim(text), '\s+')) END, 6) AS mean_token_len
+FROM documents
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via marker-word counts; deterministic argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = language_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        predicted_lang(F.col("text")).alias("predicted_lang"),
+        *[scores[l].alias(f"score_{l}") for l in sorted(scores)],
+    )
+
+
+def _langid_sql() -> str:
+    from ecommerce_analytics_platform_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = {
+        l: (
+            r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ("
+            + ", ".join(f"'{m}'" for m in LANG_MARKERS[l])
+            + ")))"
+        )
+        for l in langs
+    }
+    greatest = "greatest(" + ", ".join(score_exprs[l] for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {score_exprs[l]} = {greatest} AND {greatest} > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    cols = ",\n       ".join(f"{score_exprs[l]} AS score_{l}" for l in langs)
+    return f"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 'und' ELSE {case} END AS predicted_lang,
+       {cols}
+FROM documents
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup via portable 60-bit hash groupBy (the cheap first
+    pass of corpus dedup): hash, representative id = min, cluster size."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id").select("content_hash", "doc_id", "dup_count")
+
+
+SQL_EXACT_DEDUP = r"""
+SELECT ('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS content_hash,
+       min(doc_id) AS doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit fingerprint (portable md5-based hash of the
+    whitespace-normalized text)."""
+    from ecommerce_analytics_platform_spark.functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+       ('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fingerprint
+FROM documents
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (first 4 of the portable seeded-hash family) over
+    word 3-gram shingles — the building block of MinHash-LSH dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signature(F.col("text"), num_hashes=4, shingle_n=3)
+    return docs.select(
+        "doc_id", *[s.alias(f"mh{i}") for i, s in enumerate(sigs)]
+    ).filter(F.col("mh0").isNotNull())
+
+
+def _minhash_sql(num_hashes: int = 4) -> str:
+    shingles = r"""
+        CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(
+                 generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                      string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                      string_split_regex(trim(text), '\s+')[i+2])
+        END
+    """
+    mh_cols = ",\n       ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT)) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH shingled AS (
+    SELECT doc_id, ({shingles}) AS sh FROM documents
+)
+SELECT doc_id, {mh_cols}
+FROM shingled WHERE len(sh) > 0
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over whitespace tokens (portable hash family)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(F.col("text"), bits=16).alias("simhash")).filter(
+        F.size(tokens(F.col("text"))) > 0
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = "('0x' || substr(md5(w), 1, 15))::BIGINT"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(toks, w -> CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return rf"""
+WITH tokd AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM tokd
+"""
+
+
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate near-dup pairs (16 hashes, 4 bands): the only
+    shuffle is on (band, bucket) so the join never goes quadratic."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
+
+
+def _neardup_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mh_exprs = ",\n       ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT)) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    shingles = r"""
+        CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(
+                 generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                      string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                      string_split_regex(trim(text), '\s+')[i+2])
+        END
+    """
+    band_rows = " UNION ALL ".join(
+        "SELECT {b} AS band, ('0x' || substr(md5({concat}), 1, 15))::BIGINT AS bucket, doc_id FROM sigs".format(
+            b=b,
+            concat=" || '_' || ".join(
+                f"CAST(mh{b * rows + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH shingled AS (
+    SELECT doc_id, ({shingles}) AS sh FROM documents
+), sigs AS (
+    SELECT doc_id, {mh_exprs} FROM shingled WHERE len(sh) > 0
+), buckets AS ({band_rows})
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_bands
+FROM buckets l JOIN buckets r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (extension surface)
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbors for every vector: the ANN
+    baseline. Dot products via zip_with/aggregate higher-order functions
+    (JVM-side); per-query top-k via window; deterministic tiebreak on id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, emb, "vec_id", "vec_id", "embedding", k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH n AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           round(list_sum(list_transform(generate_series(1, len(a.v)),
+                 i -> (a.v[i] / a.nrm) * (b.v[i] / b.nrm))), 4) AS cosine
+    FROM n a, n b WHERE a.vec_id <> b.vec_id
+), ranked AS (
+    SELECT qid, cid, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+    FROM scored
+)
+SELECT qid, cid, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics: vector count, mean L2 norm — array
+    higher-order aggregation (F.aggregate) feeding a groupBy."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    # round each (deterministic per-row) norm to 6dp, then decimal-sum so the
+    # group aggregate is summation-order-independent cross-engine
+    return (
+        emb.select("label", F.round(norm, 6).cast("decimal(18,6)").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum("nrm").cast("double") / F.count(F.lit(1))).alias("avg_l2_norm"),
+        )
+    )
+
+
+SQL_EMBEDDING_STATS = """
+SELECT label,
+       count(*) AS n_vectors,
+       (CAST(sum(CAST(round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) AS avg_l2_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "daily_kpis": (q_daily_kpis, SQL_DAILY_KPIS),
+    "daily_funnel": (q_daily_funnel, SQL_DAILY_FUNNEL),
+    "user_lifecycle": (q_user_lifecycle, SQL_USER_LIFECYCLE),
+    "dedup_latest": (q_dedup_latest, SQL_DEDUP_LATEST),
+    "first_touch": (q_first_touch, SQL_FIRST_TOUCH),
+    "dim_date": (q_dim_date, SQL_DIM_DATE),
+    "revenue_by_region": (q_revenue_by_region, SQL_REVENUE_BY_REGION),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "product_performance": (q_product_performance, SQL_PRODUCT_PERFORMANCE),
+    "order_items_array": (q_order_items_array, SQL_ORDER_ITEMS_ARRAY),
+    "exploded_lines": (q_exploded_lines, SQL_EXPLODED_LINES),
+    "session_rollup": (q_session_rollup, SQL_SESSION_ROLLUP),
+    "distinct_event_types": (q_distinct_event_types, SQL_DISTINCT_EVENT_TYPES),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "language_id": (q_language_id, _langid_sql()),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
+    "simhash": (q_simhash, _simhash_sql()),
+    "neardup_pairs": (q_neardup_pairs, _neardup_sql()),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+}
