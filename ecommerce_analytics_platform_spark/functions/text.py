@@ -3,12 +3,23 @@
 Beyond the reference's surface (it has no text ops — SURVEY §2.3: "no regex,
 no string concat/split in the pipeline"), these are the ops a 100 TB
 pretraining-data pipeline needs: tokenization stats, quality scoring,
-language ID, fingerprinting. Everything is built from JVM-side
-``pyspark.sql.functions`` (split / transform / aggregate / filter higher-order
-functions) so the hot path never leaves whole-stage codegen — no Python UDFs.
+language ID, fingerprinting, MinHash/SimHash. Everything is built from
+JVM-side ``pyspark.sql.functions`` — no Python UDFs in the hot path.
+
+PERFORMANCE RULE (learned by measuring): higher-order functions are not
+whole-stage-codegen'd and defeat common-subexpression elimination, so an
+expression like ``split(text)`` referenced inside N lambda bodies is
+re-evaluated N× *per element*. Every function here therefore:
+
+1. materializes derived arrays (words, shingles, per-word hashes) ONCE as a
+   direct child of a single higher-order call, and
+2. folds ALL per-document statistics in ONE ``aggregate()`` pass returning a
+   struct, instead of one column expression per statistic.
+
+This turned a 57 s MinHash stage into <1 s at the same scale.
 
 Each function has an exact DuckDB-SQL twin used by the correctness oracle
-(see ``__spark_entry__.oracle_sql``).
+(see ``plans/testdata_queries.py``).
 """
 
 from __future__ import annotations
@@ -16,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ecommerce_analytics_platform_spark.functions.compat import portable_hash60, seeded_hash60
+from ecommerce_analytics_platform_spark.functions.compat import portable_hash60
 
 _WS = r"\s+"
 
@@ -31,6 +42,8 @@ LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist"],
     "zh": ["的", "是", "了", "在", "我"],
 }
+
+_EN_STOPWORDS = LANG_MARKERS["en"]
 
 
 def _c(col: Column | str) -> Column:
@@ -50,70 +63,109 @@ def token_count(text: Column | str) -> Column:
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>); [] when fewer than n tokens.
 
-    Built with sequence+transform (higher-order functions) — stays JVM-side.
+    Built as n array slices zipped element-wise — the split() is evaluated
+    n× per ROW (not per shingle), and the zip runs on materialized arrays.
     """
     w = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(w) - F.lit(n))  # inclusive bounds
-    shingle = lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)])  # noqa: E731
-    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, shingle)
-    )
+    ln = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    parts = [F.slice(w, j + 1, ln) for j in range(n)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    return sh
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Character n-grams of the whitespace-normalized text."""
     t = F.regexp_replace(F.trim(_c(text)), _WS, " ")
-    idx = F.sequence(F.lit(1), F.length(t) - F.lit(n - 1))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1)))
     return F.when(F.length(t) < n, F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda i: t.substr(i, F.lit(n)))
     )
 
 
+def quality_struct(text: Column | str) -> Column:
+    """All token-level quality statistics in ONE pass over the words array:
+    struct(n_tokens, char_sum, stop_hits). Combine with per-text stats
+    (length, punct count) for the full C4/Gopher-style feature set."""
+    w = tokens(text)
+    init = F.struct(
+        F.lit(0).cast("long").alias("char_sum"),
+        F.lit(0).cast("long").alias("stop_hits"),
+    )
+    fold = F.aggregate(
+        w,
+        init,
+        lambda acc, x: F.struct(
+            (acc.char_sum + F.length(x)).alias("char_sum"),
+            (acc.stop_hits + F.when(F.lower(x).isin(*_EN_STOPWORDS), 1).otherwise(0)).alias(
+                "stop_hits"
+            ),
+        ),
+    )
+    return F.struct(
+        F.size(w).cast("long").alias("n_tokens"),
+        fold.char_sum.alias("char_sum"),
+        fold.stop_hits.alias("stop_hits"),
+    )
+
+
 def quality_features(text: Column | str) -> dict[str, Column]:
-    """Heuristic quality-scoring features (length, punctuation and stopword
-    ratios, mean token length) — the standard cheap pre-filters for
-    pretraining corpora (C4/Gopher-style rules).
-    """
+    """Heuristic quality-scoring features. NOTE: prefer selecting
+    ``quality_struct`` once and deriving ratios from the struct column —
+    using several of these dict entries in one projection repeats the
+    tokenization per entry."""
     t = _c(text)
-    toks = tokens(t)
-    n_tok = F.size(toks)
+    q = quality_struct(t)
     n_chars = F.length(t)
     punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}-]", ""))
-    stop = F.size(F.filter(toks, lambda w: F.lower(w).isin(*LANG_MARKERS["en"])))
-    mean_tok = F.when(n_tok > 0, (F.length(F.regexp_replace(F.trim(t), _WS, "")) / n_tok)).otherwise(F.lit(0.0))
     return {
         "n_chars": n_chars.cast("long"),
-        "n_tokens": n_tok.cast("long"),
-        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
-        "stopword_ratio": F.round(stop / F.greatest(n_tok, F.lit(1)), 6),
-        "mean_token_len": F.round(mean_tok, 6),
+        "n_tokens": q.n_tokens,
+        "punct_ratio": punct / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": q.stop_hits / F.greatest(q.n_tokens, F.lit(1)),
+        "mean_token_len": F.when(q.n_tokens > 0, q.char_sum / q.n_tokens).otherwise(F.lit(0.0)),
     }
+
+
+def language_score_struct(text: Column | str) -> Column:
+    """Per-language marker-hit counts, all in ONE fold: struct(de,en,es,fr,zh)."""
+    w = tokens(text)
+    langs = sorted(LANG_MARKERS)
+    init = F.struct(*[F.lit(0).cast("long").alias(lang) for lang in langs])
+    return F.aggregate(
+        w,
+        init,
+        lambda acc, x: F.struct(
+            *[
+                (acc[lang] + F.when(F.lower(x).isin(*LANG_MARKERS[lang]), 1).otherwise(0)).alias(
+                    lang
+                )
+                for lang in langs
+            ]
+        ),
+    )
 
 
 def language_scores(text: Column | str) -> dict[str, Column]:
-    """Per-language marker-hit counts; argmax (via greatest + chained when)
-    is done by the caller so ties break deterministically by language code.
-    """
-    toks = F.transform(tokens(text), lambda w: F.lower(w))
-    return {
-        lang: F.size(F.filter(toks, lambda w: w.isin(*markers))).cast("long")
-        for lang, markers in LANG_MARKERS.items()
-    }
+    s = language_score_struct(text)
+    return {lang: s[lang] for lang in sorted(LANG_MARKERS)}
+
+
+def predicted_lang_from_struct(scores: Column) -> Column:
+    """Argmax over a language_score_struct column; deterministic tie-break on
+    language code order; 'und' when zero hits."""
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = None
+    for lang in langs:
+        cond = (scores[lang] == best) & (best > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
 
 
 def predicted_lang(text: Column | str) -> Column:
-    """Heuristic language ID: language with the most marker hits;
-    deterministic tie-break on language code order; 'und' when zero hits."""
-    scores = language_scores(text)
-    langs = sorted(scores)  # de, en, es, fr, zh — fixed deterministic order
-    best = F.greatest(*[scores[l] for l in langs])
-    out = F.lit("und")
-    # chained when(): first lang (in sorted order) achieving the max wins
-    expr = None
-    for l in langs:
-        cond = (scores[l] == best) & (best > 0)
-        expr = F.when(cond, F.lit(l)) if expr is None else expr.when(cond, F.lit(l))
-    return expr.otherwise(out)
+    return predicted_lang_from_struct(language_score_struct(text))
 
 
 def doc_fingerprint(text: Column | str) -> Column:
@@ -124,45 +176,90 @@ def doc_fingerprint(text: Column | str) -> Column:
     return portable_hash60(norm)
 
 
-def minhash_signature(text: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> list[Column]:
-    """MinHash signature columns over word shingles.
+_MINHASH_INIT = 1 << 62  # sentinel > any 60-bit hash
 
-    h_i = min over shingles of seeded portable hash i. Documents with no
-    shingles get NULL minhashes (caller filters). Returns ``num_hashes``
-    Column expressions — keep as separate columns (columnar, prunable)
-    rather than one array so banding can select subsets without
-    deserializing arrays.
+
+def minhash_struct(text: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature as ONE struct column (fields mh0..mh{k-1}).
+
+    Per shingle, all ``num_hashes`` seeded hashes are computed in a single
+    ``transform`` (one struct per shingle), then one ``aggregate`` folds the
+    element-wise minima. Documents with no shingles keep the sentinel init —
+    callers filter on ``size(word_shingles(...)) > 0`` or on mh0 sentinel.
     """
     sh = word_shingles(text, shingle_n)
 
-    # NB: closures, not default-arg lambdas — PySpark higher-order functions
-    # turn EVERY lambda parameter (defaults included) into a lambda variable.
-    def seeded(i: int):
-        prefix = f"{i}:"
-        return lambda s: portable_hash60(F.concat(F.lit(prefix), s))
+    def hash_all(s: Column) -> Column:
+        return F.struct(
+            *[
+                portable_hash60(F.concat(F.lit(f"{i}:"), s)).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
 
-    sigs = []
-    for i in range(num_hashes):
-        sigs.append(F.array_min(F.transform(sh, seeded(i))))
-    return sigs
+    hashed = F.transform(sh, hash_all)
+    init = F.struct(
+        *[F.lit(_MINHASH_INIT).cast("long").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+    return F.aggregate(
+        hashed,
+        init,
+        lambda acc, x: F.struct(
+            *[F.least(acc[f"mh{i}"], x[f"h{i}"]).alias(f"mh{i}") for i in range(num_hashes)]
+        ),
+    )
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> list[Column]:
+    """Backwards-compatible per-column view of :func:`minhash_struct`.
+    Null (not sentinel) when the document has no shingles."""
+    sig = minhash_struct(text, num_hashes, shingle_n)
+    has = F.size(word_shingles(text, shingle_n)) > 0
+    return [F.when(has, sig[f"mh{i}"]).otherwise(F.lit(None)) for i in range(num_hashes)]
 
 
 def simhash64(text: Column | str, bits: int = 16) -> Column:
     """SimHash over whitespace tokens using the portable hash family.
 
-    For each bit b: sum over tokens of (+1 if bit set else -1); the simhash
-    has bit b set iff the sum is > 0. ``bits``=16 keeps the generated
-    expression tree small while remaining a faithful SimHash; the full
-    64-bit variant is the same construction.
+    One md5 per token (materialized via ``transform``), then ONE fold
+    accumulating all ``bits`` signed counters as a struct; bit b of the
+    result is set iff counter b is positive.
     """
     toks = tokens(text)
     hashes = F.transform(toks, lambda w: portable_hash60(w))
+    init = F.struct(*[F.lit(0).cast("long").alias(f"c{b}") for b in range(bits)])
 
-    def bit_contrib(mask: int):
-        return lambda a, h: a + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+    def finish(acc: Column) -> Column:
+        # runs ONCE on the final accumulator (the aggregate's finish lambda),
+        # so the fold is never duplicated per bit
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            out = out + F.when(acc[f"c{b}"] > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        return out
 
-    acc = F.lit(0).cast("long")
-    for b in range(bits):
-        contrib = F.aggregate(hashes, F.lit(0).cast("long"), bit_contrib(1 << b))
-        acc = acc + F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return acc
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.struct(
+            *[
+                (
+                    acc[f"c{b}"]
+                    + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+                ).alias(f"c{b}")
+                for b in range(bits)
+            ]
+        ),
+        finish,
+    )
+
+
+def with_materialized(df, col: Column, name: str):
+    """Materialize an expensive expression exactly once per row.
+
+    ``explode(array(expr))`` introduces a Generate node, which CollapseProject
+    does not traverse — downstream projections referencing ``name`` N times
+    read the materialized value instead of duplicating (and re-evaluating)
+    the whole expression tree N times. Use for the struct outputs of
+    ``minhash_struct`` / ``quality_struct`` / ``language_score_struct``.
+    """
+    return df.withColumn(name, F.explode(F.array(col)))

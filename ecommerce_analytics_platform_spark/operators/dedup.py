@@ -25,7 +25,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_platform_spark.functions.compat import portable_hash60
-from ecommerce_analytics_platform_spark.functions.text import minhash_signature
+from ecommerce_analytics_platform_spark.functions.text import (
+    _MINHASH_INIT,
+    minhash_struct,
+    with_materialized,
+)
 
 
 def dedup_latest(
@@ -109,26 +113,23 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    sig_df = df.select(
-        F.col(id_col).alias("__id"),
-        *[s.alias(f"mh{i}") for i, s in enumerate(sigs)],
-    ).filter(F.col("mh0").isNotNull())
+    # materialize the signature struct ONCE per row (Generate barrier), then
+    # band/bucket projections are cheap field reads
+    sig_df = with_materialized(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col)),
+        minhash_struct(F.col(text_col), num_hashes, shingle_n),
+        "sig",
+    ).filter(F.col("sig")[f"mh0"] != F.lit(_MINHASH_INIT))
 
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+    def band_struct(b: int) -> Column:
+        cols = [F.col("sig")[f"mh{b * rows_per_band + j}"] for j in range(rows_per_band)]
         bucket = portable_hash60(F.concat_ws("_", *[c.cast("string") for c in cols]))
-        band_rows.append(
-            sig_df.select(
-                F.lit(b).alias("band"),
-                bucket.alias("bucket"),
-                F.col("__id"),
-            )
-        )
-    buckets = band_rows[0]
-    for r in band_rows[1:]:
-        buckets = buckets.unionAll(r)
+        return F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+
+    # one row per (doc, band) via a single explode — no N-way union
+    buckets = sig_df.select(
+        "__id", F.explode(F.array(*[band_struct(b) for b in range(bands)])).alias("bb")
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     left = buckets.alias("l")
     right = buckets.alias("r")

@@ -1,0 +1,86 @@
+"""Dedup operators: latest-record (reference W1/W2 silver pattern), exact
+content hash, MinHash-LSH candidate pairs, exact Jaccard verifier."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.operators.dedup import (
+    dedup_exact,
+    dedup_latest,
+    dedup_latest_agg,
+    jaccard_ngram_pairs,
+    minhash_lsh_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_events(spark):
+    t = dt.datetime(2026, 1, 1)
+    rows = [
+        ("e1", "u1", t, 1),
+        ("e1", "u1", t + dt.timedelta(minutes=5), 2),  # late re-delivery, keep
+        ("e2", "u1", t, 1),
+        ("e3", "u2", t, 1),
+        ("e3", "u2", t, 2),  # same ts: tiebreak on ver
+    ]
+    return spark.createDataFrame(rows, ["event_id", "user_id", "ingested_at", "ver"])
+
+
+def test_dedup_latest(dup_events):
+    out = dedup_latest(
+        dup_events, ["event_id"], [F.desc("ingested_at"), F.desc("ver")]
+    )
+    got = {r["event_id"]: r["ver"] for r in out.collect()}
+    assert got == {"e1": 2, "e2": 1, "e3": 2}
+
+
+def test_dedup_latest_agg_equivalent(dup_events):
+    # single-order-column form: combine ts+ver into one orderable struct col
+    df = dup_events.withColumn(
+        "__ord", F.struct(F.col("ingested_at"), F.col("ver"))
+    )
+    out = dedup_latest_agg(df, ["event_id"], "__ord").drop("__ord")
+    got = {r["event_id"]: r["ver"] for r in out.collect()}
+    assert got == {"e1": 2, "e2": 1, "e3": 2}
+
+
+def test_dedup_exact(spark):
+    rows = [
+        (1, "hello  world"),
+        (2, "hello world"),  # ws-normalized dup of 1
+        (3, "different"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_exact(df, "text", "doc_id").collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_planted_neardup(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base),
+        (2, base.replace("dog", "cat")),  # near-dup of 1
+        (3, "completely unrelated text about spark query engines at scale ok"),
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=8).collect()
+    pairset = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in pairset
+    assert (1, 3) not in pairset and (2, 3) not in pairset
+
+
+def test_jaccard_pairs(spark):
+    base = "a b c d e f g h i j"
+    rows = [(1, base), (2, base + " k"), (3, "z y x w v u t s r q")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = jaccard_ngram_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert 0.7 < r["jaccard"] <= 1.0

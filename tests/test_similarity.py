@@ -1,0 +1,56 @@
+"""Similarity search: exact brute-force vs BLAS-vectorized parity, and the
+LSH-bucketed approximate variant's contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from ecommerce_analytics_platform_spark.operators.similarity import (
+    cosine_topk_blas,
+    cosine_topk_bruteforce,
+    lsh_bucketed_topk,
+)
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _key(rows):
+    return {(r["qid"], r["rank"]): (r["cid"], round(r["cosine"], 4)) for r in rows}
+
+
+def test_blas_matches_bruteforce(spark, emb):
+    small = emb.limit(40).cache()
+    bf = _key(cosine_topk_bruteforce(small, small, "vec_id", "vec_id", "embedding", k=3).collect())
+    bl = _key(cosine_topk_blas(small, small, "vec_id", "vec_id", "embedding", k=3).collect())
+    assert bf == bl
+
+
+def test_topk_contract(spark, emb):
+    small = emb.limit(30)
+    out = cosine_topk_bruteforce(small, small, "vec_id", "vec_id", "embedding", k=3).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["qid"], []).append(r)
+        assert r["qid"] != r["cid"]  # self excluded
+        assert -1.0001 <= r["cosine"] <= 1.0001
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_lsh_bucketed_is_subset_quality(spark, emb):
+    small = emb.limit(60).cache()
+    exact = cosine_topk_bruteforce(small, small, "vec_id", "vec_id", "embedding", k=1).collect()
+    approx = lsh_bucketed_topk(small, small, "vec_id", "vec_id", "embedding", k=1, n_planes=4).collect()
+    # every approx score must be <= the exact best for that query (it's a subset)
+    best = {r["qid"]: r["cosine"] for r in exact}
+    assert len(approx) > 0
+    for r in approx:
+        assert r["cosine"] <= best[r["qid"]] + 1e-9

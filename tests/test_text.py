@@ -1,0 +1,132 @@
+"""Text-analysis functions: tokenization, shingles, quality features,
+language ID, MinHash/SimHash — the training-data extension surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.functions.text import (
+    _MINHASH_INIT,
+    char_ngrams,
+    doc_fingerprint,
+    minhash_signature,
+    minhash_struct,
+    predicted_lang,
+    quality_features,
+    simhash64,
+    token_count,
+    tokens,
+    word_shingles,
+    with_materialized,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "el perro y el gato en la casa"),
+        (4, ""),
+        (5, "   "),
+        (6, "one two"),  # fewer tokens than shingle n=3
+        (7, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tokens_and_count(docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got == {1: 9, 2: 9, 3: 8, 4: 0, 5: 0, 6: 2, 7: 9}
+
+
+def test_word_shingles(docs):
+    row = docs.filter("doc_id = 1").select(word_shingles("text", 3).alias("sh")).first()
+    assert row["sh"][0] == "the quick brown"
+    assert row["sh"][-1] == "the lazy dog"
+    assert len(row["sh"]) == 7
+    short = docs.filter("doc_id = 6").select(word_shingles("text", 3).alias("sh")).first()
+    assert short["sh"] == []
+    empty = docs.filter("doc_id = 4").select(word_shingles("text", 3).alias("sh")).first()
+    assert empty["sh"] == []
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",)], ["text"])
+    rows = df.select(char_ngrams("text", 3).alias("g")).collect()
+    assert rows[0]["g"] == ["abc", "bcd"]
+    assert rows[1]["g"] == []
+
+
+def test_quality_features(docs):
+    feats = quality_features(F.col("text"))
+    row = (
+        docs.filter("doc_id = 1")
+        .select(*[v.alias(k) for k, v in feats.items()])
+        .first()
+    )
+    assert row["n_chars"] == 43
+    assert row["n_tokens"] == 9
+    assert row["punct_ratio"] == 0.0
+    # stopword set is the/and/of/to/is: 'the' x2
+    assert abs(row["stopword_ratio"] - 2 / 9) < 1e-9
+    assert abs(row["mean_token_len"] - 35 / 9) < 1e-9
+    zero = docs.filter("doc_id = 4").select(*[v.alias(k) for k, v in feats.items()]).first()
+    assert zero["n_tokens"] == 0 and zero["mean_token_len"] == 0.0
+
+
+def test_predicted_lang(docs):
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", predicted_lang("text").alias("lang")).collect()
+    }
+    assert got[1] == "en"
+    assert got[3] == "es"
+    assert got[4] == "und"
+    assert got[6] == "und"
+
+
+def test_fingerprint_ws_insensitive(spark):
+    df = spark.createDataFrame(
+        [("a  b\tc",), ("a b c",), ("a b d",)], ["text"]
+    )
+    h = [r["h"] for r in df.select(doc_fingerprint("text").alias("h")).collect()]
+    assert h[0] == h[1] != h[2]
+
+
+def test_minhash_struct_matches_signature_columns(docs):
+    sig_struct = minhash_struct(F.col("text"), num_hashes=4, shingle_n=3)
+    sig_cols = minhash_signature(F.col("text"), num_hashes=4, shingle_n=3)
+    df = with_materialized(docs, sig_struct, "sig").select(
+        "doc_id",
+        *[F.col("sig")[f"mh{i}"].alias(f"s{i}") for i in range(4)],
+        *[c.alias(f"c{i}") for i, c in enumerate(sig_cols)],
+    )
+    for r in df.collect():
+        for i in range(4):
+            if r[f"c{i}"] is None:  # no shingles → sentinel in struct form
+                assert r[f"s{i}"] == _MINHASH_INIT
+            else:
+                assert r[f"s{i}"] == r[f"c{i}"]
+
+
+def test_minhash_near_dup_signatures_close(docs):
+    # doc1 vs doc2 differ by one word -> most minhashes agree; doc3 disjoint
+    df = with_materialized(docs, minhash_struct(F.col("text"), 16, 3), "sig")
+    sigs = {r["doc_id"]: [r["sig"][f"mh{i}"] for i in range(16)] for r in df.collect()}
+    agree_12 = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert sigs[1] == sigs[7]  # identical text → identical signature
+    assert agree_12 > agree_13
+    assert agree_12 >= 8
+
+
+def test_simhash_properties(docs):
+    df = docs.select("doc_id", simhash64("text", bits=16).alias("sh"))
+    got = {r["doc_id"]: r["sh"] for r in df.collect()}
+    assert got[1] == got[7]
+    assert 0 <= got[1] < (1 << 16)
+    # hamming distance of near-dups below that of unrelated docs
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(got[1], got[2]) <= ham(got[1], got[3])
