@@ -1,0 +1,180 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed via Arrow-batched ``mapInPandas``.
+
+Beyond the reference surface (it is text/JSON only) — this is the
+training-data-pipeline extension: a 100 TB multimodal corpus stores media
+as binary columns (or object-store URIs) beside typed metadata, and every
+transform is a vectorized batch function over Arrow record batches, never
+a row-at-a-time Python UDF.
+
+The *decode* kernels (JPEG decode, audio resample, video frame extraction)
+need libs not present in this container (Pillow/ffmpeg/torchvision), so the
+kernel bodies are deterministic fakes / NotImplementedError stubs — clearly
+marked. Everything Spark-side is real and tested: schemas, the mapInPandas
+batch contract, partition sizing, metadata pushdown.
+
+Scale notes: media bytes dominate I/O — keep them OUT of shuffles (derive
+features, drop the blob before any join/groupBy); filter on metadata first
+(pushed to parquet); ``spark.sql.files.maxPartitionBytes`` sizes partitions
+so a batch of blobs fits executor memory; for >~100 MB media, store URIs
+and stream from object storage inside the kernel instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed metadata beside the opaque blob — the storage contract.
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),     # opaque encoded bytes
+        StructField("format", StringType()),      # 'jpeg' | 'png' | ...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("format", StringType()),      # 'wav' | 'mp3' | ...
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Cheap JVM-side metadata columns for a binary media column —
+    byte length + 60-bit content fingerprint (dedup key). No Python."""
+    from ecommerce_analytics_platform_spark.functions.compat import portable_hash60
+
+    return df.withColumn("n_bytes", F.length(content_col).cast("long")).withColumn(
+        "content_fingerprint", portable_hash60(F.sha2(F.col(content_col), 256))
+    )
+
+
+def _fake_decode_image(buf: bytes) -> tuple[int, int, float]:
+    """STUB decode kernel: deterministic fake (no Pillow in container).
+
+    Real implementation: ``img = PIL.Image.open(io.BytesIO(buf))`` →
+    (img.width, img.height, mean pixel). The fake derives stable pseudo
+    dimensions/brightness from the bytes so plumbing tests are exact.
+    """
+    if not buf:
+        return 0, 0, 0.0
+    w = 64 + buf[0] % 192
+    h = 64 + buf[-1] % 192
+    mean = (sum(buf[:256]) / min(len(buf), 256)) / 255.0
+    return w, h, round(mean, 6)
+
+
+def decode_image_features(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Image decode → features via Arrow-batched mapInPandas.
+
+    Batch contract: each pandas batch holds whole rows of (id, bytes);
+    output schema is fixed and blob-free (drop bytes before any shuffle).
+    Decode kernel is stubbed (see :func:`_fake_decode_image`).
+    """
+    schema = "media_id long, width int, height int, mean_brightness double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode_image(b or b"") for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_brightness": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Image resize plumbing — kernel stubbed (needs Pillow).
+
+    Raises NotImplementedError from the executor when actually executed;
+    the returned DataFrame's schema/partitioning is real, so plans that
+    embed it can be built and inspected.
+    """
+    schema = "media_id long, content binary, width int, height int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image resize requires Pillow; real kernel: "
+            "PIL.Image.open(bytes).resize((target_w, target_h)).save(buf)"
+        )
+        yield  # pragma: no cover
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n_seconds: float = 1.0,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Video → frame rows plumbing (one output row per sampled frame) —
+    kernel stubbed (needs ffmpeg/av). Output grain: (media_id, frame_idx,
+    frame_ts_sec, content)."""
+    schema = "media_id long, frame_idx int, frame_ts_sec double, content binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "frame sampling requires av/ffmpeg; real kernel: "
+            "av.open(bytes) -> decode -> sample every_n_seconds"
+        )
+        yield  # pragma: no cover
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Audio feature extraction with a deterministic fake kernel
+    (duration from byte length at nominal 16 kHz/16-bit mono; RMS-ish
+    energy from raw bytes) — same plumbing as a real soundfile/librosa
+    kernel."""
+    schema = "media_id long, duration_sec double, energy double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_d, out_e = [], []
+            for b in pdf[content_col]:
+                b = b or b""
+                out_d.append(round(len(b) / (16000 * 2), 6))
+                out_e.append(round(sum(b[:1024]) / max(min(len(b), 1024), 1) / 255.0, 6))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].to_numpy(), "duration_sec": out_d, "energy": out_e}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema)

@@ -1,0 +1,111 @@
+"""Incremental materialization: dbt's ``delete+insert`` strategy + the
+reference's 1-day sliding-lookback late-data pattern, on plain parquet.
+
+Reference semantics (SURVEY §2.1 S10, §2.2 P8):
+
+- New batch = source rows with ``ts >= max(target.ts) - lookback`` (the
+  sliding reprocessing window; reference stg_clickstream_events.sql:18-26
+  et al. — with the two incremental-branch syntax bugs fixed, SURVEY §2.9).
+- delete+insert keyed on ``unique_key``: target rows whose key appears in
+  the new batch are replaced; everything else is kept (dbt-duckdb's
+  delete+insert strategy, dbt_project.yml:26-30).
+
+Implementation: merged = target ⟕anti(new, key) ∪ new, written to a fresh
+directory and atomically swapped in (plain parquet cannot be overwritten
+while being read — no ACID). On a real cluster this operator is Delta
+``MERGE WHEN MATCHED THEN DELETE`` + insert, or ``replaceWhere`` partition
+overwrite when the key is partition-aligned; the swap trick is the
+self-contained equivalent.
+
+Scale notes: the anti-join shuffles on the unique key — but the *new batch*
+side is small (1 day of data), so Catalyst broadcasts it and the target
+scan streams through map-side. With date partitioning the target scan also
+partition-prunes to the lookback window ∪ keys' partitions. Never rewrites
+more than it must when ``partition_by`` aligns with the key's date.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lookback_filter(
+    source: DataFrame,
+    target: DataFrame | None,
+    source_col: str,
+    target_col: str | None = None,
+    lookback: str = "INTERVAL 1 DAY",
+    strict: bool = False,
+) -> DataFrame:
+    """Apply the incremental sliding-window predicate.
+
+    ``source_col >= coalesce(max(target.target_col) - lookback,
+    TIMESTAMP '1900-01-01')`` — reference P8. The scalar subquery is
+    evaluated eagerly (1-row agg collect) so the main plan gets a simple
+    pushed-down literal comparison instead of a subquery join.
+    ``strict`` uses ``>`` (reference fact_orders.sql:19 uses ``>``).
+    """
+    if target is None:
+        return source
+    target_col = target_col or source_col
+    row = target.agg(F.max(target_col).alias("mx")).collect()[0]
+    if row["mx"] is None:
+        return source
+    bound = target.sparkSession.sql(
+        f"SELECT TIMESTAMP '{row['mx']}' - {lookback} AS b"
+    ).collect()[0]["b"]
+    cmp = F.col(source_col) > F.lit(bound) if strict else F.col(source_col) >= F.lit(bound)
+    return source.filter(cmp)
+
+
+def merge_delete_insert(
+    spark,
+    target_path: str,
+    new_batch: DataFrame,
+    unique_key: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """delete+insert merge into a parquet directory (atomic dir swap).
+
+    First write (no target): plain create. Otherwise: keep target rows whose
+    ``unique_key`` does NOT appear in the new batch (left-anti, broadcast
+    new-batch keys), union the new batch, write fresh, swap.
+    """
+
+    def _has_data(p: str) -> bool:
+        if not os.path.isdir(p):
+            return False
+        for _r, _d, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    writer_cols = new_batch.columns
+
+    if not _has_data(target_path):
+        w = new_batch.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target_path)
+        return
+
+    target = spark.read.parquet(target_path)
+    keys = new_batch.select(*unique_key).distinct()
+    kept = target.join(F.broadcast(keys), on=unique_key, how="left_anti")
+    merged = kept.select(*writer_cols).unionByName(new_batch)
+
+    tmp_path = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+    w = merged.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp_path)
+
+    old_path = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, old_path)
+    os.rename(tmp_path, target_path)
+    shutil.rmtree(old_path, ignore_errors=True)

@@ -1,0 +1,98 @@
+"""Warehouse: parquet-backed tables with medallion-layer load semantics.
+
+The reference's warehouse is a single DuckDB file with schemas
+bronze/staging/marts (reference spark_jobs/bronze.py:11-18,
+dbt_project/macros/generate_schema_name.sql). Here: one parquet directory
+per table under a root, addressed "schema.table" — the layout a metastore
+catalog (``saveAsTable``) would manage on a real cluster; plain dirs keep
+the engine self-contained and testable.
+
+Load semantics ported:
+
+- S7 idempotent DDL + append (bronze.py:16,38-49): first write creates.
+- P7/J10 **bronze at-most-once-per-ingest_date append**: only partitions
+  whose ``ingest_date`` has never been seen are appended (bronze.py:32-34 —
+  ``WHERE ingest_date NOT IN (SELECT DISTINCT ingest_date FROM target)``)
+  → left-anti join here. A date that later receives more landing data is
+  NOT topped up — reference semantics preserved (SURVEY §3.2).
+- A11 row-count validation (spark_jobs/helper_functions.py:1-7).
+
+Scale notes: the anti-join's build side is the *distinct ingest_dates* of
+the target (tiny — one row per day), so Catalyst broadcasts it; the landing
+scan prunes to surviving partitions. Appends are directory-level (new files
+only), never rewrite existing data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Warehouse:
+    """Parquet-dir table catalog with medallion load operations."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        """'schema.table' → <root>/<schema>/<table>."""
+        return os.path.join(self.root, *table.split("."))
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return False
+        # a parquet dir is readable iff it has at least one data file
+        for _root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        """dbt ``table`` materialization: full rebuild (SURVEY §2.1 S10)."""
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def append_new_dates(
+        self,
+        df: DataFrame,
+        table: str,
+        date_col: str = "ingest_date",
+        enrich: dict[str, F.Column] | None = None,
+    ) -> None:
+        """Bronze load: append only never-seen ``date_col`` partitions.
+
+        Reference spark_jobs/bronze.py:24-49 — `INSERT INTO bronze.X
+        SELECT *, CURRENT_TIMESTAMP AS bronze_ingested_at FROM landing
+        WHERE ingest_date NOT IN (SELECT DISTINCT ingest_date FROM bronze.X)`.
+        NOT IN → left-anti join (Catalyst's own rewrite; keys are non-null).
+        """
+        for name, col in (enrich or {}).items():
+            df = df.withColumn(name, col)
+        if self.exists(table):
+            seen = self.read(table).select(date_col).distinct()
+            df = df.join(F.broadcast(seen), on=date_col, how="left_anti")
+        self.append(df, table, partition_by=[date_col])
+
+    def validate_table(self, table: str, min_rows: int = 1) -> int:
+        """Row-count smoke validation (reference
+        spark_jobs/helper_functions.py:1-7, called bronze.py:85,88)."""
+        n = self.read(table).count()
+        if n < min_rows:
+            raise AssertionError(f"{table}: expected >= {min_rows} rows, got {n}")
+        return n

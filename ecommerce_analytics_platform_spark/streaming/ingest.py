@@ -1,0 +1,121 @@
+"""Structured Streaming clickstream ingest: raw NDJSON → typed, enriched,
+partitioned parquet landing, with exactly-once file tracking.
+
+The reference implements "streaming" as a micro-batch file-polling loop
+with a hand-rolled processed-file checkpoint (reference
+ingestion/streaming_ingest.py:18-52,200-232; SURVEY §2.8). All of that is
+native Structured Streaming:
+
+| reference                              | here                              |
+| poll dir / glob diff vs processed-set  | file source + checkpointLocation  |
+| text-file checkpoint (S9)              | file-source commit log            |
+| backfill one-pass (lines 180-194)      | trigger(availableNow=True) — the  |
+|                                        | exact API the reference's fossil  |
+|                                        | helper backfill_progress.py:3-7   |
+|                                        | was written for                   |
+| stop-file sentinel / idle timeout      | query.stop() / awaitTermination   |
+| per-file DuckDB COPY → parquet (S4)    | partitioned parquet sink          |
+
+Late data: the raw fixture has ~15% late events (generator lines 82-83);
+the landing layer lands them as-is (their lineage timestamps differ) and
+the silver layer's 1-day lookback + delete+insert absorbs them (SURVEY P8)
+— same division of labor as the reference. For streaming *aggregations*
+use :func:`streaming_sessions` which shows the watermark pattern.
+
+Scale notes: maxFilesPerTrigger bounds micro-batch size; the sink
+partitions by ingest_date so downstream prunes; checkpoint dir must be on
+shared storage on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ecommerce_analytics_platform_spark.sources.ndjson import enrich_clickstream
+from ecommerce_analytics_platform_spark.sources.schemas import CLICKSTREAM_RAW_SCHEMA
+
+
+def read_clickstream_stream(
+    spark: SparkSession, raw_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming schema-enforced NDJSON source (reference S2/S9)."""
+    reader = spark.readStream.schema(CLICKSTREAM_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(raw_dir)
+
+
+def start_landing_stream(
+    spark: SparkSession,
+    raw_dir: str,
+    landing_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    source_system: str = "clickstream_producer",
+) -> StreamingQuery:
+    """raw NDJSON → enrich → parquet landing partitioned by ingest_date.
+
+    ``available_now=True`` = backfill mode: process everything present,
+    then stop (reference streaming_ingest.py:180-194 one-pass backfill).
+    ``False`` = continuous micro-batches (the polling loop analog).
+    """
+    stream = read_clickstream_stream(spark, raw_dir)
+    enriched = enrich_clickstream(stream, source_system=source_system)
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", landing_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("ingest_date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_sessions(
+    spark: SparkSession,
+    raw_dir: str,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming session rollup with watermarked late-data handling.
+
+    The streaming twin of models.stg_clickstream_sessions: per-session
+    min/max/count with ``withWatermark(event_time, 1 day)`` — the watermark
+    IS the reference's 1-day sliding lookback (SURVEY P8 ⇒
+    ``withWatermark("event_time","1 day")``), enforced by the engine
+    instead of a re-processing query. Dedup of re-delivered events uses
+    ``dropDuplicatesWithinWatermark`` (streaming alternative to W1).
+    Returns an unstarted streaming DataFrame — callers attach a sink.
+    """
+    stream = read_clickstream_stream(spark, raw_dir)
+    typed = stream.withColumn("event_ts", F.try_to_timestamp("event_time")).filter(
+        F.col("event_ts").isNotNull()
+    )
+    deduped = typed.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return deduped.groupBy("session_id", "user_id").agg(
+        F.min("event_ts").alias("session_start_ts"),
+        F.max("event_ts").alias("session_end_ts"),
+        F.count(F.lit(1)).alias("event_count"),
+    )
+
+
+def run_backfill(
+    spark: SparkSession,
+    raw_dir: str,
+    landing_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> bool:
+    """One-shot backfill: start availableNow, await termination.
+
+    Idempotent across invocations — the checkpoint's file-source log
+    remembers processed files (reference S9's processed-set semantics),
+    so re-running only picks up new raw files.
+    """
+    q = start_landing_stream(spark, raw_dir, landing_dir, checkpoint_dir, available_now=True)
+    return q.awaitTermination(timeout_sec)
