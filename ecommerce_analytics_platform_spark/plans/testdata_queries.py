@@ -801,6 +801,292 @@ GROUP BY 1, 2
 """
 
 
+def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates → exact n-gram Jaccard verification — the full
+    production near-dup composition (candidate generation never goes
+    quadratic; the exact check runs only on collided pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4).select(
+        "id_a", "id_b"
+    )
+    from ecommerce_analytics_platform_spark.functions.text import word_shingles
+
+    sh = docs.select(
+        F.col("doc_id"), F.array_distinct(word_shingles(F.col("text"), 3)).alias("ds")
+    ).filter(F.size("ds") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("ds").alias("ds_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("ds").alias("ds_b"))
+    inter = F.size(F.array_intersect("ds_a", "ds_b"))
+    union = F.size("ds_a") + F.size("ds_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def _neardup_verified_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mh_exprs = ",\n       ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT)) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    shingles = r"""
+        CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(
+                 generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+                 i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                      string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                      string_split_regex(trim(text), '\s+')[i+2])
+        END
+    """
+    band_rows = " UNION ALL ".join(
+        "SELECT {b} AS band, ('0x' || substr(md5({concat}), 1, 15))::BIGINT AS bucket, doc_id FROM sigs".format(
+            b=b,
+            concat=" || '_' || ".join(f"CAST(mh{b * rows + j} AS VARCHAR)" for j in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH shingled AS (
+    SELECT doc_id, ({shingles}) AS sh FROM documents
+), sigs AS (
+    SELECT doc_id, {mh_exprs} FROM shingled WHERE len(sh) > 0
+), buckets AS ({band_rows}),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM buckets l JOIN buckets r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+), dsets AS (
+    SELECT doc_id, list_distinct(sh) AS ds FROM shingled WHERE len(sh) > 0
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(a.ds, b.ds))
+             / (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))), 6) AS jaccard
+FROM cand JOIN dsets a ON cand.id_a = a.doc_id JOIN dsets b ON cand.id_b = b.doc_id
+WHERE round(len(list_intersect(a.ds, b.ds))
+            / (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))), 6) >= 0.2
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): for each event, the user's
+    most recent order-day total at-or-before the event. Beyond the
+    reference's equi-join surface (SURVEY §2.4) — the union+window
+    construction, one shuffle on the key, no quadratic range join."""
+    from ecommerce_analytics_platform_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # right side unique per (custkey, day) so as-of ties are deterministic
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+        )
+        .agg(_dec_sum("o_totalprice", 2).alias("day_total"))
+    )
+    out = asof_join(
+        ev, orders, key="user_id", left_ts="ts", right_ts="order_ts",
+        right_payload=["day_total"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("order_ts").alias("last_order_ts"),
+        F.col("day_total").alias("last_day_total"),
+    )
+
+
+SQL_ASOF_JOIN = f"""
+WITH day_orders AS (
+    SELECT o_custkey AS user_id,
+           CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+           {_dec_sum_sql('o_totalprice', 2)} AS day_total
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.order_ts AS last_order_ts,
+       o.day_total AS last_day_total
+FROM events e
+ASOF LEFT JOIN day_orders o
+  ON e.user_id = o.user_id AND e.ts >= o.order_ts
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames (rowsBetween unbounded-preceding..current): per-user
+    running event count and decimal-exact running value sum. Beyond the
+    reference's row_number-only window surface (SURVEY §2.6)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("running_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT user_id, event_id, ts,
+       count(*) OVER w AS running_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_event_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lag / lead over a deterministic order — the
+    analytic-window family beyond the reference's row_number (W1-W3)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).cast("long").alias("value_rank"),
+        F.dense_rank().over(w).cast("long").alias("value_dense_rank"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    ).filter(F.col("value_rank") <= 3)
+
+
+SQL_EVENT_RANK = """
+SELECT user_id, event_id,
+       rank() OVER w AS value_rank,
+       dense_rank() OVER w AS value_dense_rank,
+       lag(event_id) OVER w AS prev_event_id,
+       lead(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+QUALIFY value_rank <= 3
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION (SURVEY §2.7 notes the reference has
+    none — coverage beyond it): purchase∩view users, purchase∖click users,
+    tagged into one result."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users(etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select("user_id")
+
+    both = users("purchase").intersect(users("view")).withColumn("op", F.lit("purchase_and_view"))
+    only = users("purchase").subtract(users("click")).withColumn(
+        "op", F.lit("purchase_not_click")
+    )
+    return both.unionByName(only)
+
+
+SQL_SET_OPS = """
+SELECT user_id, 'purchase_and_view' AS op FROM (
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'view'
+)
+UNION ALL
+SELECT DISTINCT user_id, 'purchase_not_click' AS op FROM (
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'click'
+)
+"""
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (region → region+nation → grand total) —
+    beyond the reference (SURVEY §2.5: "no grouping sets / cube / rollup
+    anywhere"); subtotal rows carry NULL group keys in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "o_totalprice")
+    )
+    return base.rollup("region", "nation").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        _dec_sum("o_totalprice", 2).alias("revenue"),
+    )
+
+
+SQL_SALES_ROLLUP = f"""
+SELECT r_name AS region, n_name AS nation,
+       count(*) AS order_count,
+       {_dec_sum_sql('o_totalprice', 2)} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per event type — the
+    reference has no percentiles (SURVEY §2.5); linear interpolation
+    (percentile_cont) matches DuckDB quantile_cont."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50_value"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 4).alias("p90_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_PERCENTILE_STATS = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50_value,
+       round(quantile_cont(value, 0.9), 4) AS p90_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing over synthetic binary (rows-only checks: the decode
+# kernels are deterministic fakes — see functions/multimodal.py — and byte
+# folds aren't reasonably SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → mapInPandas feature extraction. documents.text
+    encoded to bytes stands in for encoded media (no codec libs in the
+    container); the Spark plumbing (schema, Arrow batches, blob-free
+    output) is the real thing."""
+    from ecommerce_analytics_platform_spark.functions.multimodal import (
+        decode_image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return decode_image_features(media)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-feature twin of q_image_features (deterministic fake kernel)."""
+    from ecommerce_analytics_platform_spark.functions.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return audio_features(media)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (extension surface)
 # ---------------------------------------------------------------------------
@@ -890,6 +1176,16 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
     "simhash": (q_simhash, _simhash_sql()),
     "neardup_pairs": (q_neardup_pairs, _neardup_sql()),
+    "neardup_verified": (q_neardup_verified, _neardup_verified_sql()),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "event_rank": (q_event_rank, SQL_EVENT_RANK),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "sales_rollup": (q_sales_rollup, SQL_SALES_ROLLUP),
+    "percentile_stats": (q_percentile_stats, SQL_PERCENTILE_STATS),
+    # rows-only (no SQL twin): deterministic-fake multimodal kernels
+    "image_features": (q_image_features, None),
+    "audio_features": (q_audio_features, None),
 }
