@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB —
+predicate pushdown reaching the parquet scan, column pruning, broadcast
+joins for small dims, map-side partial aggregation, whole-stage codegen —
+asserted from ``explain`` output so they can't silently regress."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.plans.testdata_queries import QUERIES, _t
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["pricing_summary"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not read all 16 lineitem columns."""
+    li = _t(spark, SF_DIR, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = plan_of(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_small_dims_broadcast(spark):
+    df = QUERIES["revenue_by_region"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan  # nation/region never shuffle-join
+
+
+def test_partial_aggregation(spark):
+    """groupBy must plan partial (map-side) + final hash aggregation."""
+    df = QUERIES["daily_kpis"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen(spark):
+    """The scan→filter→partial-agg stage must compile to one codegen'd
+    subtree (explain('codegen') reports found subtrees; AQE hides them in
+    'formatted' until runtime)."""
+    df = QUERIES["pricing_summary"][0](spark, SF_DIR)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen spans in the executed plan;
+    # both the partial and final aggregate stages must be compiled
+    assert "*(1) HashAggregate" in executed
+    assert "*(2) HashAggregate" in executed
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No registry query may plan a cartesian/broadcast nested-loop join
+    (the LSH/blocked designs exist precisely to avoid the quadratic path).
+    The only exception would be an explicit tiny-dim cross join — none
+    exist today."""
+    offenders = []
+    for name, (fn, _sql) in QUERIES.items():
+        plan = plan_of(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_anti_join_rewrite(spark):
+    """The NOT-IN bronze idempotency pattern must plan as an anti join,
+    never a per-row subquery."""
+    df = QUERIES["customers_without_orders"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+
+
+def test_exchange_reuse_in_sessionize(spark):
+    """sessionize_by_gap uses two windows over the same partitioning — the
+    plan must contain exactly ONE shuffle on user_id, not two."""
+    df = QUERIES["session_rollup"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    # count Exchange operators: one for the window partitioning, one for the
+    # final groupBy — the two windows must share theirs
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan
