@@ -129,6 +129,54 @@ def cosine_topk_blas(
     return prepared.mapInPandas(score, "qid long, cid long, cosine double, rank int")
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    round(cosine, round_digits) >= threshold.
+
+    Same broadcast + blocked-BLAS pattern as :func:`cosine_topk_blas` —
+    one matmul per Arrow batch, emit only above-threshold pairs, so the
+    output (not the O(n²) score matrix) is what hits the network. At
+    billions of vectors, shard the corpus by LSH/IVF bucket first and run
+    this per shard.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((cids, C))
+
+    def score(batches):
+        b_cids, b_C = bc.value
+        for pdf in batches:
+            Q = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
+            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+            S = np.round(Q @ b_C.T, round_digits)
+            qids = pdf["__qid"].to_numpy()
+            out_a, out_b, out_s = [], [], []
+            for i in range(S.shape[0]):
+                mask = (S[i] >= threshold) & (b_cids > qids[i])  # a < b once
+                for j in np.nonzero(mask)[0]:
+                    out_a.append(qids[i])
+                    out_b.append(b_cids[j])
+                    out_s.append(S[i, j])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
+
+    prepared = df.select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__vec")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return prepared.mapInPandas(score, "id_a long, id_b long, cosine double")
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -42,6 +42,7 @@ from ecommerce_analytics_platform_spark.operators.sessionize import sessionize_b
 from ecommerce_analytics_platform_spark.operators.similarity import (
     cosine_topk_blas,
     cosine_topk_bruteforce,
+    lsh_bucketed_topk,
 )
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -1140,6 +1141,75 @@ SELECT qid, cid, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.35) — the dense-vector
+    member of the dedup family (exact / MinHash / SimHash / Jaccard /
+    embedding-cosine), BLAS-blocked like cosine_topk."""
+    from ecommerce_analytics_platform_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH n AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(generate_series(1, len(a.v)),
+             i -> (a.v[i] / a.nrm) * (b.v[i] / b.nrm))), 4) AS cosine
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND round(list_sum(list_transform(generate_series(1, len(a.v)),
+            i -> (a.v[i] / a.nrm) * (b.v[i] / b.nrm))), 4) >= 0.35
+"""
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counting: regex splits into letter runs,
+    digit runs, and single punctuation marks (the GPT-2 pre-tokenizer
+    shape), plus distinct-token counts — regexp_extract_all in both
+    engines, fully vectorized."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    base = docs.select("doc_id", toks.alias("bt"))
+    return base.select(
+        "doc_id",
+        F.size("bt").cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(F.transform("bt", F.lower))).cast("long").alias(
+            "n_unique_tokens"
+        ),
+    )
+
+
+SQL_BPE_TOKEN_COUNT = r"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1) AS bt
+    FROM documents
+)
+SELECT doc_id,
+       len(bt) AS n_bpe_tokens,
+       len(list_distinct(list_transform(bt, x -> lower(x)))) AS n_unique_tokens
+FROM t
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via random-hyperplane LSH bucketing +
+    in-bucket exact re-rank — the scale path for similarity search (the
+    exact twin is cosine_topk). Rows-only check: bucket membership depends
+    on float dot-product signs, which are not robustly reproducible across
+    engines at sign boundaries; recall-vs-exact is asserted in
+    tests/test_similarity.py instead."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, emb, "vec_id", "vec_id", "embedding", k=3, n_planes=6)
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics: vector count, mean L2 norm — array
     higher-order aggregation (F.aggregate) feeding a groupBy."""
@@ -1196,7 +1266,12 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "neardup_pairs": (q_neardup_pairs, _neardup_sql()),
     "neardup_verified": (q_neardup_verified, _neardup_verified_sql()),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
+    # rows-only: LSH bucket membership isn't cross-engine robust at float
+    # sign boundaries; recall asserted vs the exact path in tests
+    "ann_lsh": (q_ann_lsh, None),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "event_rank": (q_event_rank, SQL_EVENT_RANK),

@@ -21,8 +21,9 @@ def test_oracle_keys_subset():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    # only the deterministic-fake multimodal kernels lack a SQL twin
-    assert set(q) - set(o) == {"image_features", "audio_features"}
+    # rows-only: deterministic-fake multimodal kernels + float-sign-
+    # boundary-sensitive LSH bucketing (recall asserted in test_similarity)
+    assert set(q) - set(o) == {"image_features", "audio_features", "ann_lsh"}
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
