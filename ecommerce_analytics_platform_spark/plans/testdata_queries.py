@@ -1073,6 +1073,80 @@ FROM events GROUP BY event_type
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed range join (operators/rangejoin.py): per event, how
+    many same-user order-days fall in the 7 days ending at the event.
+    Equi-join on (user, day-bucket) — never a nested-loop range join."""
+    from ecommerce_analytics_platform_spark.operators.rangejoin import range_join_buckets
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+        )
+        .distinct()
+        .withColumn("win_lo", F.col("order_ts"))
+        .withColumn("win_hi", F.col("order_ts") + F.expr("INTERVAL 7 DAYS"))
+    )
+    joined = range_join_buckets(
+        ev, orders, key="user_id", left_ts="ts",
+        right_lo="win_lo", right_hi="win_hi",
+        bucket_seconds=7 * 86400, how="left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("order_ts").alias("orders_in_prior_week")
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH o AS (
+    SELECT DISTINCT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS order_ts
+    FROM orders
+)
+SELECT e.event_id, e.user_id, e.ts,
+       count(o.order_ts) AS orders_in_prior_week
+FROM events e
+LEFT JOIN o ON e.user_id = o.user_id
+           AND e.ts >= o.order_ts
+           AND e.ts <= o.order_ts + INTERVAL 7 DAY
+GROUP BY 1, 2, 3
+"""
+
+
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: 6-hour tumbling
+    windows (F.window ≙ DuckDB time_bucket) with per-bucket KPIs — the
+    streaming-compatible twin of the daily rollups (SURVEY A6)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.countDistinct("user_id").alias("users"),
+            _dec_sum("value", 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "events",
+            "users",
+            "total_value",
+        )
+    )
+
+
+SQL_TIME_BUCKET_ROLLUP = f"""
+SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
+       event_type,
+       count(*) AS events,
+       count(DISTINCT user_id) AS users,
+       {_dec_sum_sql('value', 2)} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing over synthetic binary (rows-only checks: the decode
 # kernels are deterministic fakes — see functions/multimodal.py — and byte
@@ -1273,6 +1347,8 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # sign boundaries; recall asserted vs the exact path in tests
     "ann_lsh": (q_ann_lsh, None),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "time_bucket_rollup": (q_time_bucket_rollup, SQL_TIME_BUCKET_ROLLUP),
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "event_rank": (q_event_rank, SQL_EVENT_RANK),
     "set_ops": (q_set_ops, SQL_SET_OPS),
