@@ -110,7 +110,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark has no native type
     for — read it as long (legacy conf) and floor-convert to microseconds,
     exactly what DuckDB's ns→µs cast does, so oracle parity holds.
+
+    The session timezone is pinned to UTC on every call: the driver may
+    hand us an arbitrary session, and ``ts.cast(date)`` is tz-dependent in
+    Spark while the DuckDB oracle is tz-naive (SURVEY §7 watch-list).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
