@@ -694,6 +694,35 @@ FROM documents
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document frequencies — the wordcount /
+    vocab-building pass of a training-data pipeline: explode lowercased
+    tokens, aggregate term frequency + document frequency, keep terms in
+    >= 5 documents, deterministic order columns. One shuffle on the term."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+SQL_VOCAB_TOPK = r"""
+WITH t AS (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    FROM documents WHERE trim(text) <> ''
+)
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM t GROUP BY term HAVING count(DISTINCT doc_id) >= 5
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-content dedup via portable 60-bit hash groupBy (the cheap first
     pass of corpus dedup): hash, representative id = min, cluster size."""
@@ -1338,6 +1367,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "language_id": (q_language_id, _langid_sql()),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
