@@ -694,6 +694,31 @@ FROM documents
 """
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val split — the reproducible-split
+    primitive of a training-data pipeline (content-stable: same doc → same
+    split on any cluster size, unlike sample())."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(portable_hash60(F.col("doc_id").cast("string")), F.lit(100))
+    split = F.when(bucket < 90, "train").otherwise("val")
+    return docs.select("doc_id", split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = """
+WITH s AS (
+    SELECT doc_id,
+           CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+)
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM s GROUP BY split
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with document frequencies — the wordcount /
     vocab-building pass of a training-data pipeline: explode lowercased
@@ -1368,6 +1393,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "language_id": (q_language_id, _langid_sql()),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
