@@ -52,6 +52,54 @@ def seeded_hash60_sql(expr: str, seed: int) -> str:
     return portable_hash60_sql(f"'{seed}:' || CAST({expr} AS VARCHAR)")
 
 
+MERSENNE61 = (1 << 61) - 1
+_MASK31 = (1 << 31) - 1
+_MASK30 = (1 << 30) - 1
+
+
+def multmod61(h: Column, a: int, b: int) -> Column:
+    """(a*h + b) mod (2^61-1) in overflow-free int64 arithmetic — a
+    Carter-Wegman universal hash family member, bit-identical in Spark and
+    DuckDB (both use two's-complement BIGINT with identical shift/AND
+    semantics on non-negative values).
+
+    Requires h in [0, 2^60) (portable_hash60 output) and a in [1, 2^31),
+    b in [0, 2^60). Derivation (2^61 ≡ 1 mod p):
+      a*h = a*h_hi*2^30 + a*h_lo          (h split at bit 30; both < 2^61)
+      u*2^30 ≡ (u >> 31) + ((u mod 2^31) << 30)   (mod p, all < 2^62)
+      r = (tot mod 2^61) + (tot >> 61) ≡ tot (mod p), then one subtract.
+
+    One md5 per value + ~10 long ops per family member, vs one md5 PER
+    member — ~k× cheaper MinHash signatures for k hashes.
+    """
+    assert 1 <= a < (1 << 31) and 0 <= b < (1 << 60)
+    u = F.lit(a) * F.shiftright(h, 30)
+    t1 = F.shiftright(u, 31) + F.shiftleft(u.bitwiseAND(F.lit(_MASK31)), 30)
+    tot = t1 + F.lit(a) * h.bitwiseAND(F.lit(_MASK30)) + F.lit(b)
+    r = tot.bitwiseAND(F.lit(MERSENNE61)) + F.shiftright(tot, 61)
+    return F.when(r >= MERSENNE61, r - MERSENNE61).otherwise(r)
+
+
+def multmod61_sql(expr: str, a: int, b: int) -> str:
+    """DuckDB SQL twin of :func:`multmod61` (same intermediate names)."""
+    p = MERSENNE61
+    u = f"({a} * (({expr}) >> 30))"
+    t1 = f"(({u} >> 31) + ((({u}) & {_MASK31}) << 30))"
+    tot = f"({t1} + {a} * (({expr}) & {_MASK30}) + {b})"
+    r = f"((({tot}) & {p}) + (({tot}) >> 61))"
+    return f"(CASE WHEN {r} >= {p} THEN {r} - {p} ELSE {r} END)"
+
+
+def minhash_seeds(n: int, seed: int = 894) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the multmod61 family."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 60)) for _ in range(n)
+    ]
+
+
 def dow_sunday0(date_col: Column | str) -> Column:
     """Day-of-week with DuckDB numbering (0=Sunday..6=Saturday).
 

@@ -182,22 +182,28 @@ _MINHASH_INIT = 1 << 62  # sentinel > any 60-bit hash
 def minhash_struct(text: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
     """MinHash signature as ONE struct column (fields mh0..mh{k-1}).
 
-    Per shingle, all ``num_hashes`` seeded hashes are computed in a single
-    ``transform`` (one struct per shingle), then one ``aggregate`` folds the
-    element-wise minima. Documents with no shingles keep the sentinel init —
-    callers filter on ``size(word_shingles(...)) > 0`` or on mh0 sentinel.
+    Two-stage: (1) transform shingles → base 60-bit hashes (ONE md5 per
+    shingle — the lambda variable keeps it from being recomputed per family
+    member), (2) transform bases → per-seed hashes via the Carter-Wegman
+    multiply-mod-(2^61-1) family (pure int64 bit ops, ~k× cheaper than one
+    md5 per member), then one ``aggregate`` folds element-wise minima.
+    Documents with no shingles keep the sentinel init — callers filter on
+    ``size(word_shingles(...)) > 0`` or on the mh0 sentinel.
     """
+    from ecommerce_analytics_platform_spark.functions.compat import (
+        minhash_seeds,
+        multmod61,
+    )
+
     sh = word_shingles(text, shingle_n)
-
-    def hash_all(s: Column) -> Column:
-        return F.struct(
-            *[
-                portable_hash60(F.concat(F.lit(f"{i}:"), s)).alias(f"h{i}")
-                for i in range(num_hashes)
-            ]
-        )
-
-    hashed = F.transform(sh, hash_all)
+    seeds = minhash_seeds(num_hashes)
+    bases = F.transform(sh, lambda s: portable_hash60(s))
+    hashed = F.transform(
+        bases,
+        lambda h: F.struct(
+            *[multmod61(h, a, b).alias(f"h{i}") for i, (a, b) in enumerate(seeds)]
+        ),
+    )
     init = F.struct(
         *[F.lit(_MINHASH_INIT).cast("long").alias(f"mh{i}") for i in range(num_hashes)]
     )

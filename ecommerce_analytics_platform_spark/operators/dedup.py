@@ -114,12 +114,20 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     # materialize the signature struct ONCE per row (Generate barrier), then
-    # band/bucket projections are cheap field reads
-    sig_df = with_materialized(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col)),
-        minhash_struct(F.col(text_col), num_hashes, shingle_n),
-        "sig",
-    ).filter(F.col("sig")[f"mh0"] != F.lit(_MINHASH_INIT))
+    # band/bucket projections are cheap field reads. persist() because the
+    # LSH self-join reads the signatures from BOTH sides — without it the
+    # whole shingle+hash pipeline runs twice (measured 2x). At 100 TB this
+    # persist becomes an intermediate table / DISK_ONLY checkpoint.
+    sig_df = (
+        with_materialized(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col)),
+            minhash_struct(F.col(text_col), num_hashes, shingle_n),
+            "sig",
+        )
+        .filter(F.col("sig")["mh0"] != F.lit(_MINHASH_INIT))
+        .drop(text_col)
+        .persist()
+    )
 
     def band_struct(b: int) -> Column:
         cols = [F.col("sig")[f"mh{b * rows_per_band + j}"] for j in range(rows_per_band)]

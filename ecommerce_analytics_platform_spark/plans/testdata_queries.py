@@ -780,17 +780,26 @@ FROM documents
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (first 4 of the portable seeded-hash family) over
-    word 3-gram shingles — the building block of MinHash-LSH dedup."""
+    """MinHash signatures (4-member multmod61 family over one md5 per
+    shingle) — the building block of MinHash-LSH dedup. The signature
+    struct is materialized ONCE behind a Generate barrier; selecting the
+    per-column view would duplicate the whole fold per output column."""
+    from ecommerce_analytics_platform_spark.functions.text import (
+        _MINHASH_INIT,
+        minhash_struct,
+        with_materialized,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signature(F.col("text"), num_hashes=4, shingle_n=3)
-    return docs.select(
-        "doc_id", *[s.alias(f"mh{i}") for i, s in enumerate(sigs)]
-    ).filter(F.col("mh0").isNotNull())
+    base = with_materialized(
+        docs.select("doc_id", "text"),
+        minhash_struct(F.col("text"), num_hashes=4, shingle_n=3),
+        "sig",
+    ).filter(F.col("sig")["mh0"] != F.lit(_MINHASH_INIT))
+    return base.select("doc_id", *[F.col("sig")[f"mh{i}"].alias(f"mh{i}") for i in range(4)])
 
 
-def _minhash_sql(num_hashes: int = 4) -> str:
-    shingles = r"""
+_SHINGLES_SQL = r"""
         CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN CAST([] AS VARCHAR[])
              ELSE list_transform(
                  generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
@@ -799,16 +808,35 @@ def _minhash_sql(num_hashes: int = 4) -> str:
                       string_split_regex(trim(text), '\s+')[i+2])
         END
     """
-    mh_cols = ",\n       ".join(
-        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT)) AS mh{i}"
-        for i in range(num_hashes)
+
+
+def _mh_cols_sql(num_hashes: int) -> str:
+    """Per-seed minhash SQL over the ``bases`` array (one md5 per shingle,
+    multmod61 family per seed — the exact twin of text.minhash_struct)."""
+    from ecommerce_analytics_platform_spark.functions.compat import (
+        minhash_seeds,
+        multmod61_sql,
     )
+
+    seeds = minhash_seeds(num_hashes)
+    return ",\n       ".join(
+        f"list_min(list_transform(bases, h -> {multmod61_sql('h', a, b)})) AS mh{i}"
+        for i, (a, b) in enumerate(seeds)
+    )
+
+
+_BASES_SQL = "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+
+
+def _minhash_sql(num_hashes: int = 4) -> str:
     return f"""
 WITH shingled AS (
-    SELECT doc_id, ({shingles}) AS sh FROM documents
+    SELECT doc_id, ({_SHINGLES_SQL}) AS sh FROM documents
+), based AS (
+    SELECT doc_id, {_BASES_SQL} AS bases FROM shingled WHERE len(sh) > 0
 )
-SELECT doc_id, {mh_cols}
-FROM shingled WHERE len(sh) > 0
+SELECT doc_id, {_mh_cols_sql(num_hashes)}
+FROM based
 """
 
 
@@ -842,22 +870,9 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
 
 
-def _neardup_sql(num_hashes: int = 16, bands: int = 4) -> str:
+def _band_rows_sql(num_hashes: int, bands: int) -> str:
     rows = num_hashes // bands
-    mh_exprs = ",\n       ".join(
-        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT)) AS mh{i}"
-        for i in range(num_hashes)
-    )
-    shingles = r"""
-        CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN CAST([] AS VARCHAR[])
-             ELSE list_transform(
-                 generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
-                 i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
-                      string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
-                      string_split_regex(trim(text), '\s+')[i+2])
-        END
-    """
-    band_rows = " UNION ALL ".join(
+    return " UNION ALL ".join(
         "SELECT {b} AS band, ('0x' || substr(md5({concat}), 1, 15))::BIGINT AS bucket, doc_id FROM sigs".format(
             b=b,
             concat=" || '_' || ".join(
@@ -866,12 +881,17 @@ def _neardup_sql(num_hashes: int = 16, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
+
+
+def _neardup_sql(num_hashes: int = 16, bands: int = 4) -> str:
     return f"""
 WITH shingled AS (
-    SELECT doc_id, ({shingles}) AS sh FROM documents
+    SELECT doc_id, ({_SHINGLES_SQL}) AS sh FROM documents
+), based AS (
+    SELECT doc_id, {_BASES_SQL} AS bases FROM shingled WHERE len(sh) > 0
 ), sigs AS (
-    SELECT doc_id, {mh_exprs} FROM shingled WHERE len(sh) > 0
-), buckets AS ({band_rows})
+    SELECT doc_id, {_mh_cols_sql(num_hashes)} FROM based
+), buckets AS ({_band_rows_sql(num_hashes, bands)})
 SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_bands
 FROM buckets l JOIN buckets r
   ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
@@ -889,9 +909,14 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ecommerce_analytics_platform_spark.functions.text import word_shingles
 
-    sh = docs.select(
-        F.col("doc_id"), F.array_distinct(word_shingles(F.col("text"), 3)).alias("ds")
-    ).filter(F.size("ds") > 0)
+    # persist: the pair join reads the shingle sets from BOTH sides
+    sh = (
+        docs.select(
+            F.col("doc_id"), F.array_distinct(word_shingles(F.col("text"), 3)).alias("ds")
+        )
+        .filter(F.size("ds") > 0)
+        .persist()
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("ds").alias("ds_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("ds").alias("ds_b"))
     inter = F.size(F.array_intersect("ds_a", "ds_b"))
@@ -905,33 +930,14 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _neardup_verified_sql(num_hashes: int = 16, bands: int = 4) -> str:
-    rows = num_hashes // bands
-    mh_exprs = ",\n       ".join(
-        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT)) AS mh{i}"
-        for i in range(num_hashes)
-    )
-    shingles = r"""
-        CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN CAST([] AS VARCHAR[])
-             ELSE list_transform(
-                 generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
-                 i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
-                      string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
-                      string_split_regex(trim(text), '\s+')[i+2])
-        END
-    """
-    band_rows = " UNION ALL ".join(
-        "SELECT {b} AS band, ('0x' || substr(md5({concat}), 1, 15))::BIGINT AS bucket, doc_id FROM sigs".format(
-            b=b,
-            concat=" || '_' || ".join(f"CAST(mh{b * rows + j} AS VARCHAR)" for j in range(rows)),
-        )
-        for b in range(bands)
-    )
     return f"""
 WITH shingled AS (
-    SELECT doc_id, ({shingles}) AS sh FROM documents
+    SELECT doc_id, ({_SHINGLES_SQL}) AS sh FROM documents
+), based AS (
+    SELECT doc_id, sh, {_BASES_SQL} AS bases FROM shingled WHERE len(sh) > 0
 ), sigs AS (
-    SELECT doc_id, {mh_exprs} FROM shingled WHERE len(sh) > 0
-), buckets AS ({band_rows}),
+    SELECT doc_id, {_mh_cols_sql(num_hashes)} FROM based
+), buckets AS ({_band_rows_sql(num_hashes, bands)}),
 cand AS (
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
     FROM buckets l JOIN buckets r
