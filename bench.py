@@ -36,6 +36,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators that self-join persist their shared input; drop those
+        # caches between queries so later timings don't absorb GC pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
