@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis) for the arithmetic-heavy operators:
+one adversarial counterexample here would silently poison oracle parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.functions.compat import (
+    MERSENNE61,
+    multmod61,
+)
+
+# keep Spark round-trips batched: collect hypothesis examples, run one job
+settings.register_profile("spark", max_examples=15, deadline=None)
+settings.load_profile("spark")
+
+
+@given(
+    hs=st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1), min_size=1, max_size=50),
+    a=st.integers(min_value=1, max_value=(1 << 31) - 1),
+    b=st.integers(min_value=0, max_value=(1 << 60) - 1),
+)
+def test_multmod61_matches_bigint_truth(spark, hs, a, b):
+    df = spark.createDataFrame([(h,) for h in hs], ["h"])
+    got = [r["x"] for r in df.select(multmod61(F.col("h"), a, b).alias("x")).collect()]
+    expect = [(a * h + b) % MERSENNE61 for h in hs]
+    assert got == expect
+
+
+@given(
+    left_ts=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
+    right_ts=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30, unique=True),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    from ecommerce_analytics_platform_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=s), i) for i, s in enumerate(left_ts)],
+        ["k", "lts", "lid"],
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=s), float(s)) for s in right_ts],
+        ["k", "rts", "payload"],
+    )
+    out = asof_join(left, right, "k", "lts", "rts", ["payload"])
+    got = {r["lid"]: r["payload"] for r in out.collect()}
+
+    lp = pd.DataFrame({"lts": [pd.Timestamp(t0 + dt.timedelta(seconds=s)) for s in left_ts],
+                       "lid": list(range(len(left_ts)))}).sort_values("lts")
+    rp = pd.DataFrame({"rts": [pd.Timestamp(t0 + dt.timedelta(seconds=s)) for s in right_ts],
+                       "payload": [float(s) for s in right_ts]}).sort_values("rts")
+    merged = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", direction="backward")
+    expect = {
+        int(r.lid): (None if pd.isna(r.payload) else r.payload)
+        for r in merged.itertuples()
+    }
+    assert got == expect
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=4000), min_size=1, max_size=25),
+)
+def test_sessionize_counts_match_naive(spark, gaps):
+    from ecommerce_analytics_platform_spark.operators.sessionize import sessionize_by_gap
+
+    t0 = dt.datetime(2026, 1, 1)
+    ts, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts.append(t0 + dt.timedelta(seconds=acc))
+    df = spark.createDataFrame([(1, t, i) for i, t in enumerate(ts)], ["user_id", "ts", "event_id"])
+    out = sessionize_by_gap(df, "user_id", "ts", 1800, order_tiebreak="event_id")
+    got = out.agg(F.max("session_seq")).collect()[0][0]
+    naive = 1 + sum(1 for g in gaps[1:] if g > 1800)
+    assert got == naive
