@@ -129,6 +129,101 @@ def cosine_topk_blas(
     return prepared.mapInPandas(score, "qid long, cid long, cosine double, rank int")
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    Train: deterministic k-means on a seeded driver-side sample (centroid
+    count × dim floats — tiny). Index: every corpus vector assigned to its
+    nearest centroid (one BLAS pass, broadcast centroids). Search: each
+    query scores only the vectors in its ``n_probe`` nearest lists, then
+    exact cosine re-rank with the same (cosine DESC, id ASC) contract as
+    the exact path.
+
+    Scale shape: the corpus partition-by-list IS the IVF index — at
+    billions of vectors, persist ``assigned`` partitioned by ``list_id``
+    and the probe join partition-prunes. Recall tuning = n_probe/n_lists.
+    """
+    import numpy as np
+
+    spark = queries.sparkSession
+
+    # --- train: seeded sample → lloyd iterations on the driver
+    sample = np.array(
+        [list(r[0]) for r in corpus.select(vec_col).orderBy(F.col(corpus_id)).limit(max(n_lists * 32, 512)).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), n_lists, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_lists):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / np.linalg.norm(v)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign_lists(n_lists_probe: int):
+        import pandas as pd
+
+        def fn(batches):
+            C = bc.value
+            for pdf in batches:
+                V = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
+                V /= np.linalg.norm(V, axis=1, keepdims=True)
+                S = V @ C.T
+                top = np.argsort(-S, axis=1)[:, :n_lists_probe]
+                out_id, out_list, out_vec = [], [], []
+                for i, vid in enumerate(pdf["__id"]):
+                    for c in top[i]:
+                        out_id.append(vid)
+                        out_list.append(int(c))
+                        out_vec.append(V[i].tolist())
+                yield pd.DataFrame({"__id": out_id, "list_id": out_list, "__nvec": out_vec})
+
+        return fn
+
+    assigned = (
+        corpus.select(F.col(corpus_id).alias("__id"), F.col(vec_col).alias("__vec"))
+        .mapInPandas(assign_lists(1), "__id long, list_id int, __nvec array<double>")
+        .withColumnsRenamed({"__id": "cid", "__nvec": "cvec"})
+    )
+    probes = (
+        queries.select(F.col(query_id).alias("__id"), F.col(vec_col).alias("__vec"))
+        .mapInPandas(assign_lists(n_probe), "__id long, list_id int, __nvec array<double>")
+        .withColumnsRenamed({"__id": "qid", "__nvec": "qvec"})
+    )
+    scored = (
+        probes.join(assigned, "list_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(_dot(F.col("qvec"), F.col("cvec")), round_digits).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.groupBy("qid", "cid").agg(F.max("cosine").alias("cosine"))  # dedupe multi-probe hits
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -1349,6 +1349,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, emb, "vec_id", "vec_id", "embedding", k=3, n_planes=6)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-3 — the second canonical ANN
+    scale path beside LSH bucketing: deterministic k-means coarse
+    quantizer, n_probe-list search, exact re-rank. Rows-only (float
+    k-means boundaries aren't cross-engine robust); recall vs the exact
+    path asserted in tests/test_similarity.py."""
+    from ecommerce_analytics_platform_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb, "vec_id", "vec_id", "embedding", k=3, n_lists=16, n_probe=4)
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics: vector count, mean L2 norm — array
     higher-order aggregation (F.aggregate) feeding a groupBy."""
@@ -1413,6 +1425,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # rows-only: LSH bucket membership isn't cross-engine robust at float
     # sign boundaries; recall asserted vs the exact path in tests
     "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "time_bucket_rollup": (q_time_bucket_rollup, SQL_TIME_BUCKET_ROLLUP),

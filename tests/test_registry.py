@@ -21,9 +21,9 @@ def test_oracle_keys_subset():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    # rows-only: deterministic-fake multimodal kernels + float-sign-
-    # boundary-sensitive LSH bucketing (recall asserted in test_similarity)
-    assert set(q) - set(o) == {"image_features", "audio_features", "ann_lsh"}
+    # rows-only: deterministic-fake multimodal kernels + float-boundary-
+    # sensitive ANN bucketing (recall asserted in test_similarity)
+    assert set(q) - set(o) == {"image_features", "audio_features", "ann_lsh", "ann_ivf"}
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)

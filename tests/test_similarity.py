@@ -8,6 +8,7 @@ import pytest
 from ecommerce_analytics_platform_spark.operators.similarity import (
     cosine_topk_blas,
     cosine_topk_bruteforce,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 
@@ -43,6 +44,26 @@ def test_topk_contract(spark, emb):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         cos = [r["cosine"] for r in rows]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_ivf_recall_and_contract(spark, emb):
+    """IVF top-1 must (a) respect the exact path's upper bound and (b)
+    recover a solid fraction of true nearest neighbors with n_probe=8 of
+    16 lists on 200 vectors."""
+    small = emb.limit(200).cache()
+    exact = {r["qid"]: r["cid"] for r in
+             cosine_topk_bruteforce(small, small, "vec_id", "vec_id", "embedding", k=1).collect()}
+    approx = {r["qid"]: r["cid"] for r in
+              ivf_topk(small, small, "vec_id", "vec_id", "embedding", k=1,
+                       n_lists=16, n_probe=8).collect()}
+    assert len(approx) == len(exact)
+    recall = sum(approx[q] == c for q, c in exact.items()) / len(exact)
+    assert recall >= 0.5, recall
+    # determinism: same seed -> identical result
+    again = {r["qid"]: r["cid"] for r in
+             ivf_topk(small, small, "vec_id", "vec_id", "embedding", k=1,
+                      n_lists=16, n_probe=8).collect()}
+    assert approx == again
 
 
 def test_lsh_bucketed_is_subset_quality(spark, emb):
