@@ -1085,6 +1085,102 @@ SELECT DISTINCT user_id, 'purchase_not_click' AS op FROM (
 """
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having at least one urgent order
+    — the membership-test join family beside the anti join (P7/J10)."""
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of mktsegment × orderpriority
+    subtotals) — completes the grouping-set family beside ROLLUP."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    base = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "c_mktsegment", "o_orderpriority", "o_totalprice"
+    )
+    return base.cube("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        _dec_sum("o_totalprice", 2).alias("revenue"),
+    )
+
+
+SQL_SALES_CUBE = f"""
+SELECT c_mktsegment, o_orderpriority,
+       count(*) AS order_count,
+       {_dec_sum_sql('o_totalprice', 2)} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+"""
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-day event counts as one column per event
+    type. Explicit value list so the plan is single-pass (no distinct scan)
+    — the scalable form of pivot."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "login", "logout", "purchase", "view"]
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("event_date"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select("event_date", *[F.col(t).cast("long").alias(f"n_{t}") for t in types])
+    )
+
+
+SQL_EVENT_PIVOT = """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS BIGINT) AS n_login,
+       CAST(sum(CASE WHEN event_type = 'logout' THEN 1 ELSE 0 END) AS BIGINT) AS n_logout,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching: supplier-name pairs within edit distance 2, blocked
+    by nation (the blocking keeps the candidate join linear-ish — the same
+    discipline as LSH for text). levenshtein is identical cross-engine."""
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    a = sup.select(
+        F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("name_a"), "s_nationkey"
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("name_b"), "s_nationkey"
+    )
+    return (
+        a.join(b, "s_nationkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+SQL_FUZZY_PAIRS = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       levenshtein(a.s_name, b.s_name) AS edit_dist
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""
+
+
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (region → region+nation → grand total) —
     beyond the reference (SURVEY §2.5: "no grouping sets / cube / rollup
@@ -1115,6 +1211,21 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — HyperLogLog++ distinct counts and quantile
+    sketches per event type. THE scale path for distincts/percentiles at
+    100 TB (exact countDistinct pays an Expand + full shuffle; HLL is one
+    mergeable 1.5 KB sketch per group). Rows-only: sketch internals differ
+    across engines by design; error bounds vs exact are asserted in
+    tests/test_registry.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9], 10_000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
 
 def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1433,7 +1544,14 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "event_rank": (q_event_rank, SQL_EVENT_RANK),
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "sales_rollup": (q_sales_rollup, SQL_SALES_ROLLUP),
+    "sales_cube": (q_sales_cube, SQL_SALES_CUBE),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
+    "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
     "percentile_stats": (q_percentile_stats, SQL_PERCENTILE_STATS),
+    # rows-only: sketch internals are engine-specific by design; error
+    # bounds vs the exact aggregates are pytest-asserted
+    "approx_sketches": (q_approx_sketches, None),
     # rows-only (no SQL twin): deterministic-fake multimodal kernels
     "image_features": (q_image_features, None),
     "audio_features": (q_audio_features, None),

@@ -21,9 +21,39 @@ def test_oracle_keys_subset():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    # rows-only: deterministic-fake multimodal kernels + float-boundary-
-    # sensitive ANN bucketing (recall asserted in test_similarity)
-    assert set(q) - set(o) == {"image_features", "audio_features", "ann_lsh", "ann_ivf"}
+    # rows-only: deterministic-fake multimodal kernels, float-boundary-
+    # sensitive ANN bucketing (recall asserted in test_similarity), and
+    # engine-specific sketches (error bounds asserted below)
+    assert set(q) - set(o) == {
+        "image_features", "audio_features", "ann_lsh", "ann_ivf", "approx_sketches"
+    }
+
+
+def test_approx_sketches_error_bounds(spark):
+    """HLL distinct within 5% of exact; approx median within the value
+    range percentile neighborhood of the exact median."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_platform_spark.plans.testdata_queries import _t
+
+    approx = {
+        r["event_type"]: r
+        for r in entrymod.queries()["approx_sketches"](spark, SF_DIR).collect()
+    }
+    ev = _t(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap["approx_users"] - ex["users"]) <= max(0.05 * ex["users"], 2)
+        assert abs(ap["value_quantiles"][0] - ex["p50"]) <= 0.1 * max(abs(ex["p50"]), 1.0)
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
