@@ -23,8 +23,11 @@ and stream from object storage inside the kernel instead.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import TYPE_CHECKING
 
-import pandas as pd
+if TYPE_CHECKING:  # pandas stays a lazy (executor-side) dependency
+    import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -97,6 +100,8 @@ def decode_image_features(
     schema = "media_id long, width int, height int, mean_brightness double"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
         for pdf in batches:
             decoded = [_fake_decode_image(b or b"") for b in pdf[content_col]]
             yield pd.DataFrame(
@@ -167,6 +172,8 @@ def audio_features(
     schema = "media_id long, duration_sec double, energy double"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
         for pdf in batches:
             out_d, out_e = [], []
             for b in pdf[content_col]:

@@ -1,13 +1,38 @@
+from ecommerce_analytics_platform_spark.operators.asof import asof_join  # noqa: F401
+from ecommerce_analytics_platform_spark.operators.calendar import (  # noqa: F401
+    build_dim_date,
+    date_spine,
+)
 from ecommerce_analytics_platform_spark.operators.dedup import (  # noqa: F401
-    dedup_latest,
     dedup_exact,
+    dedup_latest,
+    dedup_latest_agg,
+    jaccard_ngram_pairs,
     minhash_lsh_pairs,
+)
+from ecommerce_analytics_platform_spark.operators.export import (  # noqa: F401
+    read_shards,
+    write_shards,
+)
+from ecommerce_analytics_platform_spark.operators.incremental import (  # noqa: F401
+    lookback_filter,
+    merge_delete_insert,
+)
+from ecommerce_analytics_platform_spark.operators.rangejoin import (  # noqa: F401
+    range_join_buckets,
 )
 from ecommerce_analytics_platform_spark.operators.sessionize import (  # noqa: F401
     rollup_sessions,
     sessionize_by_gap,
 )
-from ecommerce_analytics_platform_spark.operators.calendar import build_dim_date  # noqa: F401
 from ecommerce_analytics_platform_spark.operators.similarity import (  # noqa: F401
+    cosine_neardup_pairs,
+    cosine_topk_blas,
     cosine_topk_bruteforce,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+from ecommerce_analytics_platform_spark.operators.skew import (  # noqa: F401
+    salted_agg,
+    salted_join,
 )
