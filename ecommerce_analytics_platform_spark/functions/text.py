@@ -216,6 +216,72 @@ def minhash_struct(text: Column | str, num_hashes: int = 16, shingle_n: int = 3)
     )
 
 
+def minhash_table(
+    df,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+):
+    """MinHash signature table ``(__id, mh0..mh{k-1})`` — the fast path.
+
+    Stage 1 stays JVM-side and bit-identical to the DuckDB twin: shingle →
+    ``portable_hash60`` (one md5 per shingle). Stage 2 — the k-member
+    Carter-Wegman family + per-document min — runs vectorized in numpy via
+    ``mapInPandas``: one flat uint64 array of all bases per Arrow batch,
+    k vectorized multiply-mod-(2^61-1) passes, ``minimum.reduceat`` per
+    document segment. Replaces k interpreted ``transform`` folds (measured
+    ~0.7 s per hash over 5k docs at sf0.1 → ~0.1 s total for all 16).
+    Documents with zero shingles are dropped (callers treat them as
+    unsignable, same as the sentinel filter in :func:`minhash_struct`).
+    The arithmetic mirrors ``compat.multmod61`` exactly — uint64 never
+    overflows by the same derivation — so results stay bit-identical.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ecommerce_analytics_platform_spark.functions.compat import minhash_seeds
+
+    seeds = minhash_seeds(num_hashes)
+    based = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(word_shingles(F.col(text_col), shingle_n), portable_hash60).alias("__bases"),
+    ).filter(F.size("__bases") > 0)
+
+    P = np.uint64((1 << 61) - 1)
+    M30 = np.uint64((1 << 30) - 1)
+    M31 = np.uint64((1 << 31) - 1)
+    c30, c31, c61 = np.uint64(30), np.uint64(31), np.uint64(61)
+    out_cols = [f"mh{i}" for i in range(num_hashes)]
+
+    def fold(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"__id": pdf["__id"]}
+                    | {c: pd.Series([], dtype="int64") for c in out_cols}
+                )
+                continue
+            arrs = [np.asarray(v, dtype=np.uint64) for v in pdf["__bases"]]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            flat = np.concatenate(arrs)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            out = {"__id": pdf["__id"].to_numpy()}
+            hi, lo = flat >> c30, flat & M30
+            for i, (a, b) in enumerate(seeds):
+                ua = np.uint64(a)
+                u = ua * hi
+                tot = (u >> c31) + ((u & M31) << c30) + ua * lo + np.uint64(b)
+                r = (tot & P) + (tot >> c61)
+                r = np.where(r >= P, r - P, r)
+                out[out_cols[i]] = np.minimum.reduceat(r, starts).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    id_type = based.schema["__id"].dataType.simpleString()
+    schema = f"__id {id_type}, " + ", ".join(f"{c} long" for c in out_cols)
+    return based.mapInPandas(fold, schema)
+
+
 def minhash_signature(text: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> list[Column]:
     """Backwards-compatible per-column view of :func:`minhash_struct`.
     Null (not sentinel) when the document has no shingles."""

@@ -25,11 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_platform_spark.functions.compat import portable_hash60
-from ecommerce_analytics_platform_spark.functions.text import (
-    _MINHASH_INIT,
-    minhash_struct,
-    with_materialized,
-)
+from ecommerce_analytics_platform_spark.functions.text import minhash_table
 
 
 def dedup_latest(
@@ -113,24 +109,16 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    # materialize the signature struct ONCE per row (Generate barrier), then
-    # band/bucket projections are cheap field reads. persist() because the
-    # LSH self-join reads the signatures from BOTH sides — without it the
-    # whole shingle+hash pipeline runs twice (measured 2x). At 100 TB this
-    # persist becomes an intermediate table / DISK_ONLY checkpoint.
-    sig_df = (
-        with_materialized(
-            df.select(F.col(id_col).alias("__id"), F.col(text_col)),
-            minhash_struct(F.col(text_col), num_hashes, shingle_n),
-            "sig",
-        )
-        .filter(F.col("sig")["mh0"] != F.lit(_MINHASH_INIT))
-        .drop(text_col)
-        .persist()
-    )
+    # vectorized signature table (numpy Carter-Wegman family — one md5 per
+    # shingle JVM-side, k hashes + segment-min in one Arrow pass). persist()
+    # because the LSH self-join reads the signatures from BOTH sides —
+    # without it the whole shingle+hash pipeline runs twice (measured 2x).
+    # At 100 TB this persist becomes an intermediate table / DISK_ONLY
+    # checkpoint.
+    sig_df = minhash_table(df, id_col, text_col, num_hashes, shingle_n).persist()
 
     def band_struct(b: int) -> Column:
-        cols = [F.col("sig")[f"mh{b * rows_per_band + j}"] for j in range(rows_per_band)]
+        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
         bucket = portable_hash60(F.concat_ws("_", *[c.cast("string") for c in cols]))
         return F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
 

@@ -781,22 +781,15 @@ FROM documents
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4-member multmod61 family over one md5 per
-    shingle) — the building block of MinHash-LSH dedup. The signature
-    struct is materialized ONCE behind a Generate barrier; selecting the
-    per-column view would duplicate the whole fold per output column."""
-    from ecommerce_analytics_platform_spark.functions.text import (
-        _MINHASH_INIT,
-        minhash_struct,
-        with_materialized,
-    )
+    shingle) — the building block of MinHash-LSH dedup. Shingle bases are
+    md5-hashed JVM-side (bit-identical to the DuckDB twin); the hash family
+    + per-document min runs vectorized in numpy (text.minhash_table)."""
+    from ecommerce_analytics_platform_spark.functions.text import minhash_table
 
     docs = _t(spark, sf_dir, "documents")
-    base = with_materialized(
-        docs.select("doc_id", "text"),
-        minhash_struct(F.col("text"), num_hashes=4, shingle_n=3),
-        "sig",
-    ).filter(F.col("sig")["mh0"] != F.lit(_MINHASH_INIT))
-    return base.select("doc_id", *[F.col("sig")[f"mh{i}"].alias(f"mh{i}") for i in range(4)])
+    return minhash_table(docs, "doc_id", "text", num_hashes=4, shingle_n=3).withColumnRenamed(
+        "__id", "doc_id"
+    )
 
 
 _SHINGLES_SQL = r"""
