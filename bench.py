@@ -8,10 +8,10 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is fully materialized through the noop sink (count() would let
 Spark prune the computed columns; noop forces every column to be produced).
-Per query the reported time is the best of 2 back-to-back runs: single runs
-on a busy 32-thread JVM showed 10-40x outliers from GC pauses / Python
-worker spawn storms that reproduce on no re-run — min-of-2 measures the
-engine, not the scheduler's worst moment.
+Per query the reported time is the best of 3 back-to-back runs: single runs
+on a busy 32-thread JVM showed 10-40x outliers (GC pauses / VM steal /
+Python worker spawn storms) that do not reproduce on re-run — min-of-N
+measures the engine, not the scheduler's worst moment.
 """
 
 from __future__ import annotations
@@ -38,7 +38,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

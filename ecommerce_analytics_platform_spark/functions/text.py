@@ -241,10 +241,13 @@ def minhash_table(
     import pandas as pd
 
     from ecommerce_analytics_platform_spark.functions.compat import minhash_seeds
+    from ecommerce_analytics_platform_spark.session import fan_out
 
     seeds = minhash_seeds(num_hashes)
-    based = df.select(
-        F.col(id_col).alias("__id"),
+    # fan_out BEFORE the shingle+md5 projection: that projection is the
+    # CPU-heavy stage and must not run inside a single scan task
+    based = fan_out(df.select(F.col(id_col).alias("__id"), F.col(text_col))).select(
+        "__id",
         F.transform(word_shingles(F.col(text_col), shingle_n), portable_hash60).alias("__bases"),
     ).filter(F.size("__bases") > 0)
 

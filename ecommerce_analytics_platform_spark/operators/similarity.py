@@ -320,9 +320,15 @@ def lsh_bucketed_topk(
     """
     import random
 
+    from ecommerce_analytics_platform_spark.session import fan_out
+
     dim = len(corpus.select(vec_col).first()[0])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    # signature scoring (n_planes interpreted dot products per vector) is the
+    # CPU-heavy stage — spread it across cores before computing
+    queries = fan_out(queries.select(query_id, vec_col))
+    corpus = fan_out(corpus.select(corpus_id, vec_col))
 
     def signature(v: Column) -> Column:
         sig = F.lit(0).cast("long")

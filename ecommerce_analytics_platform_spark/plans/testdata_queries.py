@@ -39,6 +39,7 @@ from ecommerce_analytics_platform_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from ecommerce_analytics_platform_spark.operators.sessionize import sessionize_by_gap
+from ecommerce_analytics_platform_spark.session import fan_out
 from ecommerce_analytics_platform_spark.operators.similarity import (
     cosine_topk_blas,
     cosine_topk_bruteforce,
@@ -137,7 +138,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tax = F.col("l_tax").cast("decimal(6,4)")
     one = F.lit(1).cast("decimal(6,4)")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        fan_out(li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum("l_quantity", 2).alias("sum_qty"),
@@ -422,7 +423,7 @@ def q_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily product sales — reference
     marts/metrics/metrics_product_performance_daily.sql:5-47 (A9, J7/J8):
     lineitem ⨝ orders (date source) ⨝ part (dim), grouped by (brand, month)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = fan_out(_t(spark, sf_dir, "lineitem"))
     orders = _t(spark, sf_dir, "orders")
     part = _t(spark, sf_dir, "part")
     return (
@@ -623,7 +624,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # materialize the token array ONCE (Generate barrier), then every stat
     # is an independent vectorized pass — 4x over the struct-fold form
-    base = with_materialized(docs.select("doc_id", "text"), tokens(F.col("text")), "toks")
+    base = with_materialized(fan_out(docs.select("doc_id", "text")), tokens(F.col("text")), "toks")
     n_tokens = F.size("toks").cast("long")
     n_chars = F.length("text")
     punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?'\"()\[\]{}-]", ""))
@@ -660,7 +661,7 @@ FROM documents
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID via marker-word counts; deterministic argmax."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     scores = language_scores(F.col("text"))
     return docs.select(
         "doc_id",
@@ -724,7 +725,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-building pass of a training-data pipeline: explode lowercased
     tokens, aggregate term frequency + document frequency, keep terms in
     >= 5 documents, deterministic order columns. One shuffle on the term."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).select("doc_id", F.lower("tok").alias("term"))
@@ -835,7 +836,7 @@ FROM based
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over whitespace tokens (portable hash family)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", simhash64(F.col("text"), bits=16).alias("simhash")).filter(
         F.size(tokens(F.col("text"))) > 0
     )
@@ -1418,7 +1419,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit runs, and single punctuation marks (the GPT-2 pre-tokenizer
     shape), plus distinct-token counts — regexp_extract_all in both
     engines, fully vectorized."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.regexp_extract_all("text", F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
     base = docs.select("doc_id", toks.alias("bt"))
     return base.select(

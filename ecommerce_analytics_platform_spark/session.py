@@ -64,6 +64,26 @@ def get_spark(
     return spark
 
 
+def fan_out(df, min_rows: int = 0):
+    """Round-robin repartition to the session's parallelism — but ONLY when
+    the scan produced fewer tasks than cores.
+
+    Local testdata files are single-row-group parquet, so a scan is ONE
+    task and every pre-shuffle operator (shingling, md5, dot products,
+    partial aggregates) runs on one core of 32. On a real cluster the same
+    tables arrive as thousands of splits and this helper is a no-op — the
+    partition-count guard means no extra exchange is ever added where the
+    source already parallelizes. Use it in front of compute-heavy per-row
+    work, after pruning to the needed columns (the exchange then moves
+    only those).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the driver testdata parquet tables as a dict of DataFrames."""
     names = names or [

@@ -60,8 +60,10 @@ def test_whole_stage_codegen(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark WholeStageCodegen spans in the executed plan;
     # both the partial and final aggregate stages must be compiled
-    assert "*(1) HashAggregate" in executed
-    assert "*(2) HashAggregate" in executed
+    # (span indices shift with upstream exchanges — assert presence, not position)
+    import re
+
+    assert len(re.findall(r"\*\(\d+\) HashAggregate", executed)) >= 2
 
 
 def test_no_cartesian_products_anywhere(spark):
