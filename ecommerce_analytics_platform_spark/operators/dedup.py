@@ -188,3 +188,53 @@ def jaccard_ngram_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation: cluster id = smallest
+    node id reachable through the edge set. The canonical consumer is
+    near-dup clustering — LSH pairs in, one representative per duplicate
+    cluster out (keep ``node == component``, drop the rest).
+
+    Each round is one shuffle: join node labels to the (symmetrized) edge
+    list, take the min neighbor label, fold into the current label.
+    ``localCheckpoint`` truncates lineage so the plan does not grow with
+    iterations. Rounds needed = graph diameter, which for LSH near-dup
+    graphs is small (bands make clusters clique-like); for general graphs
+    with long chains, switch to large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) which converges in O(log^2 n) rounds — same per-round shuffle
+    structure, so the scale story is unchanged.
+
+    Output: ``(node, component)``, one row per distinct node in ``edges``.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
+    labels = e.select("u").distinct().withColumn("lbl", F.col("u")).localCheckpoint()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                e.join(labels.withColumnsRenamed({"u": "v", "lbl": "nlbl"}), "v")
+                .groupBy("u")
+                .agg(F.min("nlbl").alias("nbr_lbl"))
+            )
+            new_labels = labels.join(nbr, "u", "left").select(
+                "u", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl")
+            ).localCheckpoint()
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lbl", "old"), "u")
+                .filter(F.col("lbl") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        e.unpersist()
+    return labels.select(F.col("u").alias("node"), F.col("lbl").alias("component"))

@@ -1493,6 +1493,257 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs → connected components → one
+    cluster id (min reachable doc_id) per clustered document. The full
+    corpus-dedup composition: pick `doc_id == cluster_id` as the keeper,
+    drop the rest. Iterative min-label propagation (operators/dedup.py::
+    connected_components); oracle is a recursive CTE over the same pairs."""
+    from ecommerce_analytics_platform_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _neardup_clusters_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    return f"""
+WITH RECURSIVE shingled AS (
+    SELECT doc_id, ({_SHINGLES_SQL}) AS sh FROM documents
+), based AS (
+    SELECT doc_id, {_BASES_SQL} AS bases FROM shingled WHERE len(sh) > 0
+), sigs AS (
+    SELECT doc_id, {_mh_cols_sql(num_hashes)} FROM based
+), buckets AS ({_band_rows_sql(num_hashes, bands)}),
+pairs AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM buckets l JOIN buckets r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+), e AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM pairs
+), walk(u, lbl) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+    UNION
+    SELECT e.u, w.lbl FROM e JOIN walk w ON w.u = e.v
+)
+SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u
+"""
+
+
+def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (ORDER BY … LIMIT): top 100 customers by total order
+    value. Spark plans TakeOrderedAndProject — per-partition top-k then a
+    single k-row merge on the driver, never a global sort of all rows
+    (the scale-correct top-k; SURVEY §2.7 notes the reference has no
+    ORDER BY surface at all, so this extends it). Ties broken by custkey
+    for cross-engine determinism."""
+    orders = fan_out(_t(spark, sf_dir, "orders"))
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(_dec_sum("o_totalprice", 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"), "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(100)
+    )
+
+
+SQL_TOP_REVENUE_CUSTOMERS = f"""
+SELECT c_custkey AS custkey, c_name AS name,
+       {_dec_sum_sql('o_totalprice', 2)} AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, custkey ASC
+LIMIT 100
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass of a training-data pipeline:
+    replace email addresses and long digit runs with placeholder tokens,
+    report per-doc match counts. Pure vectorized regexp (Java regex and
+    RE2 agree on this subset); one scan, no shuffle."""
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    digits = r"[0-9]{7,}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), digits, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(digits)).cast("long").alias("n_long_nums"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '[0-9]{7,}')) AS n_long_nums,
+       regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '[0-9]{7,}', '<NUM>', 'g') AS scrubbed_text
+FROM documents
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document — the feature-extraction pass of a
+    text pipeline: one explode → (doc, term) counts, term document
+    frequencies, corpus size as a broadcast scalar, window top-k with a
+    deterministic (score DESC, term ASC) order. Two shuffles (term counts,
+    per-doc window); idf = ln((N+1)/(df+1)) rounded to 6dp for
+    cross-engine float parity."""
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).select(
+        "doc_id", F.lower("tok").alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SQL_TFIDF_TOPK = r"""
+WITH toks AS (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    FROM documents WHERE trim(text) <> ''
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+    SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+), scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln((n.n_docs + 1) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored) t
+WHERE rk <= 5
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep rates applied via
+    a content-stable hash of the doc id — same doc → same decision on any
+    cluster size (unlike sample()), and per-stratum rates without a
+    shuffle (the decision is a scan-local filter)."""
+    rates = {"src0": 50, "src1": 25}  # percent; all other sources 10%
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(portable_hash60(F.col("doc_id").cast("string")), F.lit(100))
+    rate = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(r)) for s, r in rates.items()], F.lit(10)
+    )
+    return docs.filter(bucket < rate).select("doc_id", "source", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source, lang
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < (CASE WHEN source = 'src0' THEN 50 WHEN source = 'src1' THEN 25 ELSE 10 END)
+"""
+
+
+def q_part_outlier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue per brand (TPC-H Q17 shape): lineitems
+    whose quantity is below 20% of their part's average. The correlated
+    scalar subquery decorrelates to a per-part aggregate + join; the
+    below-average predicate is expressed in exact integer/decimal cross
+    multiplication (5*qty*cnt < sum) so no float-boundary row can differ
+    between engines."""
+    li = fan_out(_t(spark, sf_dir, "lineitem"))
+    part = _t(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    return (
+        li.join(per_part, li.l_partkey == F.col("pk"))
+        .filter(qty * F.col("cnt") * F.lit(5) < F.col("sum_qty"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            _dec_sum("l_extendedprice", 2).alias("outlier_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_PART_OUTLIER_REVENUE = f"""
+WITH per_part AS (
+    SELECT l_partkey AS pk,
+           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+           count(*) AS cnt
+    FROM lineitem GROUP BY 1
+)
+SELECT p_brand AS brand,
+       {_dec_sum_sql('l_extendedprice', 2)} AS outlier_revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN per_part ON l_partkey = pk
+JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_quantity AS DECIMAL(18,4)) * cnt * 5 < sum_qty
+GROUP BY 1
+"""
+
+
+def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profiling of the orders table: row count, null
+    counts, exact distinct cardinalities, min/max — the schema-audit
+    operator of an ingest pipeline. One scan, one aggregate (the three
+    exact countDistincts share the Expand)."""
+    orders = fan_out(_t(spark, sf_dir, "orders"))
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("null_statuses"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        _dec_sum("o_totalprice", 2).alias("total_value"),
+    )
+
+
+SQL_PROFILE_SUMMARY = f"""
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_statuses,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order,
+       {_dec_sum_sql('o_totalprice', 2)} AS total_value
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1523,6 +1774,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "simhash": (q_simhash, _simhash_sql()),
     "neardup_pairs": (q_neardup_pairs, _neardup_sql()),
     "neardup_verified": (q_neardup_verified, _neardup_verified_sql()),
+    "neardup_clusters": (q_neardup_clusters, _neardup_clusters_sql()),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
@@ -1543,6 +1795,12 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
     "percentile_stats": (q_percentile_stats, SQL_PERCENTILE_STATS),
+    "top_revenue_customers": (q_top_revenue_customers, SQL_TOP_REVENUE_CUSTOMERS),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "part_outlier_revenue": (q_part_outlier_revenue, SQL_PART_OUTLIER_REVENUE),
+    "profile_summary": (q_profile_summary, SQL_PROFILE_SUMMARY),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),

@@ -84,3 +84,53 @@ def test_jaccard_pairs(spark):
     r = out[0]
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert 0.7 < r["jaccard"] <= 1.0
+
+
+def test_connected_components_chain_star_disjoint(spark):
+    from ecommerce_analytics_platform_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter > 1 forces multiple propagation rounds),
+    # star 10-{11,12,13}, disjoint pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    touched = {n for e in edges for n in e}
+    expected = {n: find(n) for n in touched}
+    # canonicalize: label = min node of the component
+    comp_min: dict[int, int] = {}
+    for n in touched:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in touched}
+
+    from ecommerce_analytics_platform_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(df, max_iter=40).collect()}
+    assert got == expected
