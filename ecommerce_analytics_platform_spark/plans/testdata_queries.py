@@ -1744,6 +1744,116 @@ FROM orders
 """
 
 
+def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window rollup (1 h windows every 15 min): each event lands in
+    exactly 4 overlapping windows — ``F.window(ts, "1 hour", "15 minutes")``,
+    the streaming sliding-agg primitive (SURVEY §2.8 table, 'tumbling/
+    sliding windows'). The oracle expands the same 4 windows per row with
+    an offset unnest. Spark executes this as one Expand (4 rows per input)
+    + one hash aggregate — no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            _dec_sum("value", 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "events", "total_value")
+    )
+
+
+SQL_SLIDING_WINDOW_ROLLUP = f"""
+WITH expanded AS (
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start,
+           value
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offs
+)
+SELECT window_start, count(*) AS events, {_dec_sum_sql('value', 2)} AS total_value
+FROM expanded GROUP BY 1
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training: split each document into 50-token
+    chunks with stride 40 (10-token overlap) — the context-window prep
+    pass of an LLM data pipeline. Pure JVM array ops: tokenize once,
+    ``sequence`` over chunk starts, ``slice`` + ``array_join`` per chunk,
+    one explode. No Python, no shuffle (chunking is scan-local)."""
+    chunk, stride = 50, 40
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("tk"), F.size(toks).alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.floor((F.col("n_tok") - 1) / F.lit(stride)).cast("int")),
+                    lambda i: F.struct(
+                        i.cast("long").alias("chunk_id"),
+                        F.slice(F.col("tk"), i * stride + 1, chunk).alias("ctoks"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.ctoks").cast("long").alias("n_tokens"),
+            F.array_join("c.ctoks", " ").alias("chunk_text"),
+        )
+    )
+
+
+SQL_DOC_CHUNKS = r"""
+WITH tokd AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(len(tk[i * 40 + 1 : i * 40 + 50]) AS BIGINT) AS n_tokens,
+       array_to_string(tk[i * 40 + 1 : i * 40 + 50], ' ') AS chunk_text
+FROM tokd CROSS JOIN (SELECT unnest(generate_series(0, 10000)) AS i) idx
+WHERE i <= (len(tk) - 1) // 40
+"""
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signal (Gopher-style): fraction
+    of duplicate word trigrams per document — high values flag boilerplate
+    / spam for corpus filtering. One pass: shingle (already materialized
+    arrays), distinct count vs total count, no shuffle."""
+    from ecommerce_analytics_platform_spark.functions.text import word_shingles
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    n = F.size("sh")
+    nd = F.size(F.array_distinct("sh"))
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_trigrams"),
+        nd.cast("long").alias("n_distinct"),
+        F.round((n - nd) / n, 6).alias("repetition_ratio"),
+    )
+
+
+SQL_REPETITION_RATIO = f"""
+WITH shingled AS (
+    SELECT doc_id, ({_SHINGLES_SQL}) AS sh FROM documents
+)
+SELECT doc_id,
+       CAST(len(sh) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+       round((len(sh) - len(list_distinct(sh))) / len(sh), 6) AS repetition_ratio
+FROM shingled WHERE len(sh) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1801,6 +1911,9 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "part_outlier_revenue": (q_part_outlier_revenue, SQL_PART_OUTLIER_REVENUE),
     "profile_summary": (q_profile_summary, SQL_PROFILE_SUMMARY),
+    "sliding_window_rollup": (q_sliding_window_rollup, SQL_SLIDING_WINDOW_ROLLUP),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
