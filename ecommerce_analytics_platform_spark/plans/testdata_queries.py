@@ -1854,6 +1854,165 @@ FROM shingled WHERE len(sh) > 0
 """
 
 
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window family: per-user inter-event gap seconds and the
+    next event type (completes §2.6 beyond the reference's row_number-only
+    surface). One shuffle on user_id; deterministic (ts, event_id) order."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            (F.col("ts").cast("double") - prev_ts.cast("double")).cast("long").alias("gap_seconds"),
+            F.lead("event_type").over(w).alias("next_event_type"),
+        )
+        .filter(F.col("gap_seconds").isNotNull())
+    )
+
+
+SQL_EVENT_GAPS = """
+SELECT user_id, event_id, event_type,
+       -- floor, not cast: DuckDB double->int casts ROUND while Spark's long
+       -- cast truncates; gaps are non-negative so floor == truncate
+       CAST(floor(epoch(ts) - epoch(lag(ts) OVER w)) AS BIGINT) AS gap_seconds,
+       lead(event_type) OVER w AS next_event_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY gap_seconds IS NOT NULL
+"""
+
+
+def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank: spend quartiles over customers (the cohort
+    bucketing primitive). Global window (single ordered partition) — at
+    scale, swap for approx quantile cutoffs + a scan-local bucket join;
+    kept exact here because the grouped input (one row per customer) is
+    small after aggregation."""
+    orders = fan_out(_t(spark, sf_dir, "orders"))
+    spend = orders.groupBy("o_custkey").agg(_dec_sum("o_totalprice", 2).alias("spend"))
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        "spend",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+SQL_CUSTOMER_QUARTILES = f"""
+WITH spend AS (
+    SELECT o_custkey AS custkey, {_dec_sum_sql('o_totalprice', 2)} AS spend
+    FROM orders GROUP BY 1
+)
+SELECT custkey, spend,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM spend
+WINDOW w AS (ORDER BY spend DESC, custkey ASC)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — the third member of the
+    grouping-set family beside ROLLUP/CUBE: exactly (status, priority),
+    (status), () subtotals, with gid disambiguating NULL-as-subtotal from
+    NULL data."""
+    orders = fan_out(_t(spark, sf_dir, "orders"))
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(grouping_id(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-quality GATE: keep documents passing ALL of
+    (token count in range, repetition below cap, stopword floor —
+    C4/Gopher-style rules), emit the keep decision and first failing
+    reason per doc. One scan; every signal is a JVM expression over the
+    same materialized token array."""
+    from ecommerce_analytics_platform_spark.functions.text import (
+        _EN_STOPWORDS,
+        word_shingles,
+        with_materialized,
+    )
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = with_materialized(docs, tokens(F.col("text")), "toks")
+    n_tok = F.size("toks")
+    sh = word_shingles(F.col("text"), 3)
+    rep = (F.size(sh) - F.size(F.array_distinct(sh))) / F.greatest(F.size(sh), F.lit(1))
+    stop_ratio = F.size(F.filter("toks", lambda w: F.lower(w).isin(*_EN_STOPWORDS))) / F.greatest(
+        n_tok, F.lit(1)
+    )
+    reason = (
+        F.when(n_tok < 10, F.lit("too_short"))
+        .when(n_tok > 5000, F.lit("too_long"))
+        .when(rep > 0.3, F.lit("repetitive"))
+        .when(stop_ratio < 0.01, F.lit("low_stopword"))
+        .otherwise(F.lit("pass"))
+    )
+    return base.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(rep, 6).alias("repetition"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        reason.alias("verdict"),
+        (reason == "pass").alias("keep"),
+    )
+
+
+def _quality_filter_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in ["the", "and", "of", "to", "is"])
+    return rf"""
+WITH tokd AS (
+    SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END AS toks,
+           ({_SHINGLES_SQL}) AS sh
+    FROM documents
+), scored AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round((len(sh) - len(list_distinct(sh))) / greatest(len(sh), 1), 6) AS repetition,
+           round(len(list_filter(toks, w -> lower(w) IN ({stop_list})))
+                 / greatest(len(toks), 1), 6) AS stopword_ratio
+    FROM tokd
+)
+SELECT doc_id, n_tokens, repetition, stopword_ratio,
+       CASE WHEN n_tokens < 10 THEN 'too_short'
+            WHEN n_tokens > 5000 THEN 'too_long'
+            WHEN repetition > 0.3 THEN 'repetitive'
+            WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+            ELSE 'pass' END AS verdict,
+       (CASE WHEN n_tokens < 10 THEN 'too_short'
+             WHEN n_tokens > 5000 THEN 'too_long'
+             WHEN repetition > 0.3 THEN 'repetitive'
+             WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+             ELSE 'pass' END) = 'pass' AS keep
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1914,6 +2073,10 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "sliding_window_rollup": (q_sliding_window_rollup, SQL_SLIDING_WINDOW_ROLLUP),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
+    "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
+    "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "quality_filter": (q_quality_filter, _quality_filter_sql()),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
