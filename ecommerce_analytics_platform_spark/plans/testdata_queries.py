@@ -2013,6 +2013,52 @@ FROM scored
 """
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based sessionization: ``F.session_window(ts, '30 minutes')``
+    — the same operator Structured Streaming uses for streaming session
+    aggregation (stateful merge of overlapping windows), run in batch and
+    proved against the classic lag/cumsum SQL reconstruction. Spark starts
+    a new session when the gap is >= the duration, hence ``>=`` in the
+    oracle's new-session mark. One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum("value", 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "session_end",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOWS = f"""
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       {_dec_sum_sql('value', 2)} AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2077,6 +2123,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "customer_quartiles": (q_customer_quartiles, SQL_CUSTOMER_QUARTILES),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "quality_filter": (q_quality_filter, _quality_filter_sql()),
+    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
