@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Scale probe: time key operators at 1x and 8x sf0.1 volume.
+
+Amplification happens in memory (explode over 8 replicas with remapped keys
+and lightly perturbed content) so the probe needs no extra testdata on disk.
+A healthy operator scales ~linearly or better (fixed overhead amortizes);
+anything super-linear flags a plan that would not survive a 100x scale-up.
+Results are recorded in PERF.md.
+
+Usage: python scripts/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.plans.testdata_queries import _t
+from ecommerce_analytics_platform_spark.session import fan_out, get_spark
+
+COPIES = 8
+
+
+def amplify(df: DataFrame, key_cols: list[str], text_col: str | None = None) -> DataFrame:
+    """Union COPIES replicas: integer keys shifted per replica, string keys
+    suffixed, text perturbed with a replica token (so near-dup structure is
+    preserved instead of collapsing into exact duplicates)."""
+    rep = df.select("*", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("__r"))
+    for k in key_cols:
+        dt = dict(df.dtypes)[k]
+        if dt in ("bigint", "int"):
+            rep = rep.withColumn(k, F.col(k) + F.col("__r") * F.lit(100_000_000))
+        else:
+            rep = rep.withColumn(k, F.concat_ws("_", F.col(k), F.col("__r")))
+    if text_col:
+        rep = rep.withColumn(
+            text_col, F.concat_ws(" ", F.col(text_col), F.concat(F.lit("rep"), F.col("__r")))
+        )
+    return rep.drop("__r")
+
+
+def timed(name: str, build) -> float:
+    """Time build + full materialization: iterative operators (connected
+    components) run actions during construction, so the builder must run
+    inside the clock."""
+    t0 = time.perf_counter()
+    build().write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    return dt
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def probes(ev, dc, em):
+        from ecommerce_analytics_platform_spark.operators.dedup import (
+            connected_components,
+            minhash_lsh_pairs,
+        )
+        from ecommerce_analytics_platform_spark.operators.sessionize import sessionize_by_gap
+        from ecommerce_analytics_platform_spark.operators.similarity import ivf_topk
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+        yield "hash_agg_daily", lambda: ev.groupBy(F.col("ts").cast("date")).agg(
+            F.count(F.lit(1)), F.countDistinct("user_id"), F.sum("value")
+        )
+        yield "window_dedup", lambda: ev.withColumn("rn", F.row_number().over(w)).filter(
+            "rn = 1"
+        )
+        yield "gap_sessionize", lambda: sessionize_by_gap(ev, "user_id", "ts", gap_seconds=1800)
+        yield "session_window", lambda: ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        ).agg(F.count(F.lit(1)))
+        yield "minhash_lsh_pairs", lambda: minhash_lsh_pairs(dc, "doc_id", "text", 16, 4)
+        yield "neardup_components", lambda: connected_components(
+            minhash_lsh_pairs(dc, "doc_id", "text", 16, 4), "id_a", "id_b"
+        )
+        yield "ivf_topk", lambda: ivf_topk(em, em, "vec_id", "vec_id", "embedding", k=3)
+
+    results: dict[str, list[float]] = {}
+    for scale, (ev, dc, em) in {
+        1: (events, docs, emb),
+        COPIES: (
+            amplify(events, ["event_id", "user_id"]),
+            amplify(docs, ["doc_id"], "text"),
+            amplify(emb, ["vec_id"]),
+        ),
+    }.items():
+        ev, dc, em = fan_out(ev), fan_out(dc), fan_out(em)
+        for name, build in probes(ev, dc, em):
+            best = min(timed(name, build) for _ in range(2))
+            results.setdefault(name, []).append(best)
+            print(f"{scale}x {name}: {best:.2f}s", flush=True)
+            spark.catalog.clearCache()
+
+    print(f"\n| operator | 1x | {COPIES}x | ratio |")
+    print("| --- | --- | --- | --- |")
+    for name, (t1, t8) in results.items():
+        print(f"| {name} | {t1:.2f} s | {t8:.2f} s | {t8 / t1:.1f}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

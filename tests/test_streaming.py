@@ -66,3 +66,48 @@ def test_streaming_sessions_with_watermark(spark, stream_lake, tmp_path):
     distinct_events = raw.filter(F.col("event_time").isNotNull()).select("event_id").distinct().count()
     total_counted = out.agg(F.sum("event_count")).collect()[0][0]
     assert total_counted == distinct_events
+
+
+def test_streaming_session_window_matches_batch(spark, stream_lake, tmp_path):
+    """Native session_window as a STREAMING stateful aggregation (the
+    merging-session-state operator), availableNow into a memory sink,
+    must equal the identical batch session_window aggregation over the
+    same files."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_platform_spark.streaming.ingest import read_clickstream_stream
+    from ecommerce_analytics_platform_spark.sources.ndjson import read_clickstream_raw
+
+    raw = str(stream_lake / "raw")
+
+    def sessionized(df):
+        typed = df.withColumn("event_ts", F.try_to_timestamp("event_time")).filter(
+            F.col("event_ts").isNotNull()
+        )
+        return (
+            typed.withWatermark("event_ts", "1 day")
+            .groupBy("user_id", F.session_window("event_ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("start"), "n_events")
+        )
+
+    q = (
+        sessionized(read_clickstream_stream(spark, raw))
+        .writeStream.format("memory")
+        .queryName("t_sess_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM t_sess_win").collect()
+    }
+    batch = read_clickstream_raw(spark, raw)
+    expected = {
+        (r["user_id"], r["start"], r["n_events"])
+        for r in sessionized(batch).collect()
+    }
+    assert got == expected and len(got) > 0
