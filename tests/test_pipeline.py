@@ -120,3 +120,26 @@ def test_order_totals_match_items(spark, data_lake):
         F.abs(F.col("order_total_amount") - F.col("from_items")) > 1e-9
     ).count()
     assert bad == 0
+
+
+def test_corrupt_ndjson_lines_do_not_poison_ingest(spark, tmp_path):
+    """Malformed JSON lines (truncated, non-JSON garbage) must not fail the
+    schema-enforced read: Spark's default PERMISSIVE mode yields all-null
+    rows for unparseable lines, which the event_id-not-null gate then
+    drops — the file-level analog of TRY_CAST row semantics."""
+    from ecommerce_analytics_platform_spark.sources.ndjson import read_clickstream_raw
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"event_id": "e1", "event_type": "view_product", "user_id": "u1", '
+        '"session_id": "s1", "event_time": "2024-01-01T10:00:00", "version": "v1"}\n'
+        "this is not json at all\n"
+        '{"event_id": "e2", "truncated": \n'
+        '{"event_id": "e3", "event_type": "purchase", "user_id": "u2", '
+        '"session_id": "s2", "event_time": "2024-01-01T11:00:00", "version": "v1"}\n'
+    )
+    df = read_clickstream_raw(spark, str(p))
+    ok = df.filter(F.col("event_id").isNotNull())
+    assert df.count() == 4                      # no rows error out the job
+    # the garbage line AND the truncated e2 line parse to all-null rows
+    assert {r["event_id"] for r in ok.collect()} == {"e1", "e3"}

@@ -79,3 +79,41 @@ def test_sessionize_counts_match_naive(spark, gaps):
     got = out.agg(F.max("session_seq")).collect()[0][0]
     naive = 1 + sum(1 for g in gaps[1:] if g > 1800)
     assert got == naive
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"),  # tiny alphabet → shingle collisions
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_minhash_table_matches_struct_fold(spark, texts):
+    """The vectorized numpy fast path (text.minhash_table) must produce
+    bit-identical signatures to the original JVM struct-fold
+    (text.minhash_struct) on arbitrary text, including empty/short docs
+    (both paths drop docs with no shingles)."""
+    from ecommerce_analytics_platform_spark.functions.text import (
+        _MINHASH_INIT,
+        minhash_struct,
+        minhash_table,
+        with_materialized,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    fast = {
+        r["__id"]: tuple(r[f"mh{i}"] for i in range(4))
+        for r in minhash_table(df, "doc_id", "text", num_hashes=4, shingle_n=3).collect()
+    }
+    slow_df = with_materialized(
+        df.select("doc_id", "text"), minhash_struct(F.col("text"), 4, 3), "sig"
+    ).filter(F.col("sig")["mh0"] != F.lit(_MINHASH_INIT))
+    slow = {
+        r["doc_id"]: tuple(r["sig"][f"mh{i}"] for i in range(4))
+        for r in slow_df.collect()
+    }
+    assert fast == slow
