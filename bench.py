@@ -8,10 +8,12 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is fully materialized through the noop sink (count() would let
 Spark prune the computed columns; noop forces every column to be produced).
-Per query the reported time is the best of 3 back-to-back runs: single runs
-on a busy 32-thread JVM showed 10-40x outliers (GC pauses / VM steal /
-Python worker spawn storms) that do not reproduce on re-run — min-of-N
-measures the engine, not the scheduler's worst moment.
+Per query: two runs always (the first pays plan compilation + scan warmup,
+so singles overstate steady state by ~2x), plus a third only if the best
+is still above an outlier threshold. Single runs on a busy 32-thread JVM
+showed 10-40x outliers (GC pauses / VM steal / Python worker spawn storms)
+that do not reproduce on re-run — min-over-runs measures the engine, not
+the scheduler's worst moment, with bounded total wall time.
 """
 
 from __future__ import annotations
@@ -35,16 +37,19 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query timings measure the query
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
 
+    outlier_sec = 2.0
     timings: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():
         best = float("inf")
-        for _ in range(3):
+        for attempt in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             # operators that self-join persist their shared input; drop those
             # caches between queries so later timings don't absorb GC pressure
             spark.catalog.clearCache()
+            if attempt >= 1 and best <= outlier_sec:
+                break
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

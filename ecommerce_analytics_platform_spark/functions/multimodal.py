@@ -146,20 +146,49 @@ def sample_video_frames(
     every_n_seconds: float = 1.0,
     id_col: str = "media_id",
     content_col: str = "content",
+    kernel: str = "stub",
 ) -> DataFrame:
-    """Video → frame rows plumbing (one output row per sampled frame) —
-    kernel stubbed (needs ffmpeg/av). Output grain: (media_id, frame_idx,
-    frame_ts_sec, content)."""
-    schema = "media_id long, frame_idx int, frame_ts_sec double, content binary"
+    """Video → frame rows plumbing (one output row per sampled frame).
+    Output grain: (media_id, frame_idx, frame_ts_sec, content).
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ``kernel="stub"`` raises NotImplementedError from the executor (real
+    decode needs ffmpeg/av, absent here) — the returned DataFrame's
+    schema/partitioning is still real for plan inspection.
+    ``kernel="fake"`` is a deterministic stand-in (duration inferred from
+    byte length at a nominal bitrate; frame bytes = a slice at the frame
+    offset) so the full explode-shaped pipeline executes and is testable:
+    one input row fans out to a variable number of frame rows, exactly the
+    batch shape a real av kernel produces."""
+    schema = "media_id long, frame_idx int, frame_ts_sec double, content binary"
+    nominal_bytes_per_sec = 256.0
+
+    def stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(
             "frame sampling requires av/ffmpeg; real kernel: "
             "av.open(bytes) -> decode -> sample every_n_seconds"
         )
         yield  # pragma: no cover
 
-    return df.select(id_col, content_col).mapInPandas(kernel, schema)
+    def fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ts_sec": [], "content": []}
+            for mid, b in zip(pdf[id_col], pdf[content_col]):
+                b = b or b""
+                duration = len(b) / nominal_bytes_per_sec
+                n_frames = max(int(duration / every_n_seconds), 1)
+                for i in range(n_frames):
+                    ts = i * every_n_seconds
+                    off = int(ts * nominal_bytes_per_sec)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_sec"].append(round(ts, 6))
+                    out["content"].append(b[off : off + 64])
+            yield pd.DataFrame(out)
+
+    fn = {"stub": stub, "fake": fake}[kernel]
+    return df.select(id_col, content_col).mapInPandas(fn, schema)
 
 
 def audio_features(

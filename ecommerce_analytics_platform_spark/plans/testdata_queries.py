@@ -1350,6 +1350,23 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media)
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (deterministic fake kernel — real decode needs
+    av/ffmpeg): one input blob fans out to N frame rows, the explode-shaped
+    mapInPandas pattern of a real media pipeline. Frame bytes dropped from
+    the output here (count/sizes only) to keep the driver compare light."""
+    from ecommerce_analytics_platform_spark.functions.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    frames = sample_video_frames(media, every_n_seconds=1.0, kernel="fake")
+    return frames.select(
+        "media_id", "frame_idx", "frame_ts_sec", F.length("content").alias("frame_bytes")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (extension surface)
 # ---------------------------------------------------------------------------
@@ -2130,4 +2147,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # rows-only (no SQL twin): deterministic-fake multimodal kernels
     "image_features": (q_image_features, None),
     "audio_features": (q_audio_features, None),
+    "video_frames": (q_video_frames, None),
 }

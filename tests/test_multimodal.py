@@ -71,3 +71,23 @@ def test_blob_dropped_before_shuffle(media):
     assert "content" not in out.columns
     agg = out.groupBy().agg(F.avg("mean_brightness")).collect()
     assert agg[0][0] is not None
+
+
+def test_video_frame_sampling_fake_kernel(spark):
+    """Fake frame kernel: one blob → N frame rows at the declared cadence;
+    frame count tracks blob size at the nominal bitrate."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_platform_spark.functions.multimodal import sample_video_frames
+
+    rows = [(1, b"x" * 1024), (2, b"y" * 100), (3, b"")]
+    df = spark.createDataFrame(rows, ["media_id", "content"])
+    frames = sample_video_frames(df, every_n_seconds=1.0, kernel="fake").collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 4          # 1024 bytes / 256 Bps = 4 s -> 4 frames
+    assert len(by_id[2]) == 1          # sub-second clip still yields 1 frame
+    assert len(by_id[3]) == 1
+    assert [r["frame_idx"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    assert all(r["content"] is not None for r in by_id[1])

@@ -25,7 +25,8 @@ def test_oracle_keys_subset():
     # sensitive ANN bucketing (recall asserted in test_similarity), and
     # engine-specific sketches (error bounds asserted below)
     assert set(q) - set(o) == {
-        "image_features", "audio_features", "ann_lsh", "ann_ivf", "approx_sketches"
+        "image_features", "audio_features", "video_frames",
+        "ann_lsh", "ann_ivf", "approx_sketches",
     }
 
 
