@@ -2076,6 +2076,145 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill over a dense date spine (time-series feature prep):
+    per (event_type, user-cohort) daily averages, re-gridded onto every
+    calendar day, gaps filled with the last observed value — Spark
+    ``last(..., ignorenulls=True)`` over an unbounded-preceding frame vs
+    DuckDB ``last_value(x IGNORE NULLS)``. Scale shape: the spine/series
+    grid is tiny (broadcast); the running window shuffles once on the
+    series key — the state per key is a single value, so this streams at
+    any scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 20).alias("cohort"),
+        F.col("ts").cast("date").alias("d"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "cohort", "d").agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_value"
+        )
+    )
+    spine = (
+        ev.groupBy()
+        .agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+        .select(F.explode(F.sequence("dmin", "dmax")).alias("d"))
+    )
+    grid = ev.select("event_type", "cohort").distinct().crossJoin(F.broadcast(spine))
+    w = (
+        Window.partitionBy("event_type", "cohort")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(daily, ["event_type", "cohort", "d"], "left").select(
+        "event_type",
+        "cohort",
+        "d",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("avg_value").isNull().alias("was_gap"),
+    )
+
+
+SQL_GAP_FILL = """
+WITH ev AS (
+    SELECT event_type, user_id % 20 AS cohort, CAST(ts AS DATE) AS d, value FROM events
+), daily AS (
+    SELECT event_type, cohort, d,
+           (CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)) AS avg_value
+    FROM ev GROUP BY 1, 2, 3
+), bounds AS (
+    SELECT min(d) AS dmin, max(d) AS dmax FROM ev
+), spine AS (
+    SELECT CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds
+), grid AS (
+    SELECT * FROM (SELECT DISTINCT event_type, cohort FROM ev) CROSS JOIN spine
+)
+SELECT g.event_type, g.cohort, g.d,
+       last_value(daily.avg_value IGNORE NULLS) OVER (
+           PARTITION BY g.event_type, g.cohort ORDER BY g.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       daily.avg_value IS NULL AS was_gap
+FROM grid g LEFT JOIN daily
+  ON g.event_type = daily.event_type AND g.cohort = daily.cohort AND g.d = daily.d
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (profiling / drift monitoring): bin =
+    floor(value / width) as a computed group key. Pure map-side arithmetic
+    + one hash aggregate — the bin count is bounded by the value range, so
+    the reduce side is O(bins), not O(rows), at any scale."""
+    width = 25.0
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.floor(F.col("value") / F.lit(width)).cast("long").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("value", 2).alias("sum_value"))
+        .withColumn("bin_low", (F.col("bin") * F.lit(width)).cast("double"))
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+SELECT event_type,
+       CAST(floor(value / 25.0) AS BIGINT) AS bin,
+       count(*) AS n,
+       {_dec_sum_sql('value', 2)} AS sum_value,
+       CAST(CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS bin_low
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: concatenate documents in
+    deterministic order within a shard and slice the token stream into
+    fixed 512-token context windows — each doc gets (pack_id,
+    offset_in_pack). One running-sum window per shard; shards are
+    independent, so packing parallelizes embarrassingly (shard count
+    scales with the cluster, state per shard is one running count).
+    Oversize docs are truncated to the context length, the standard
+    concat-and-chunk prep."""
+    ctx, nshards = 512, 32
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % nshards).alias("shard"),
+        F.least(F.size(tokens(F.col("text"))).cast("long"), F.lit(ctx)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / F.lit(float(ctx))).cast("long").alias("pack_id"),
+        (start % F.lit(ctx)).cast("long").alias("offset_in_pack"),
+    )
+
+
+SQL_SEQUENCE_PACK = r"""
+WITH tokd AS (
+    SELECT doc_id, doc_id % 32 AS shard,
+           least(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 512) AS n_tokens
+    FROM documents WHERE trim(text) <> ''
+), runs AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+    FROM tokd
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id,
+       CAST(start_tok % 512 AS BIGINT) AS offset_in_pack
+FROM runs
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2141,6 +2280,9 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "quality_filter": (q_quality_filter, _quality_filter_sql()),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "gap_fill": (q_gap_fill, SQL_GAP_FILL),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
