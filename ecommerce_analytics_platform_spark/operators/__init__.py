@@ -14,9 +14,14 @@ from ecommerce_analytics_platform_spark.operators.export import (  # noqa: F401
     read_shards,
     write_shards,
 )
+from ecommerce_analytics_platform_spark.operators.dedup import (  # noqa: F401
+    connected_components,
+)
 from ecommerce_analytics_platform_spark.operators.incremental import (  # noqa: F401
     lookback_filter,
     merge_delete_insert,
+    recover_swap,
+    swap_into_place,
 )
 from ecommerce_analytics_platform_spark.operators.rangejoin import (  # noqa: F401
     range_join_buckets,

@@ -216,6 +216,7 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
     labels = e.select("u").distinct().withColumn("lbl", F.col("u")).localCheckpoint()
+    changed = 0
     try:
         for _ in range(max_iter):
             nbr = (
@@ -237,4 +238,15 @@ def connected_components(
                 break
     finally:
         e.unpersist()
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations; returned labels may split duplicate clusters. "
+            "Raise max_iter (rounds needed = graph diameter) or switch to "
+            "large-star/small-star contraction for long-chain graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("u").alias("node"), F.col("lbl").alias("component"))

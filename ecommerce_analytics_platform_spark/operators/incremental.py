@@ -17,6 +17,16 @@ while being read — no ACID). On a real cluster this operator is Delta
 overwrite when the key is partition-aligned; the swap trick is the
 self-contained equivalent.
 
+Crash safety / recovery: the two-step swap (target→``__old``, tmp→target)
+is not atomic as a pair — a crash between the renames leaves no directory
+at ``target_path``, but the complete previous table survives under
+``<target_path>__old_<token>`` and the complete merged table under
+``<target_path>__tmp_<token>``. ``recover_swap`` (called automatically at
+the start of every merge) repairs that window: it restores the newest
+complete sibling (tmp preferred over old) back to ``target_path`` and
+clears stale leftovers, so a reader or the next merge always sees a full
+table. Manual recovery is the same one rename.
+
 Scale notes: the anti-join shuffles on the unique key — but the *new batch*
 side is small (1 day of data), so Catalyst broadcasts it and the target
 scan streams through map-side. With date partitioning the target scan also
@@ -63,6 +73,69 @@ def lookback_filter(
     return source.filter(cmp)
 
 
+def _has_data(p: str) -> bool:
+    if not os.path.isdir(p):
+        return False
+    for _r, _d, files in os.walk(p):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _complete(p: str) -> bool:
+    """A swap sibling is a complete table iff it has data files and Spark's
+    commit marker (no half-written job output)."""
+    return _has_data(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
+
+def recover_swap(target_path: str) -> bool:
+    """Repair the non-atomic swap window (see module docstring).
+
+    If ``target_path`` is missing/empty but a complete ``__tmp_*`` or
+    ``__old_*`` sibling exists, rename the newest complete sibling back into
+    place (tmp = the merged result, preferred; old = pre-merge state).
+    Stale siblings are removed only when a healthy target exists. Returns
+    True if a restore happened.
+    """
+    parent = os.path.dirname(os.path.abspath(target_path)) or "."
+    base = os.path.basename(target_path)
+    if not os.path.isdir(parent):
+        return False
+    sibs = [
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(base + "__tmp_") or d.startswith(base + "__old_")
+    ]
+    if _has_data(target_path):
+        for s in sibs:
+            shutil.rmtree(s, ignore_errors=True)
+        return False
+    candidates = sorted(
+        (s for s in sibs if _complete(s)),
+        key=lambda s: ("__tmp_" in s, os.path.getmtime(s)),
+    )
+    if not candidates:
+        return False
+    best = candidates[-1]
+    if os.path.isdir(target_path):
+        shutil.rmtree(target_path, ignore_errors=True)
+    os.rename(best, target_path)
+    for s in sibs:
+        if s != best:
+            shutil.rmtree(s, ignore_errors=True)
+    return True
+
+
+def swap_into_place(target_path: str, tmp_path: str) -> None:
+    """Two renames publish ``tmp_path`` at ``target_path``; the window
+    between them is repaired by ``recover_swap`` (complete data always
+    exists on disk under exactly one of the three names)."""
+    old_path = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, old_path)
+    os.rename(tmp_path, target_path)
+    shutil.rmtree(old_path, ignore_errors=True)
+
+
 def merge_delete_insert(
     spark,
     target_path: str,
@@ -76,14 +149,7 @@ def merge_delete_insert(
     ``unique_key`` does NOT appear in the new batch (left-anti, broadcast
     new-batch keys), union the new batch, write fresh, swap.
     """
-
-    def _has_data(p: str) -> bool:
-        if not os.path.isdir(p):
-            return False
-        for _r, _d, files in os.walk(p):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+    recover_swap(target_path)
 
     writer_cols = new_batch.columns
 
@@ -105,7 +171,4 @@ def merge_delete_insert(
         w = w.partitionBy(*partition_by)
     w.parquet(tmp_path)
 
-    old_path = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(target_path, old_path)
-    os.rename(tmp_path, target_path)
-    shutil.rmtree(old_path, ignore_errors=True)
+    swap_into_place(target_path, tmp_path)

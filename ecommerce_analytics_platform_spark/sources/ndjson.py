@@ -101,21 +101,34 @@ def compact_landing(spark: SparkSession, path: str, partition_col: str = "ingest
     """Small-file compaction (reference S8, streaming_ingest.py:121-174):
     rewrite each partition dir to a single file.
 
-    Uses per-partition overwrite (``partitionOverwriteMode=dynamic`` is set
-    by session.py) with repartition(1) *within* each date — the reference
-    semantics exactly. Returns number of partitions compacted. At 100 TB:
-    repartition(1) per date is only right if a date fits one file; size-based
+    Never overwrites the directory it is lazily reading: the compacted
+    table is fully written to a ``__tmp`` sibling first, then published
+    with the same rename swap + crash recovery as ``merge_delete_insert``
+    (an in-place ``mode("overwrite")`` deletes the landing data before the
+    read executes under Spark's default STATIC partitionOverwriteMode).
+    Returns number of partitions compacted. At 100 TB: repartition(1) per
+    date is only right if a date fits one file; size-based
     ``repartitionByRange`` or Delta OPTIMIZE replaces it.
     """
+    import uuid
+
+    from ecommerce_analytics_platform_spark.operators.incremental import (
+        recover_swap,
+        swap_into_place,
+    )
+
+    recover_swap(path)
     df = spark.read.parquet(path)
     parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+    tmp_path = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     (
         df.repartition(1, F.col(partition_col))
         .sortWithinPartitions(partition_col)
         .write.partitionBy(partition_col)
         .mode("overwrite")
-        .parquet(path)
+        .parquet(tmp_path)
     )
+    swap_into_place(path, tmp_path)
     return len(parts)
 
 

@@ -134,3 +134,17 @@ def test_connected_components_random_vs_union_find(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["component"] for r in connected_components(df, max_iter=40).collect()}
     assert got == expected
+
+
+def test_connected_components_warns_on_non_convergence(spark):
+    """A 6-node chain needs >1 min-label rounds; max_iter=1 must warn
+    (ADVICE r1: silent non-convergence splits duplicate clusters)."""
+    import warnings
+
+    from ecommerce_analytics_platform_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(5)], ["src", "dst"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iter=1).collect()
+    assert any("did not converge" in str(x.message) for x in w)
