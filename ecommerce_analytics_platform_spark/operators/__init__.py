@@ -14,6 +14,13 @@ from ecommerce_analytics_platform_spark.operators.export import (  # noqa: F401
     read_shards,
     write_shards,
 )
+from ecommerce_analytics_platform_spark.operators.corpus import (  # noqa: F401
+    balanced_sample,
+    inverted_index,
+    ngram_overlap,
+    pagerank_exact,
+    token_budget_sample,
+)
 from ecommerce_analytics_platform_spark.operators.dedup import (  # noqa: F401
     connected_components,
 )

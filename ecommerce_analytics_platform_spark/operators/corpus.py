@@ -1,0 +1,222 @@
+"""Corpus-preparation operators for large-scale training-data pipelines:
+eval-set decontamination, inverted-index construction, token-budget
+sampling, stratum-balanced sampling, and an exact integer PageRank for
+link/co-occurrence-graph quality weighting.
+
+These extend the reference's surface (it has no corpus tooling —
+/root/reference is a medallion e-commerce ETL, SURVEY §0); each operator is
+expressed with built-in DataFrame ops only (no Python UDFs), so the whole
+family runs JVM-side under whole-stage codegen and scales with the
+cluster's shuffle capacity.
+
+Scale notes (100 TB):
+
+- ``ngram_overlap``: the eval side of the join is tiny (benchmark suites
+  are MBs) — broadcast it; the train side streams map-side. Shuffle only
+  for the final per-doc count.
+- ``inverted_index``: one shuffle on the term; posting lists for stop-like
+  terms are the skew risk — cap with ``max_postings`` (head retained
+  deterministically) exactly like production index builders.
+- ``token_budget_sample``: the running sum is per-shard (hash-sharded), so
+  state never concentrates on one task; the budget is enforced per shard
+  (global budget / n_shards), which is how petabyte samplers bound memory.
+- ``pagerank``: classic iterate-join-aggregate; every iteration is one
+  shuffle on dst. Integer (fixed-point) arithmetic makes the result
+  bit-exact regardless of partitioning/summation order — the property that
+  lets a 1000-executor run be verified against a single-node oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.functions.compat import portable_hash60
+from ecommerce_analytics_platform_spark.functions.text import tokens, word_shingles
+
+
+def ngram_overlap(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing ≥1 word
+    ``n``-gram with any eval document (the standard pretraining-corpus
+    hygiene pass; cf. GPT-3 appendix C / PaLM §C — n-gram collision
+    filtering).
+
+    Returns one row per contaminated train doc:
+    ``(doc_id, n_shared_grams, n_eval_docs)`` where ``n_shared_grams``
+    counts DISTINCT shared n-grams and ``n_eval_docs`` counts eval docs
+    hit. The eval gram set is deduped then broadcast — at corpus scale the
+    train side never shuffles its text, only (doc_id, gram) pairs that
+    actually collide.
+    """
+    t_grams = train.select(
+        F.col(id_col), F.explode_outer(word_shingles(F.col(text_col), n)).alias("gram")
+    ).where(F.col("gram").isNotNull())
+    e_grams = (
+        eval_set.select(
+            F.col(id_col).alias("eval_id"),
+            F.explode_outer(word_shingles(F.col(text_col), n)).alias("gram"),
+        )
+        .where(F.col("gram").isNotNull())
+        .distinct()
+    )
+    return (
+        t_grams.join(F.broadcast(e_grams), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Posting-list construction: term → (df, sorted doc-id list).
+
+    One shuffle on the lowercased term. ``max_postings`` caps each list at
+    the first K doc ids (ascending — deterministic) so a stop-word term
+    cannot blow out a single reducer's memory; ``df`` still reports the
+    full document frequency.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), F.lower("tok").alias("term"))
+    agg = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list(id_col)).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+    if max_postings is not None:
+        agg = agg.withColumn("postings", F.slice("postings", 1, max_postings))
+    return agg
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_tokens: int = 10_000,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic token-budget sampling: take documents in portable-hash
+    order until the token budget is exhausted (how you cut "the first N
+    billion tokens" of a shuffled corpus reproducibly on any cluster size).
+
+    The corpus is hash-sharded; each shard independently accumulates a
+    running token sum in hash order and keeps docs whose window *ends*
+    within the per-shard budget (budget/n_shards). Per-shard running sums
+    mean no global ordering bottleneck: the window partitions by shard.
+    Output: ``(doc_id, shard, n_tokens, cum_tokens)`` for kept docs.
+    """
+    shard_budget = budget_tokens // n_shards
+    h = portable_hash60(F.col(id_col).cast("string"))
+    base = docs.select(
+        F.col(id_col),
+        F.pmod(h, F.lit(n_shards)).cast("long").alias("shard"),
+        h.alias("h"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= shard_budget)
+        .select(id_col, "shard", "n_tokens", "cum_tokens")
+    )
+
+
+def balanced_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Stratum-balanced downsampling: every stratum is thinned to (in
+    expectation) the size of the smallest stratum — the language-balancing
+    resample of multilingual corpus prep.
+
+    Selection is deterministic (portable hash of the id) and exact-integer:
+    keep iff ``hash % scale * stratum_n < min_n * scale`` — no float
+    fraction, so Spark and any oracle agree row-for-row. Stratum counts are
+    a broadcast-size aggregate joined back map-side.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("stratum_n"))
+    min_n = counts.agg(F.min("stratum_n").alias("min_n"))
+    h = F.pmod(portable_hash60(F.col(id_col).cast("string")), F.lit(scale))
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .crossJoin(F.broadcast(min_n))
+        .filter(h * F.col("stratum_n") < F.col("min_n") * F.lit(scale))
+        .drop("stratum_n", "min_n")
+    )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank in scaled integer (fixed-point) arithmetic.
+
+    ``rank`` is a BIGINT in units of 1/scale: r0 = scale; each round
+    r' = (15·scale) div 100 + (85 · Σ_in (r_u div deg_u)) div 100. Integer
+    div/sum are associative-commutative-exact, so the result is bit-identical
+    under any partitioning — unlike float PageRank, summation order can
+    never flip a low bit. Dangling nodes keep the teleport term only.
+    Output: ``(node, rank)``.
+
+    Each iteration = one broadcast-or-shuffle join (ranks ⨝ edges) + one
+    shuffle agg on dst; lineage is truncated per round so the plan stays
+    flat over many iterations.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = ((damp_den - damp_num) * scale) // damp_den
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damp_num} * coalesce(in_sum, 0L)) div {damp_den}")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

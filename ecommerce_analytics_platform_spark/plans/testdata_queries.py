@@ -24,6 +24,7 @@ from ecommerce_analytics_platform_spark.functions.compat import (
     dow_sunday0,
     is_weekend,
     portable_hash60,
+    portable_hash60_sql,
 )
 from ecommerce_analytics_platform_spark.functions.text import (
     language_scores,
@@ -2216,6 +2217,184 @@ FROM runs
 
 
 # ---------------------------------------------------------------------------
+# Corpus-preparation extensions round 2 (operators/corpus.py):
+# decontamination, inverted index, token-budget + balanced sampling,
+# exact integer PageRank.
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB word n-gram list over the ``w`` alias (twin of
+    text.word_shingles)."""
+    concat = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(w) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(generate_series(1, len(w) - {n - 1}), i -> {concat}) END"
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: train docs sharing any word 4-gram with
+    the held-out eval slice (doc_id % 13 == 0) are flagged with the number
+    of distinct colliding grams and eval docs hit — the pretraining-corpus
+    hygiene pass (eval grams dedup → broadcast; train text never shuffles)."""
+    from ecommerce_analytics_platform_spark.operators.corpus import ngram_overlap
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    eval_set = docs.filter(F.col("doc_id") % 13 == 0)
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    return ngram_overlap(train, eval_set, "text", "doc_id", n=4)
+
+
+SQL_DECONTAMINATE = f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM documents WHERE trim(text) <> ''
+), g AS (
+    SELECT doc_id, unnest({_grams_sql(4)}) AS gram FROM w
+), tg AS (
+    SELECT doc_id, gram FROM g WHERE doc_id % 13 <> 0
+), eg AS (
+    SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 13 = 0
+)
+SELECT tg.doc_id AS doc_id,
+       count(DISTINCT tg.gram) AS n_shared_grams,
+       count(DISTINCT eg.eval_id) AS n_eval_docs
+FROM tg JOIN eg USING (gram)
+GROUP BY 1
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction: term → document frequency + first 10 doc
+    ids (sorted). The postings cap is the skew guard — a stop-word term
+    cannot blow out one reducer; df still reports the full count."""
+    from ecommerce_analytics_platform_spark.operators.corpus import inverted_index
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    idx = inverted_index(docs, "text", "doc_id", min_df=20, max_postings=10)
+    # posting list serialized for cross-engine value hashing (arrays
+    # stringify differently via Arrow vs DuckDB)
+    return idx.select("term", "df", F.concat_ws(",", "postings").alias("postings"))
+
+
+SQL_INVERTED_INDEX = f"""
+WITH t AS (
+    SELECT DISTINCT doc_id, lower(term) AS term
+    FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS term
+          FROM documents WHERE trim(text) <> '')
+)
+SELECT term, count(*) AS df,
+       array_to_string((list_sort(list(doc_id)))[1:10], ',') AS postings
+FROM t GROUP BY term HAVING count(*) >= 20
+"""
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible token-budget cut: hash-sharded running token sums, keep
+    docs while the per-shard budget lasts (how "the first N tokens" of a
+    shuffled corpus is taken deterministically on any cluster size)."""
+    from ecommerce_analytics_platform_spark.operators.corpus import token_budget_sample
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return token_budget_sample(docs, "text", "doc_id", budget_tokens=20_000, n_shards=8)
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH b AS (
+    SELECT doc_id,
+           {portable_hash60_sql('doc_id')} AS h,
+           CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+    FROM documents WHERE trim(text) <> ''
+), r AS (
+    SELECT doc_id, h % 8 AS shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM b
+)
+SELECT doc_id, shard, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 2500
+"""
+
+
+def q_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced resample: every language thinned to (expected)
+    min-language size with an exact-integer deterministic predicate —
+    multilingual corpus balancing with zero float-fraction drift."""
+    from ecommerce_analytics_platform_spark.operators.corpus import balanced_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return balanced_sample(docs, "lang", "doc_id").select("doc_id", "lang")
+
+
+SQL_LANG_BALANCED_SAMPLE = f"""
+WITH c AS (
+    SELECT lang, count(*) AS stratum_n FROM documents GROUP BY lang
+), m AS (
+    SELECT min(stratum_n) AS min_n FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE ({portable_hash60_sql('d.doc_id')} % 1000000) * c.stratum_n < m.min_n * 1000000
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the part co-purchase graph (parts sharing
+    an order, sampled orders), in scaled-integer arithmetic — iterative
+    graph algorithm with bit-exact results under any partitioning (each
+    iteration = one join + one shuffle agg; lineage truncated per round)."""
+    from ecommerce_analytics_platform_spark.operators.corpus import pagerank_exact
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(b, "l_orderkey").select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    ).filter(F.col("src") < F.col("dst"))
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank_exact(edges, iterations=3)
+
+
+def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000_000) -> str:
+    base = (15 * scale) // 100
+    its = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        its.append(
+            f"""c{k} AS (
+    SELECT e.dst, sum({prev}.rank // deg.deg) AS in_sum
+    FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+), r{k} AS (
+    SELECT n.node, CAST({base} + (85 * coalesce(c{k}.in_sum, 0)) // 100 AS BIGINT) AS rank
+    FROM n LEFT JOIN c{k} ON n.node = c{k}.dst
+)"""
+        )
+        prev = f"r{k}"
+    return f"""
+WITH li AS (
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+), p AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+    SELECT src, dst FROM p UNION SELECT dst, src FROM p
+), deg AS (
+    SELECT src, count(*) AS deg FROM e GROUP BY src
+), n AS (
+    SELECT DISTINCT src AS node FROM e
+), r0 AS (
+    SELECT node, CAST({scale} AS BIGINT) AS rank FROM n
+), {', '.join(its)}
+SELECT node, rank FROM {prev}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2283,6 +2462,11 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "token_budget_sample": (q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE),
+    "lang_balanced_sample": (q_lang_balanced_sample, SQL_LANG_BALANCED_SAMPLE),
+    "pagerank": (q_pagerank, _pagerank_sql()),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
