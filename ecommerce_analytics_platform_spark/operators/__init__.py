@@ -19,10 +19,13 @@ from ecommerce_analytics_platform_spark.operators.corpus import (  # noqa: F401
     inverted_index,
     ngram_overlap,
     pagerank_exact,
+    span_dedup,
     token_budget_sample,
+    token_zipf_stats,
 )
 from ecommerce_analytics_platform_spark.operators.dedup import (  # noqa: F401
     connected_components,
+    dedup_against_corpus,
 )
 from ecommerce_analytics_platform_spark.operators.incremental import (  # noqa: F401
     lookback_filter,

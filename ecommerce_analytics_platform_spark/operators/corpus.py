@@ -169,6 +169,116 @@ def balanced_sample(
     )
 
 
+def span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Span-level exact dedup (boilerplate removal, C4/RefinedWeb-style):
+    split each document into non-overlapping ``span_tokens``-token spans,
+    keep only the globally FIRST occurrence of each distinct span (ordered
+    by ``(doc_id, span_idx)``), and reconstruct the cleaned text from the
+    surviving spans in order.
+
+    Returns ``(doc_id, n_spans, kept_spans, clean_text)`` — documents whose
+    spans were all seen earlier come back with empty ``clean_text`` (their
+    row is retained so the caller can count fully-boilerplate docs).
+
+    Scale notes: spanning is scan-local (one pass of array ops, no
+    shuffle); the keep-first decision is one shuffle on the span hash —
+    the span space is near-unique so there is no skew; reconstruction is
+    one shuffle back on ``doc_id``. At 100 TB both shuffles move only
+    ``(hash, doc_id, idx, span_text)`` tuples, never whole documents.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), toks.alias("tk"), F.size(toks).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    spans = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("n_tok") - 1) / F.lit(span_tokens)).cast("int"),
+                ),
+                lambda i: F.struct(
+                    i.cast("long").alias("idx"),
+                    F.array_join(
+                        F.slice(F.col("tk"), i * span_tokens + 1, span_tokens), " "
+                    ).alias("span"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.idx").alias("idx"), F.col("s.span").alias("span"))
+    w = Window.partitionBy(portable_hash60(F.col("span"))).orderBy(id_col, "idx")
+    kept = spans.withColumn("rn", F.row_number().over(w)).withColumn(
+        "keep", F.col("rn") == 1
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct(F.col("idx"), F.col("span")))
+                        )
+                    ),
+                    lambda s: s.span,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def token_zipf_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_rank: int = 20,
+) -> DataFrame:
+    """Zipf rank-frequency quality signal, exact-integer: rank every term
+    of the corpus vocabulary by global frequency (``dense_rank`` over
+    ``(count DESC, term ASC)`` — deterministic tiebreak), then score each
+    document by the ranks of its tokens. Common-vocabulary documents score
+    low mean rank; OOV-heavy / junk documents score high — the cheap
+    corpus-relative quality heuristic that needs no model.
+
+    Returns ``(doc_id, n_tokens, sum_rank, max_rank, n_rare)`` where
+    ``n_rare`` counts tokens with rank > ``rare_rank``. All BIGINT — the
+    score is bit-exact on any engine/partitioning.
+
+    Scale notes: the vocabulary aggregate is the only corpus-wide shuffle
+    and its result is vocabulary-sized (≪ data) — broadcast it back, so
+    per-document scoring is map-side; the final per-doc agg shuffles only
+    ``(doc_id, rank)`` pairs. The global dense_rank runs on the tiny vocab
+    relation (single partition is fine *because* it is post-aggregate).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), F.lower("tok").alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    ranked = vocab.withColumn(
+        "rank",
+        F.dense_rank().over(Window.orderBy(F.desc("n"), F.asc("term"))).cast("long"),
+    ).select("term", "rank")
+    return (
+        toks.join(F.broadcast(ranked), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rank").alias("sum_rank"),
+            F.max("rank").alias("max_rank"),
+            F.sum(F.when(F.col("rank") > rare_rank, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+
+
 def pagerank_exact(
     edges: DataFrame,
     iterations: int = 3,

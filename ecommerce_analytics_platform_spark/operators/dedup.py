@@ -89,6 +89,45 @@ def dedup_exact(
     )
 
 
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    content_col: str,
+    id_col: str,
+    normalize_ws: bool = True,
+) -> DataFrame:
+    """Cross-snapshot incremental dedup: keep only incoming documents whose
+    content fingerprint (a) does not already exist in ``corpus`` and (b) is
+    the first (min id) occurrence within the incoming batch itself.
+
+    This is how a continuously-ingesting corpus deduplicates a delta
+    WITHOUT re-deduping the whole corpus: fingerprint both sides, anti-join
+    the delta against the existing fingerprint set, then self-dedup the
+    delta. Returns ``(id_col, fingerprint)`` for the surviving docs.
+
+    Scale notes: the corpus side reduces to its distinct 8-byte
+    fingerprints before the join — at 100 TB that relation is ~1% of the
+    text bytes and the anti-join shuffles hashes only; in production the
+    corpus fingerprints would be a bucketed table so the delta join is
+    shuffle-free on the corpus side (see operators/skew.py bucketing).
+    """
+
+    def fp(df: DataFrame) -> Column:
+        c = F.col(content_col)
+        if normalize_ws:
+            c = F.regexp_replace(F.trim(c), r"\s+", " ")
+        return portable_hash60(c)
+
+    seen = corpus.select(fp(corpus).alias("fingerprint")).distinct()
+    incoming = new_docs.select(F.col(id_col), fp(new_docs).alias("fingerprint"))
+    fresh = incoming.join(seen, "fingerprint", "left_anti")
+    return (
+        fresh.groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fingerprint")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

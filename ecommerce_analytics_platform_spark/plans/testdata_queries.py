@@ -2394,6 +2394,165 @@ SELECT node, rank FROM {prev}
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (C4/RefinedWeb boilerplate removal): 10-token
+    spans, keep only the globally first occurrence of each distinct span,
+    reconstruct cleaned text. Spanning is scan-local; the keep-first pass
+    shuffles (hash, doc_id, idx) — never whole documents."""
+    from ecommerce_analytics_platform_spark.operators.corpus import span_dedup
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return span_dedup(docs, "text", "doc_id", span_tokens=10)
+
+
+SQL_SPAN_DEDUP = r"""
+WITH tokd AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    FROM documents WHERE trim(text) <> ''
+), s AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS idx,
+           array_to_string(tk[i * 10 + 1 : i * 10 + 10], ' ') AS span
+    FROM tokd CROSS JOIN (SELECT unnest(generate_series(0, 10000)) AS i) idx
+    WHERE i <= (len(tk) - 1) // 10
+), k AS (
+    SELECT doc_id, idx, span,
+           row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(span), 1, 15))::BIGINT
+               ORDER BY doc_id, idx) AS rn
+    FROM s
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY idx), '') AS clean_text
+FROM k GROUP BY doc_id
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: the incoming delta (doc_id % 10 ==
+    7) is fingerprinted and anti-joined against the existing corpus's
+    distinct fingerprint set, then self-deduped — how a continuously
+    ingesting corpus dedups a batch without re-deduping 100 TB."""
+    from ecommerce_analytics_platform_spark.operators.dedup import dedup_against_corpus
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    incoming = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return dedup_against_corpus(incoming, corpus, "text", "doc_id")
+
+
+SQL_INCREMENTAL_DEDUP = r"""
+WITH fp AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fingerprint
+    FROM documents
+), seen AS (
+    SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 <> 7
+)
+SELECT min(doc_id) AS doc_id, fingerprint
+FROM fp
+WHERE doc_id % 10 = 7 AND fingerprint NOT IN (SELECT fingerprint FROM seen)
+GROUP BY fingerprint
+"""
+
+
+def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency quality scoring, exact-integer: corpus
+    vocabulary ranked by global frequency (deterministic tiebreak), each
+    document scored by the ranks of its tokens (sum/max/rare-count). The
+    vocab aggregate is the only corpus-wide shuffle; scoring is a broadcast
+    join back."""
+    from ecommerce_analytics_platform_spark.operators.corpus import token_zipf_stats
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return token_zipf_stats(docs, "text", "doc_id", rare_rank=20)
+
+
+SQL_TOKEN_ZIPF = r"""
+WITH t AS (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    FROM documents WHERE trim(text) <> ''
+), v AS (
+    SELECT term, count(*) AS n FROM t GROUP BY term
+), r AS (
+    SELECT term, CAST(dense_rank() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rank FROM v
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(rank) AS BIGINT) AS sum_rank,
+       max(rank) AS max_rank,
+       CAST(sum(CASE WHEN rank > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+FROM t JOIN r USING (term) GROUP BY doc_id
+"""
+
+
+def q_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped correlated EXISTS + NOT EXISTS (adapted to this
+    schema: "late" = shipped >60 days after the order date, finalized
+    orders): suppliers who were the SOLE late shipper on a multi-supplier
+    order. Exercises Catalyst's decorrelation of a semi and an anti join
+    over the same relation plus a deterministic top-k
+    (TakeOrderedAndProject); supplier dim is broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add("o_orderdate", 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    l1 = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(F.broadcast(sup), l1.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(50)
+    )
+
+
+SQL_LATE_SUPPLIERS = """
+WITH f AS (
+    SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+), late AS (
+    SELECT l.l_orderkey, l.l_suppkey
+    FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey
+    WHERE l.l_shipdate > f.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name AS s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2467,6 +2626,10 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "token_budget_sample": (q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE),
     "lang_balanced_sample": (q_lang_balanced_sample, SQL_LANG_BALANCED_SAMPLE),
     "pagerank": (q_pagerank, _pagerank_sql()),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),
+    "late_suppliers": (q_late_suppliers, SQL_LATE_SUPPLIERS),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),

@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ecommerce_analytics_platform_spark.sources.ndjson import enrich_clickstream
-from ecommerce_analytics_platform_spark.sources.schemas import CLICKSTREAM_RAW_SCHEMA
+from ecommerce_analytics_platform_spark.sources.schemas import (
+    CLICKSTREAM_RAW_SCHEMA,
+    ORDERS_RAW_SCHEMA,
+)
 
 
 def read_clickstream_stream(
@@ -101,6 +104,59 @@ def streaming_sessions(
         F.min("event_ts").alias("session_start_ts"),
         F.max("event_ts").alias("session_end_ts"),
         F.count(F.lit(1)).alias("event_count"),
+    )
+
+
+def streaming_session_order_join(
+    spark: SparkSession,
+    raw_events_dir: str,
+    raw_orders_dir: str,
+    watermark: str = "1 day",
+    max_order_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: purchase events matched to the order
+    that followed within ``max_order_delay`` on the same session.
+
+    Both sides carry event-time watermarks plus the interval condition
+    ``order_time ∈ [event_ts, event_ts + max_order_delay]``, which is what
+    lets the engine BOUND join state: an event can be dropped from state
+    once the order-side watermark passes ``event_ts + max_order_delay``,
+    and an order once the event-side watermark passes ``order_time``. The
+    reference has no streaming join (its funnel attribution runs in batch,
+    metrics_daily_funnel.sql:33-36 — J5); this is the streaming twin of
+    that attribution with state kept finite by design.
+
+    Scale notes: state is hash-partitioned by ``session_id`` (the join
+    key); skewed sessions shard across state-store partitions no worse
+    than the batch join, and state size is O(traffic × max_order_delay),
+    independent of stream length. Returns an unstarted streaming
+    DataFrame.
+    """
+    ev = (
+        read_clickstream_stream(spark, raw_events_dir)
+        .withColumn("event_ts", F.try_to_timestamp("event_time"))
+        .filter(F.col("event_ts").isNotNull())
+        .select("event_id", "event_type", "session_id", "event_ts")
+        .withWatermark("event_ts", watermark)
+    )
+    od = (
+        spark.readStream.schema(ORDERS_RAW_SCHEMA)
+        .json(raw_orders_dir)
+        .filter(F.col("order_time").isNotNull())
+        .select(
+            F.col("order_id"),
+            F.col("session_id").alias("order_session_id"),
+            F.col("order_time"),
+        )
+        .withWatermark("order_time", watermark)
+    )
+    cond = (
+        (F.col("session_id") == F.col("order_session_id"))
+        & (F.col("order_time") >= F.col("event_ts"))
+        & (F.col("order_time") <= F.col("event_ts") + F.expr(f"INTERVAL {max_order_delay}"))
+    )
+    return ev.join(od, cond, "inner").select(
+        "session_id", "event_id", "event_type", "event_ts", "order_id", "order_time"
     )
 
 

@@ -92,6 +92,60 @@ def test_balanced_sample_thins_majority_keeps_minority(spark):
     assert 5 <= got.get("en", 0) <= 60  # ~20 expected, hash-binomial spread
 
 
+def test_span_dedup_keeps_first_occurrence_and_reconstructs(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c x y z"),   # spans (3-tok): "a b c", "x y z"
+            (2, "a b c q r s"),   # "a b c" repeated → dropped; "q r s" kept
+            (3, "x y z"),         # fully boilerplate → empty clean_text
+        ],
+    )
+    from ecommerce_analytics_platform_spark.operators.corpus import span_dedup
+
+    out = {r["doc_id"]: r for r in span_dedup(docs, span_tokens=3).collect()}
+    assert out[1]["clean_text"] == "a b c x y z" and out[1]["kept_spans"] == 2
+    assert out[2]["clean_text"] == "q r s" and out[2]["kept_spans"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["kept_spans"] == 0
+    assert out[3]["n_spans"] == 1
+
+
+def test_span_dedup_partial_tail_span_is_its_own_unit(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "d")])
+    from ecommerce_analytics_platform_spark.operators.corpus import span_dedup
+
+    out = {r["doc_id"]: r for r in span_dedup(docs, span_tokens=3).collect()}
+    # doc1 spans: "a b c", "d"; doc2 span "d" is a dup of doc1's tail
+    assert out[1]["kept_spans"] == 2 and out[2]["kept_spans"] == 0
+
+
+def test_dedup_against_corpus_filters_both_corpus_and_batch_dupes(spark):
+    from ecommerce_analytics_platform_spark.operators.dedup import dedup_against_corpus
+
+    corpus = _docs(spark, [(1, "already in corpus"), (2, "other doc")])
+    incoming = _docs(
+        spark,
+        [
+            (10, "already  in   corpus"),  # ws-normalized dup of corpus → dropped
+            (11, "brand new"),
+            (12, "brand new"),             # batch-internal dup → one survivor (min id)
+        ],
+    )
+    out = sorted(r["doc_id"] for r in
+                 dedup_against_corpus(incoming, corpus, "text", "doc_id").collect())
+    assert out == [11]
+
+
+def test_token_zipf_ranks_deterministically(spark):
+    from ecommerce_analytics_platform_spark.operators.corpus import token_zipf_stats
+
+    docs = _docs(spark, [(1, "a a a b b c"), (2, "c b a")])
+    out = {r["doc_id"]: r for r in token_zipf_stats(docs, rare_rank=2).collect()}
+    # global counts: a=4, b=3, c=2 → ranks a=1, b=2, c=3
+    assert (out[1]["n_tokens"], out[1]["sum_rank"], out[1]["max_rank"], out[1]["n_rare"]) == (6, 10, 3, 1)
+    assert (out[2]["n_tokens"], out[2]["sum_rank"], out[2]["max_rank"], out[2]["n_rare"]) == (3, 6, 3, 1)
+
+
 def test_pagerank_matches_python_reference(spark):
     edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)]
     df = spark.createDataFrame(edges, ["src", "dst"])

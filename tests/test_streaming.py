@@ -9,6 +9,7 @@ from ecommerce_analytics_platform_spark.fixtures.generator import generate_fixtu
 from ecommerce_analytics_platform_spark.sources.ndjson import write_ndjson_fixture
 from ecommerce_analytics_platform_spark.streaming.ingest import (
     run_backfill,
+    streaming_session_order_join,
     streaming_sessions,
 )
 
@@ -16,8 +17,9 @@ from ecommerce_analytics_platform_spark.streaming.ingest import (
 @pytest.fixture(scope="module")
 def stream_lake(tmp_path_factory):
     root = tmp_path_factory.mktemp("stream_lake")
-    events, _ = generate_fixture(seed=7, n_sessions=30, bad_ts_rate=0.0)
+    events, orders = generate_fixture(seed=7, n_sessions=30, bad_ts_rate=0.0)
     write_ndjson_fixture(events, str(root / "raw/batch_1.json"))
+    write_ndjson_fixture(orders, str(root / "raw_orders/batch_1.json"))
     return root
 
 
@@ -111,3 +113,57 @@ def test_streaming_session_window_matches_batch(spark, stream_lake, tmp_path):
         for r in sessionized(batch).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, stream_lake, tmp_path):
+    """Watermarked stream-stream interval join (events ⨝ orders on
+    session within 1 hour), availableNow into a memory sink, must equal
+    the identical batch join over the same files — and produce matches."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_platform_spark.sources.ndjson import (
+        read_clickstream_raw,
+        read_orders_raw,
+    )
+
+    joined = streaming_session_order_join(
+        spark, str(stream_lake / "raw"), str(stream_lake / "raw_orders")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_id"], r["event_id"], r["order_id"])
+        for r in spark.sql("SELECT * FROM t_ss_join").collect()
+    }
+
+    ev = (
+        read_clickstream_raw(spark, str(stream_lake / "raw"))
+        .withColumn("event_ts", F.try_to_timestamp("event_time"))
+        .filter(F.col("event_ts").isNotNull())
+    )
+    od = read_orders_raw(spark, str(stream_lake / "raw_orders")).filter(
+        F.col("order_time").isNotNull()
+    )
+    expected = {
+        (r["session_id"], r["event_id"], r["order_id"])
+        for r in ev.join(
+            od.select(
+                F.col("order_id"),
+                F.col("session_id").alias("order_session_id"),
+                F.col("order_time"),
+            ),
+            (F.col("session_id") == F.col("order_session_id"))
+            & (F.col("order_time") >= F.col("event_ts"))
+            & (F.col("order_time") <= F.col("event_ts") + F.expr("INTERVAL 1 hour")),
+            "inner",
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
