@@ -2553,6 +2553,189 @@ LIMIT 50
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the events stream (generalizes the
+    reference's metrics_user_lifecycle first/last-seen rollup,
+    /root/reference/dbt_project/models/marts/metrics/metrics_user_lifecycle.sql:5-23,
+    into cohort × week-offset cells; weekly grain because the testdata
+    events span ~30 days). Exact integer week arithmetic (Monday-truncated
+    datediff/7 in both engines) — bit-identical cross-engine."""
+    from ecommerce_analytics_platform_spark.operators.analytics import cohort_matrix
+
+    return cohort_matrix(_t(spark, sf_dir, "events"), "user_id", "ts", period="week")
+
+
+SQL_COHORT_RETENTION = """
+WITH act AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+    FROM events
+), first AS (
+    SELECT user_id, min(act_week) AS cohort_period FROM act GROUP BY user_id
+)
+SELECT f.cohort_period,
+       CAST(date_diff('day', f.cohort_period, a.act_week) / 7 AS BIGINT) AS periods_since,
+       count(*) AS n_active
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of customers by order history
+    (generalizes metrics_user_lifecycle's total_orders / total_spent /
+    first-purchase columns, metrics_user_lifecycle.sql:24-43, into ntile
+    scores). Deterministic (metric, entity) total order; monetary compared
+    in the DECIMAL domain so bucket cut points cannot float-flip."""
+    from ecommerce_analytics_platform_spark.operators.analytics import rfm_scores
+
+    return rfm_scores(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice", n_tiles=4
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per AS (
+    SELECT o_custkey AS entity,
+           max(CAST(o_orderdate AS DATE)) AS last_date,
+           count(*) AS frequency,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary_dec
+    FROM orders GROUP BY 1
+), a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders)
+SELECT entity,
+       CAST(date_diff('day', last_date, anchor) AS BIGINT) AS recency_days,
+       frequency,
+       CAST(monetary_dec AS DOUBLE) AS monetary,
+       CAST(ntile(4) OVER (ORDER BY date_diff('day', last_date, anchor) ASC, entity ASC) AS INT) AS r,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, entity ASC) AS INT) AS f,
+       CAST(ntile(4) OVER (ORDER BY monetary_dec DESC, entity ASC) AS INT) AS m
+FROM per, a
+"""
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence counts over lineitem (basket =
+    l_orderkey, item = l_partkey). Extends the reference's
+    fact_order_items grain (order × product,
+    /root/reference/dbt_project/models/marts/core/facts/fact_order_items.sql)
+    to item-pair support counts — the support/confidence/lift primitive.
+    Quadratic guard drops baskets > 100 distinct items before pairing."""
+    from ecommerce_analytics_platform_spark.operators.analytics import basket_pairs
+
+    return basket_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=2, max_basket=100,
+    )
+
+
+SQL_BASKET_PAIRS = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), sized AS (
+    SELECT basket, item FROM (
+        SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsize FROM items
+    ) WHERE bsize <= 100
+), pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_n
+    FROM sized a JOIN sized b USING (basket)
+    WHERE a.item < b.item
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+), n AS (
+    SELECT item, count(*) AS n FROM sized GROUP BY 1
+), nb AS (
+    SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM sized
+)
+SELECT p.item_a, p.item_b, p.pair_n, na.n AS a_n, nbn.n AS b_n, nb.n_baskets
+FROM pairs p
+JOIN n na ON na.item = p.item_a
+JOIN n nbn ON nbn.item = p.item_b, nb
+"""
+
+
+def q_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user (Markov counts).
+    Generalizes the funnel-stage bitmap of metrics_daily_funnel
+    (/root/reference/dbt_project/models/marts/metrics/metrics_daily_funnel.sql:5-15)
+    into full adjacency counts. Deterministic (ts, event_id) order."""
+    from ecommerce_analytics_platform_spark.operators.analytics import transition_counts
+
+    return transition_counts(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+SQL_STATE_TRANSITIONS = """
+SELECT prev_state, state, count(*) AS n FROM (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state,
+           event_type AS state
+    FROM events
+) WHERE prev_state IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval collapse: consecutive same-status order
+    runs per customer (ordered by o_orderkey) — the SCD Type 2 validity-
+    range build primitive the reference's full-rebuild dims sidestep
+    (/root/reference/dbt_project/models/marts/core/dimensions/dim_users.sql).
+    Both row_numbers share one window sort; a single shuffle."""
+    from ecommerce_analytics_platform_spark.operators.analytics import run_length_intervals
+
+    return run_length_intervals(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+
+
+SQL_STATUS_INTERVALS = """
+WITH s AS (
+    SELECT o_custkey AS entity, o_orderstatus AS state, o_orderkey AS seq,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+           - row_number() OVER (PARTITION BY o_custkey, o_orderstatus ORDER BY o_orderkey) AS grp
+    FROM orders
+)
+SELECT entity, state, min(seq) AS valid_from, max(seq) AS valid_to, count(*) AS n_rows
+FROM s GROUP BY entity, state, grp
+"""
+
+
+def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ordered funnel signup → view → purchase: stage k counts only
+    strictly after the entity's stage k-1 min-qualifying timestamp. The
+    ordered upgrade of the reference's per-day unordered funnel bitmap
+    (metrics_daily_funnel.sql:5-15 computes max(case when …) flags with no
+    ordering constraint). Entity-keyed joins co-partition with the event
+    relation."""
+    from ecommerce_analytics_platform_spark.operators.analytics import ordered_funnel
+
+    return ordered_funnel(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        stages=["signup", "view", "purchase"],
+    )
+
+
+SQL_FUNNEL_ORDERED = """
+WITH s1 AS (
+    SELECT user_id AS entity, min(ts) AS stage_signup
+    FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+    SELECT e.user_id AS entity, min(e.ts) AS stage_view
+    FROM events e JOIN s1 ON s1.entity = e.user_id
+    WHERE e.event_type = 'view' AND e.ts > s1.stage_signup GROUP BY 1
+), s3 AS (
+    SELECT e.user_id AS entity, min(e.ts) AS stage_purchase
+    FROM events e JOIN s2 ON s2.entity = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.stage_view GROUP BY 1
+)
+SELECT s1.entity, s1.stage_signup, s2.stage_view, s3.stage_purchase,
+       CAST(CASE WHEN s1.stage_signup IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s2.stage_view IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s3.stage_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS stages_completed
+FROM s1 LEFT JOIN s2 ON s2.entity = s1.entity LEFT JOIN s3 ON s3.entity = s1.entity
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2630,6 +2813,12 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),
     "late_suppliers": (q_late_suppliers, SQL_LATE_SUPPLIERS),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
+    "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
+    "state_transitions": (q_state_transitions, SQL_STATE_TRANSITIONS),
+    "status_intervals": (q_status_intervals, SQL_STATUS_INTERVALS),
+    "funnel_ordered": (q_funnel_ordered, SQL_FUNNEL_ORDERED),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
