@@ -150,26 +150,64 @@ def basket_pairs(
     Baskets with more than ``max_basket`` distinct items are discarded
     before pairing (quadratic guard); pairs below ``min_support`` baskets
     are dropped. Returns ``(item_a, item_b, pair_n, a_n, b_n, n_baskets)``.
+
+    Plan shape: ONE wide shuffle (groupBy basket → sorted distinct item
+    array), then pair / item / basket counting fused into a SINGLE
+    aggregation pass — each basket row emits its pair structs (a
+    higher-order array comprehension, no basket self-join), one
+    ``(item, NULL)`` mark per item, and one ``(NULL, NULL)`` basket
+    marker; one groupBy counts all three kinds at once. The aggregated
+    relation is catalog-sized (items × items upper bound), so the final
+    support-count joins are broadcasts over a persisted tiny table — the
+    raw relation is scanned exactly once no matter how many statistics
+    come out.
     """
-    b = F.col(basket_col)
-    items = df.select(b.alias("basket"), F.col(item_col).alias("item")).distinct()
-    sized = items.withColumn(
-        "bsize", F.count(F.lit(1)).over(Window.partitionBy("basket"))
-    ).filter(F.col("bsize") <= max_basket).drop("bsize")
-    left = sized.select("basket", F.col("item").alias("item_a"))
-    right = sized.select("basket", F.col("item").alias("item_b"))
-    pairs = (
-        left.join(right, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("pair_n"))
-        .filter(F.col("pair_n") >= min_support)
+    item_type = df.schema[item_col].dataType
+    null_item = F.lit(None).cast(item_type)
+    baskets = (
+        df.groupBy(F.col(basket_col).alias("basket"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("items"))
+        .filter(F.size("items") <= max_basket)
     )
-    item_n = sized.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
-    n_baskets = sized.select("basket").distinct().count()
+    # (items[i], items[j]) for i < j; slice() is 1-based, transform's index
+    # arg is 0-based, so the tail after element i starts at slice pos i+2.
+    pair_array = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + F.lit(2), F.size("items")),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    item_marks = F.transform(
+        "items", lambda x: F.struct(x.alias("item_a"), null_item.alias("item_b"))
+    )
+    basket_mark = F.array(F.struct(null_item.alias("item_a"), null_item.alias("item_b")))
+    counts = (
+        baskets.select(
+            F.explode(F.concat(pair_array, item_marks, basket_mark)).alias("p")
+        )
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    n_baskets = counts.filter(F.col("item_a").isNull()).collect()[0]["n"]
+    item_n = counts.filter(
+        F.col("item_a").isNotNull() & F.col("item_b").isNull()
+    ).select(F.col("item_a").alias("item"), "n")
+    pairs = counts.filter(
+        F.col("item_b").isNotNull() & (F.col("n") >= min_support)
+    ).withColumnRenamed("n", "pair_n")
     return (
-        pairs.join(item_n.select(F.col("item").alias("item_a"), F.col("n").alias("a_n")), "item_a")
-        .join(item_n.select(F.col("item").alias("item_b"), F.col("n").alias("b_n")), "item_b")
+        pairs.join(
+            F.broadcast(item_n.select(F.col("item").alias("item_a"), F.col("n").alias("a_n"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("item").alias("item_b"), F.col("n").alias("b_n"))),
+            "item_b",
+        )
         .select(
             "item_a", "item_b", "pair_n", "a_n", "b_n",
             F.lit(n_baskets).cast("long").alias("n_baskets"),
