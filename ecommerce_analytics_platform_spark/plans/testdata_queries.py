@@ -109,9 +109,12 @@ _NET_REVENUE_SQL = (
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark has no native type
-    for — read it as long (legacy conf) and floor-convert to microseconds,
-    exactly what DuckDB's ns→µs cast does, so oracle parity holds.
+    ``events.ts`` normalization is type-adaptive — the driver has shipped it
+    both as parquet TIMESTAMP(NANOS) (no native Spark type: read as long via
+    legacy conf, floor-divide to µs exactly like DuckDB's ns→µs cast) and as
+    TIMESTAMP(MICROS) isAdjustedToUTC=false (reads as TIMESTAMP_NTZ: cast to
+    session-tz TIMESTAMP, identity under the pinned UTC zone). Either way the
+    column downstream is a plain UTC TIMESTAMP matching the DuckDB oracle.
 
     The session timezone is pinned to UTC on every call: the driver may
     hand us an arbitrary session, and ``ts.cast(date)`` is tz-dependent in
@@ -121,7 +124,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":  # nanos-as-long era
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":  # timestamp_ntz (micros, no tz)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
