@@ -2745,6 +2745,234 @@ FROM s1 LEFT JOIN s2 ON s2.entity = s1.entity LEFT JOIN s3 ON s3.entity = s1.ent
 
 
 # ---------------------------------------------------------------------------
+# Round-3 coverage widening: relational reshaping (unpivot), full window-frame
+# surface, array set algebra, distributed graph triangle counting,
+# weight-proportional deterministic sampling, and mergeable-sketch rollups.
+# ---------------------------------------------------------------------------
+
+_KPI_METRICS = ["clicks", "views", "purchases", "signups", "errors"]
+_KPI_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_kpi_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long relational reshaping (melt): conditional-count pivot per
+    day, then ``DataFrame.unpivot`` back to (date, metric, n) — Spark's
+    Expand-based unpivot vs DuckDB's UNPIVOT. The long shape is what a
+    metrics store ingests; Expand emits all metric rows in one pass with no
+    shuffle beyond the day aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(m)
+            for m, t in zip(_KPI_METRICS, _KPI_TYPES)
+        ]
+    )
+    return wide.unpivot(["event_date"], _KPI_METRICS, "metric", "n")
+
+
+SQL_KPI_UNPIVOT = f"""
+WITH wide AS (
+    SELECT CAST(ts AS DATE) AS event_date,
+           {', '.join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {m}"
+                      for m, t in zip(_KPI_METRICS, _KPI_TYPES))}
+    FROM events GROUP BY 1
+)
+SELECT event_date, metric, n
+FROM wide UNPIVOT (n FOR metric IN ({', '.join(_KPI_METRICS)}))
+"""
+
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full window-frame surface over the per-user event stream:
+    first_value / last_value / nth_value with explicit ROWS frames plus
+    cume_dist — the remaining §2.6 window family beyond rank/lag/ntile.
+    The (ts, event_id) compound order key makes every pick deterministic
+    (no peer ties); cume_dist is an exact int/int double division, so the
+    doubles are bit-identical cross-engine without rounding."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 3)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grow = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.first("value").over(grow).alias("first_val"),
+        F.last("value").over(full).alias("last_val"),
+        F.nth_value("value", 3).over(grow).alias("third_val"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+SQL_WINDOW_FRAMES = """
+SELECT user_id, event_id, ts, value,
+       first_value(value) OVER w_grow AS first_val,
+       last_value(value)  OVER w_full AS last_val,
+       nth_value(value, 3) OVER w_grow AS third_val,
+       cume_dist() OVER w_ord AS cd
+FROM events
+WHERE user_id % 20 = 3
+WINDOW
+    w_ord  AS (PARTITION BY user_id ORDER BY ts, event_id),
+    w_grow AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra per user: distinct event-type sets for two halves
+    of the month (conditional collect_set), then array_intersect /
+    array_union / array_except cardinalities — churn/overlap analysis done
+    entirely in one hash aggregate + scan-local array ops (one shuffle;
+    the sets are bounded by the event-type vocabulary, not event count)."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    sets = ev.groupBy("user_id").agg(
+        F.array_distinct(
+            F.collect_list(F.when(F.col("ts") < cut, F.col("event_type")))
+        ).alias("w1"),
+        F.array_distinct(
+            F.collect_list(F.when(F.col("ts") >= cut, F.col("event_type")))
+        ).alias("w2"),
+    )
+    return sets.select(
+        "user_id",
+        F.size("w1").cast("long").alias("n_w1"),
+        F.size("w2").cast("long").alias("n_w2"),
+        F.size(F.array_intersect("w1", "w2")).cast("long").alias("n_common"),
+        F.size(F.array_union("w1", "w2")).cast("long").alias("n_union"),
+        F.size(F.array_except("w1", "w2")).cast("long").alias("n_only_w1"),
+    )
+
+
+SQL_ARRAY_SETOPS = """
+WITH a AS (
+    SELECT DISTINCT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-15'
+), b AS (
+    SELECT DISTINCT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+), j AS (
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END AS ina,
+           CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS inb
+    FROM a FULL OUTER JOIN b
+      ON a.user_id = b.user_id AND a.event_type = b.event_type
+)
+SELECT user_id,
+       CAST(sum(ina) AS BIGINT)             AS n_w1,
+       CAST(sum(inb) AS BIGINT)             AS n_w2,
+       CAST(sum(ina * inb) AS BIGINT)       AS n_common,
+       CAST(count(*) AS BIGINT)             AS n_union,
+       CAST(sum(ina * (1 - inb)) AS BIGINT) AS n_only_w1
+FROM j GROUP BY user_id
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the part co-purchase graph (same
+    sampled edge set as pagerank): ordered edges a<b only, two equi-joins
+    close the wedge — each triangle {a<b<c} counted exactly once, attributed
+    to its lowest node. The ordered-edge trick keeps the join fan-out at
+    O(E^1.5) worst case instead of 6× counting with undirected edges; at
+    scale the edge relation would be bucketed by src so both joins
+    co-partition."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e1.src") == F.col("e3.src")) & (F.col("e2.dst") == F.col("e3.dst")),
+        )
+        .groupBy(F.col("e1.src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH li AS (
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+), e AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT e1.src AS node, count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.dst = e2.src
+JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst
+GROUP BY e1.src
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling (priority sampling,
+    Duffield-Lund-Thorup): priority = uniform-hash / weight, keep the k
+    smallest — longer documents are proportionally more likely to be kept,
+    and the decision is a pure function of the key, so any cluster size or
+    re-run selects the same sample. The k-smallest is a distributed
+    TakeOrderedAndProject (per-partition top-k then merge), not a global
+    sort; the single division is IEEE-exact so both engines rank
+    identically."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pri = (portable_hash60(F.col("doc_id").cast("string")) / F.col("n_chars")).alias(
+        "priority"
+    )
+    top = docs.select("doc_id", "n_chars", pri).orderBy("priority", "doc_id").limit(100)
+    w = Window.orderBy("priority", "doc_id")
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars, priority, CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT doc_id, n_chars,
+           {portable_hash60_sql('doc_id')} / n_chars AS priority,
+           row_number() OVER (ORDER BY {portable_hash60_sql('doc_id')} / n_chars, doc_id) AS rk
+    FROM documents
+) t
+WHERE rk <= 100
+"""
+
+
+def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable-sketch rollup: per-day HLL sketches of the
+    distinct-user set (datasketches binary column), merged with
+    hll_union_agg into weekly uniques — THE pattern for distinct counts at
+    100 TB, where exact countDistinct needs a full shuffle of every key but
+    sketches reduce to a few KB per partition and merge associatively.
+    Estimates are engine-specific (rows-only check; accuracy vs exact is
+    pytest-asserted)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk")
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", F.col("d")).cast("date").alias("week_start"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"), F.lit(True))).alias(
+                "approx_users"
+            )
+        )
+        .orderBy("week_start")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2827,9 +3055,15 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "state_transitions": (q_state_transitions, SQL_STATE_TRANSITIONS),
     "status_intervals": (q_status_intervals, SQL_STATUS_INTERVALS),
     "funnel_ordered": (q_funnel_ordered, SQL_FUNNEL_ORDERED),
+    "kpi_unpivot": (q_kpi_unpivot, SQL_KPI_UNPIVOT),
+    "window_frames": (q_window_frames, SQL_WINDOW_FRAMES),
+    "array_setops": (q_array_setops, SQL_ARRAY_SETOPS),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
+    "sketch_merge": (q_sketch_merge, None),
     # rows-only (no SQL twin): deterministic-fake multimodal kernels
     "image_features": (q_image_features, None),
     "audio_features": (q_audio_features, None),

@@ -26,7 +26,7 @@ def test_oracle_keys_subset():
     # engine-specific sketches (error bounds asserted below)
     assert set(q) - set(o) == {
         "image_features", "audio_features", "video_frames",
-        "ann_lsh", "ann_ivf", "approx_sketches",
+        "ann_lsh", "ann_ivf", "approx_sketches", "sketch_merge",
     }
 
 
@@ -55,6 +55,32 @@ def test_approx_sketches_error_bounds(spark):
         ap = approx[et]
         assert abs(ap["approx_users"] - ex["users"]) <= max(0.05 * ex["users"], 2)
         assert abs(ap["value_quantiles"][0] - ex["p50"]) <= 0.1 * max(abs(ex["p50"]), 1.0)
+
+
+def test_sketch_merge_accuracy(spark):
+    """Weekly uniques from merged per-day HLL sketches within 5% of the
+    exact weekly countDistinct — validates the merge is lossless relative
+    to sketching the week directly (HLL union property)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_platform_spark.plans.testdata_queries import _t
+
+    approx = {
+        r["week_start"]: r["approx_users"]
+        for r in entrymod.queries()["sketch_merge"](spark, SF_DIR).collect()
+    }
+    ev = _t(spark, SF_DIR, "events")
+    exact = {
+        r["week_start"]: r["users"]
+        for r in ev.groupBy(
+            F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("week_start")
+        )
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for wk, ex in exact.items():
+        assert abs(approx[wk] - ex) <= max(0.05 * ex, 2)
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
