@@ -301,12 +301,22 @@ def pagerank_exact(
     shuffle agg on dst; lineage is truncated per round so the plan stays
     flat over many iterations.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # The edge relation is re-read 2x per iteration (contrib join + agg) and
+    # is often the product of an expensive upstream self-join — materialize
+    # it once; deg/nodes are iteration-invariant too. (At 100 TB: write the
+    # edge list to a bucketed table keyed on src so every iteration's join
+    # co-partitions with no exchange.)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     base = ((damp_den - damp_num) * scale) // damp_den
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint()

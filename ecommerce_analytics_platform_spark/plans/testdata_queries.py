@@ -1643,11 +1643,33 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    # top-5 per doc via hash-agg collect/sort/slice rather than a
+    # row_number window: replaces the per-doc sort shuffle with a partial-
+    # aggregating hash agg (measured 2.6 -> 1.9 s at sf0.1). Tie order
+    # matches the window version: (tfidf DESC, term ASC), term unique per
+    # doc so the struct sort is total.
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rk").cast("int").alias("rk"))
+        scored.groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct((-F.col("tfidf")).alias("neg"), "term", "tf", "df", "tfidf")
+                    )
+                ),
+                1,
+                5,
+            ).alias("top")
+        )
+        .select("doc_id", F.posexplode("top").alias("pos", "s"))
+        .select(
+            "doc_id",
+            F.col("s.term").alias("term"),
+            F.col("s.tf").alias("tf"),
+            F.col("s.df").alias("df"),
+            F.col("s.tfidf").alias("tfidf"),
+            (F.col("pos") + 1).cast("int").alias("rk"),
+        )
     )
 
 
