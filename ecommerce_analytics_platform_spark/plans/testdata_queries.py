@@ -2994,6 +2994,91 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: per-user trailing-1-hour moving
+    sum/count — the value-based frame family (§2.6), distinct from ROWS
+    frames (window_frames) and tumbling buckets (time_bucket_rollup). The
+    order key is epoch milliseconds (unix_millis ↔ epoch_ms, exact BIGINT
+    cross-engine); the moving double sum goes through the decimal trick so
+    frame-internal summation order can't flip a bit."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 7)
+    ms = F.unix_millis(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rangeBetween(-3_600_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        ms.alias("ts_ms"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("trail_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_1h_n"),
+    )
+
+
+SQL_RANGE_FRAME = """
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trail_1h_sum,
+       count(*) OVER w AS trail_1h_n
+FROM events
+WHERE user_id % 20 = 7
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (α = 0.5): per-source sampling
+    weights w_i ∝ p_i^α, the standard multi-source LLM-pretraining mix
+    (GPT-3/PaLM style upsampling of small high-quality sources). All float
+    steps are chosen for bit-exact cross-engine parity: p_i is one exact
+    double division, α = 0.5 uses IEEE-exact sqrt (not pow), the
+    normalizing sum runs in the decimal domain (order-independent), and the
+    final expected-document count is floored into an integer."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = n.select(F.sum("n_docs").alias("n_total"))
+    scored = n.crossJoin(F.broadcast(tot)).withColumn(
+        "sqrt_p_dec",
+        F.sqrt(F.col("n_docs") / F.col("n_total")).cast("decimal(20,12)"),
+    )
+    z = scored.select(F.sum("sqrt_p_dec").alias("z"))
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs") / F.col("n_total")).alias("p"),
+            (F.col("sqrt_p_dec").cast("double") / F.col("z").cast("double")).alias("weight"),
+            F.floor(
+                F.col("sqrt_p_dec").cast("double") / F.col("z").cast("double") * 10000
+            ).cast("long").alias("docs_per_10k"),
+        )
+    )
+
+
+SQL_SOURCE_MIX = """
+WITH n AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM n
+), scored AS (
+    SELECT source, n_docs, n_total,
+           CAST(sqrt(n_docs / CAST(n_total AS DOUBLE)) AS DECIMAL(20,12)) AS sqrt_p_dec
+    FROM n CROSS JOIN tot
+), z AS (
+    SELECT sum(sqrt_p_dec) AS z FROM scored
+)
+SELECT source, n_docs,
+       n_docs / CAST(n_total AS DOUBLE) AS p,
+       CAST(sqrt_p_dec AS DOUBLE) / CAST(z AS DOUBLE) AS weight,
+       CAST(floor(CAST(sqrt_p_dec AS DOUBLE) / CAST(z AS DOUBLE) * 10000) AS BIGINT)
+           AS docs_per_10k
+FROM scored CROSS JOIN z
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3082,6 +3167,8 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "array_setops": (q_array_setops, SQL_ARRAY_SETOPS),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "range_frame": (q_range_frame, SQL_RANGE_FRAME),
+    "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
