@@ -3079,6 +3079,64 @@ FROM scored CROSS JOIN z
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (per-vector max-abs scale) —
+    the 4× storage/bandwidth compression step before ANN at 100 TB
+    embedding scale. Every float op is IEEE-exact-deterministic (abs/max
+    fold, one multiply, one divide, floor(x+0.5) rounding — no
+    transcendentals), so the quantized codes are bit-identical
+    cross-engine; the array is emitted as an order-preserving fingerprint
+    (portable hash of the joined codes) plus exact integer sum so the
+    oracle comparison needs no array-repr canonicalization."""
+    from ecommerce_analytics_platform_spark.functions.text import with_materialized
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = with_materialized(emb, v, "v")
+    maxabs = F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    emb = with_materialized(emb, maxabs, "maxabs")
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("maxabs") == 0.0, F.lit(0))
+        .otherwise(F.floor(x * F.lit(127.0) / F.col("maxabs") + F.lit(0.5)))
+        .cast("long"),
+    )
+    emb = with_materialized(emb, q, "q")
+    return emb.select(
+        "vec_id",
+        "label",
+        (F.col("maxabs") / F.lit(127.0)).alias("qscale"),
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        portable_hash60(F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",")).alias(
+            "q_hash"
+        ),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = f"""
+WITH v AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), m AS (
+    SELECT vec_id, label, v,
+           list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+                       (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS maxabs
+    FROM v
+), q AS (
+    SELECT vec_id, label, maxabs,
+           list_transform(v, x -> CAST(CASE WHEN maxabs = 0.0 THEN 0
+                ELSE floor(x * 127.0 / maxabs + 0.5) END AS BIGINT)) AS q
+    FROM m
+)
+SELECT vec_id, label,
+       maxabs / 127.0 AS qscale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       {portable_hash60_sql("array_to_string(q, ',')")} AS q_hash
+FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3169,6 +3227,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "range_frame": (q_range_frame, SQL_RANGE_FRAME),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
