@@ -46,8 +46,12 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             # operators that self-join persist their shared input; drop those
-            # caches between queries so later timings don't absorb GC pressure
+            # caches between queries so later timings don't absorb GC pressure.
+            # clearCache() misses localCheckpoint RDD blocks (iterative ops) —
+            # unpersist every lingering RDD explicitly.
             spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
             if attempt >= 1 and best <= outlier_sec:
                 break
         timings[name] = round(best, 3)
