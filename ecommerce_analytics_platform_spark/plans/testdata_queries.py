@@ -3137,6 +3137,62 @@ FROM q
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability — the cheap
+    perplexity proxy used for corpus quality filtering (CCNet-style):
+    tokens scored against the corpus's own unigram distribution, low
+    average log-prob = rare-token-heavy / low-quality text. One token
+    shuffle (word count) + a broadcast-sized vocab join; per-token ln is
+    rounded to 6dp then decimal-summed so the per-doc aggregate is
+    summation-order-independent cross-engine (same recipe as tfidf_topk's
+    idf)."""
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).select(
+        "doc_id", F.lower("tok").alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.select(F.sum("cnt").alias("total"))
+    scored = (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "logp_dec",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("cnt") / F.col("total")), 6).cast("decimal(18,6)")
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        (F.sum("logp_dec").cast("double") / F.sum("tf")).alias("avg_logp"),
+    )
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    FROM documents WHERE trim(text) <> ''
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), vocab AS (
+    SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+), total AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab
+), scored AS (
+    SELECT tf.doc_id, tf.tf,
+           tf.tf * CAST(round(ln(vocab.cnt / CAST(total.total AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS logp_dec
+    FROM tf JOIN vocab USING (term) CROSS JOIN total
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(logp_dec) AS DOUBLE) / sum(tf) AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3228,6 +3284,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "range_frame": (q_range_frame, SQL_RANGE_FRAME),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),

@@ -87,6 +87,34 @@ def test_anti_join_rewrite(spark):
     assert "LeftAnti" in plan
 
 
+def test_weighted_sample_is_distributed_topk(spark):
+    """The k-smallest-priority sample must plan as TakeOrderedAndProject
+    (per-partition heaps merged on the driver), never a global sort."""
+    df = QUERIES["weighted_sample"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_unpivot_plans_as_expand(spark):
+    """DataFrame.unpivot must lower to one Expand over the aggregated wide
+    relation — N metric rows per input row in a single pass, no
+    self-union of N scans."""
+    df = QUERIES["kpi_unpivot"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Expand" in plan
+    # exactly one scan in the plan TREE (each node also reprints in the
+    # formatted detail section, hence the tree-prefix match)
+    assert plan.count("- Scan parquet") == 1
+
+
+def test_range_frame_is_value_based(spark):
+    """range_frame must carry a RANGE (value-based) window frame, not ROWS."""
+    df = QUERIES["range_frame"][0](spark, SF_DIR)
+    explained = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "specifiedwindowframe(RangeFrame" in explained
+
+
 def test_exchange_reuse_in_sessionize(spark):
     """sessionize_by_gap uses two windows over the same partitioning — the
     plan must contain exactly ONE shuffle on user_id, not two."""
