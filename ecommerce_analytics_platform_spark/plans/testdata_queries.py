@@ -3193,6 +3193,83 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature snapshot for purchase events — the
+    feature-store join discipline: every feature is computed strictly from
+    data at-or-before the label event's timestamp (no leakage). Two
+    feature families composed in one pass: a cumulative behavioral feature
+    (prior event count/value via a 1-preceding window over the SAME
+    user-partitioned shuffle the label filter reuses) and an as-of
+    dimensional feature (most recent order-day total, operators/asof.py —
+    union + window, never a range-join blowup)."""
+    from ecommerce_analytics_platform_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feats = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("prior_events"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w), F.lit(0).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("prior_value"),
+    ).filter(F.col("event_type") == "purchase")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+        )
+        .agg(_dec_sum("o_totalprice", 2).alias("day_total"))
+    )
+    out = asof_join(
+        feats.select("event_id", "user_id", "ts", "prior_events", "prior_value"),
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="order_ts",
+        right_payload=["day_total"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "prior_events", "prior_value",
+        F.col("day_total").alias("asof_day_total"),
+    )
+
+
+SQL_FEATURE_SNAPSHOT = f"""
+WITH feats AS (
+    SELECT event_id, user_id, ts, event_type,
+           count(*) OVER w AS prior_events,
+           CAST(coalesce(sum(CAST(value AS DECIMAL(18,4))) OVER w,
+                         CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS prior_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), purchases AS (
+    SELECT event_id, user_id, ts, prior_events, prior_value
+    FROM feats WHERE event_type = 'purchase'
+), day_orders AS (
+    SELECT o_custkey AS user_id,
+           CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+           {_dec_sum_sql('o_totalprice', 2)} AS day_total
+    FROM orders GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.ts, p.prior_events, p.prior_value,
+       o.day_total AS asof_day_total
+FROM purchases p
+ASOF LEFT JOIN day_orders o
+  ON p.user_id = o.user_id AND p.ts >= o.order_ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3285,6 +3362,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "feature_snapshot": (q_feature_snapshot, SQL_FEATURE_SNAPSHOT),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
