@@ -255,6 +255,11 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
     labels = e.select("u").distinct().withColumn("lbl", F.col("u")).localCheckpoint()
+    # Labels only ever DECREASE (least of self and min neighbor), so the
+    # label sum is strictly monotone until the fixpoint: comparing one
+    # cheap sum per round detects convergence without the old
+    # join-the-two-generations change scan (one agg job vs join+filter).
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     changed = 0
     try:
         for _ in range(max_iter):
@@ -263,16 +268,12 @@ def connected_components(
                 .groupBy("u")
                 .agg(F.min("nlbl").alias("nbr_lbl"))
             )
-            new_labels = labels.join(nbr, "u", "left").select(
+            labels = labels.join(nbr, "u", "left").select(
                 "u", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl")
             ).localCheckpoint()
-            changed = (
-                new_labels.join(labels.withColumnRenamed("lbl", "old"), "u")
-                .filter(F.col("lbl") != F.col("old"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
             if changed == 0:
                 break
     finally:

@@ -63,8 +63,9 @@ def main() -> None:
     events = _t(spark, sf_dir, "events")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _t(spark, sf_dir, "embeddings")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
 
-    def probes(ev, dc, em):
+    def probes(ev, dc, em, lin):
         from ecommerce_analytics_platform_spark.operators.dedup import (
             connected_components,
             minhash_lsh_pairs,
@@ -89,17 +90,38 @@ def main() -> None:
         )
         yield "ivf_topk", lambda: ivf_topk(em, em, "vec_id", "vec_id", "embedding", k=3)
 
+        def triangles():
+            e0 = lin.filter(F.col("l_orderkey") % 10 == 0)
+            a, b = e0.alias("a"), e0.alias("b")
+            edges = (
+                a.join(b, "l_orderkey")
+                .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+                .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+                .distinct()
+                .persist()
+            )
+            e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+            return (
+                e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+                .join(e3, (F.col("e1.src") == F.col("e3.src")) & (F.col("e2.dst") == F.col("e3.dst")))
+                .groupBy(F.col("e1.src").alias("node"))
+                .agg(F.count(F.lit(1)).alias("n_triangles"))
+            )
+
+        yield "triangle_count", triangles
+
     results: dict[str, list[float]] = {}
-    for scale, (ev, dc, em) in {
-        1: (events, docs, emb),
+    for scale, (ev, dc, em, lin) in {
+        1: (events, docs, emb, li),
         COPIES: (
             amplify(events, ["event_id", "user_id"]),
             amplify(docs, ["doc_id"], "text"),
             amplify(emb, ["vec_id"]),
+            amplify(li, ["l_orderkey", "l_partkey"]),
         ),
     }.items():
-        ev, dc, em = fan_out(ev), fan_out(dc), fan_out(em)
-        for name, build in probes(ev, dc, em):
+        ev, dc, em, lin = fan_out(ev), fan_out(dc), fan_out(em), fan_out(lin)
+        for name, build in probes(ev, dc, em, lin):
             best = min(timed(name, build) for _ in range(2))
             results.setdefault(name, []).append(best)
             print(f"{scale}x {name}: {best:.2f}s", flush=True)
