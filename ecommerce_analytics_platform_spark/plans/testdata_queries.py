@@ -1492,6 +1492,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb, "vec_id", "vec_id", "embedding", k=3, n_lists=16, n_probe=4)
 
 
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-score ANN: int8 codes (4× smaller broadcast/scan) score
+    the approximate pass, exact fp64 rerank of the surviving k×4
+    candidates. Rows-only (the candidate cut depends on float rounding);
+    agreement ≥95% with the exact path asserted in
+    tests/test_similarity.py."""
+    from ecommerce_analytics_platform_spark.operators.similarity import int8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return int8_topk(emb, emb, "vec_id", "vec_id", "embedding", k=3, rerank_factor=4)
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics: vector count, mean L2 norm — array
     higher-order aggregation (F.aggregate) feeding a groupBy."""
@@ -3309,6 +3321,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # sign boundaries; recall asserted vs the exact path in tests
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
+    "ann_int8": (q_ann_int8, None),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "time_bucket_rollup": (q_time_bucket_rollup, SQL_TIME_BUCKET_ROLLUP),

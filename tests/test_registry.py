@@ -26,7 +26,7 @@ def test_oracle_keys_subset():
     # engine-specific sketches (error bounds asserted below)
     assert set(q) - set(o) == {
         "image_features", "audio_features", "video_frames",
-        "ann_lsh", "ann_ivf", "approx_sketches", "sketch_merge",
+        "ann_lsh", "ann_ivf", "ann_int8", "approx_sketches", "sketch_merge",
     }
 
 

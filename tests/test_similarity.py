@@ -75,3 +75,20 @@ def test_lsh_bucketed_is_subset_quality(spark, emb):
     assert len(approx) > 0
     for r in approx:
         assert r["cosine"] <= best[r["qid"]] + 1e-9
+
+
+def test_int8_rerank_matches_exact_topk(spark, emb):
+    """Quantized-score + exact-rerank must reproduce the exact BLAS top-k
+    nearly everywhere at rerank_factor=4 (int8 rounding can only lose a
+    true neighbor when it falls outside the 4k candidate cut)."""
+    from ecommerce_analytics_platform_spark.operators.similarity import int8_topk
+
+    small = emb.limit(200).cache()
+    exact = {(r["qid"], r["rank"]): r["cid"] for r in
+             cosine_topk_blas(small, small, "vec_id", "vec_id", "embedding", k=3).collect()}
+    quant = {(r["qid"], r["rank"]): r["cid"] for r in
+             int8_topk(small, small, "vec_id", "vec_id", "embedding", k=3,
+                       rerank_factor=4).collect()}
+    assert set(q for q, _ in quant) == set(q for q, _ in exact)
+    agree = sum(quant[key] == cid for key, cid in exact.items()) / len(exact)
+    assert agree >= 0.95, agree
