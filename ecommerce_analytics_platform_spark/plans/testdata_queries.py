@@ -3282,6 +3282,57 @@ ASOF LEFT JOIN day_orders o
 """
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the user's
+    most recent preceding non-purchase event's type (the marketing-channel
+    stand-in); purchases with no prior touch go to 'direct'. As-of
+    (union + window, one user-keyed shuffle) → channel rollup. Touches are
+    deduped to one per (user, instant) so as-of ties are deterministic."""
+    from ecommerce_analytics_platform_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("touch_ts"), F.col("event_type").alias("channel"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    att = asof_join(
+        purchases, touches, key="user_id", left_ts="ts", right_ts="touch_ts",
+        right_payload=["channel"],
+    )
+    return (
+        att.groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _dec_sum("value", 2).alias("attributed_value"),
+        )
+    )
+
+
+SQL_ATTRIBUTION = f"""
+WITH t AS (
+    SELECT user_id, ts, event_type,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type <> 'purchase'
+), tu AS (
+    SELECT user_id, ts AS touch_ts, event_type AS channel FROM t WHERE rn = 1
+), p AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT coalesce(tu.channel, 'direct') AS channel,
+       count(*) AS n_purchases,
+       {_dec_sum_sql('p.value', 2)} AS attributed_value
+FROM p ASOF LEFT JOIN tu
+  ON p.user_id = tu.user_id AND p.ts >= tu.touch_ts
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3376,6 +3427,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "feature_snapshot": (q_feature_snapshot, SQL_FEATURE_SNAPSHOT),
+    "attribution": (q_attribution, SQL_ATTRIBUTION),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
