@@ -3333,6 +3333,56 @@ GROUP BY 1
 """
 
 
+def q_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup POLICY on top of near-dup clustering: per cluster keep the
+    highest-quality member (longest document, doc_id tiebreak) rather than
+    the arbitrary min-id — what a real corpus dedup ships. One window over
+    the cluster assignment (already shuffled on component) picks keeper and
+    member count in the same pass."""
+    from ecommerce_analytics_platform_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
+    members = (
+        connected_components(pairs, "id_a", "id_b")
+        .join(docs.select(F.col("doc_id").alias("node"), "n_chars"), "node")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("node"))
+    wc = Window.partitionBy("component")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("node").alias("keeper_doc_id"),
+            "n_docs",
+            F.col("n_chars").alias("kept_n_chars"),
+        )
+    )
+
+
+def _cluster_keepers_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    base = _neardup_clusters_sql(num_hashes, bands).strip()
+    # reuse the recursive-CTE cluster twin as a subquery, add the keeper pick
+    return f"""
+WITH clusters AS (
+{base}
+)
+SELECT cluster_id, keeper_doc_id, n_docs, kept_n_chars
+FROM (
+    SELECT c.cluster_id,
+           c.doc_id AS keeper_doc_id,
+           count(*) OVER (PARTITION BY c.cluster_id) AS n_docs,
+           d.n_chars AS kept_n_chars,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+    FROM clusters c JOIN documents d USING (doc_id)
+) t
+WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3428,6 +3478,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "feature_snapshot": (q_feature_snapshot, SQL_FEATURE_SNAPSHOT),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
+    "cluster_keepers": (q_cluster_keepers, _cluster_keepers_sql()),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
