@@ -216,12 +216,35 @@ def minhash_struct(text: Column | str, num_hashes: int = 16, shingle_n: int = 3)
     )
 
 
+def shingle_bases(df, id_col: str, text_col: str, shingle_n: int = 3):
+    """``(__id, __bases)``: per-document hashed-shingle arrays — stage 1 of
+    the MinHash pipeline, reusable by exact-Jaccard verification (Jaccard
+    over 60-bit shingle hashes equals Jaccard over the raw shingles —
+    md5 is identical cross-engine, and a within-pair collision is both
+    astronomically unlikely and engine-symmetric). fan_out BEFORE the
+    shingle+md5 projection: that projection is the CPU-heavy stage and
+    must not run inside a single scan task."""
+    from ecommerce_analytics_platform_spark.session import fan_out
+
+    return (
+        fan_out(df.select(F.col(id_col).alias("__id"), F.col(text_col)))
+        .select(
+            "__id",
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n), portable_hash60
+            ).alias("__bases"),
+        )
+        .filter(F.size("__bases") > 0)
+    )
+
+
 def minhash_table(
     df,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
     shingle_n: int = 3,
+    based=None,
 ):
     """MinHash signature table ``(__id, mh0..mh{k-1})`` — the fast path.
 
@@ -241,15 +264,10 @@ def minhash_table(
     import pandas as pd
 
     from ecommerce_analytics_platform_spark.functions.compat import minhash_seeds
-    from ecommerce_analytics_platform_spark.session import fan_out
 
     seeds = minhash_seeds(num_hashes)
-    # fan_out BEFORE the shingle+md5 projection: that projection is the
-    # CPU-heavy stage and must not run inside a single scan task
-    based = fan_out(df.select(F.col(id_col).alias("__id"), F.col(text_col))).select(
-        "__id",
-        F.transform(word_shingles(F.col(text_col), shingle_n), portable_hash60).alias("__bases"),
-    ).filter(F.size("__bases") > 0)
+    if based is None:
+        based = shingle_bases(df, id_col, text_col, shingle_n)
 
     P = np.uint64((1 << 61) - 1)
     M30 = np.uint64((1 << 30) - 1)

@@ -135,6 +135,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    based: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -154,7 +155,7 @@ def minhash_lsh_pairs(
     # without it the whole shingle+hash pipeline runs twice (measured 2x).
     # At 100 TB this persist becomes an intermediate table / DISK_ONLY
     # checkpoint.
-    sig_df = minhash_table(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sig_df = minhash_table(df, id_col, text_col, num_hashes, shingle_n, based=based).persist()
 
     def band_struct(b: int) -> Column:
         cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]

@@ -905,20 +905,21 @@ GROUP BY 1, 2
 def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates → exact n-gram Jaccard verification — the full
     production near-dup composition (candidate generation never goes
-    quadratic; the exact check runs only on collided pairs)."""
-    docs = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4).select(
-        "id_a", "id_b"
-    )
-    from ecommerce_analytics_platform_spark.functions.text import word_shingles
+    quadratic; the exact check runs only on collided pairs). The hashed-
+    shingle arrays are computed ONCE (text.shingle_bases, persisted) and
+    shared by both the MinHash signatures and the exact Jaccard: Jaccard
+    over 60-bit shingle hashes equals Jaccard over the raw shingles, and
+    md5 is engine-identical so the oracle twin intersects the same hashed
+    lists."""
+    from ecommerce_analytics_platform_spark.functions.text import shingle_bases
 
-    # persist: the pair join reads the shingle sets from BOTH sides
-    sh = (
-        docs.select(
-            F.col("doc_id"), F.array_distinct(word_shingles(F.col("text"), 3)).alias("ds")
-        )
-        .filter(F.size("ds") > 0)
-        .persist()
+    docs = _t(spark, sf_dir, "documents")
+    based = shingle_bases(docs, "doc_id", "text", 3).persist()
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, based=based
+    ).select("id_a", "id_b")
+    sh = based.select(
+        F.col("__id").alias("doc_id"), F.array_distinct("__bases").alias("ds")
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("ds").alias("ds_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("ds").alias("ds_b"))
@@ -946,7 +947,7 @@ cand AS (
     FROM buckets l JOIN buckets r
       ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
 ), dsets AS (
-    SELECT doc_id, list_distinct(sh) AS ds FROM shingled WHERE len(sh) > 0
+    SELECT doc_id, list_distinct(bases) AS ds FROM based
 )
 SELECT id_a, id_b,
        round(len(list_intersect(a.ds, b.ds))
