@@ -3384,6 +3384,72 @@ WHERE rn = 1
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the two halves of
+    the month — the standard drift monitor for feature/data-quality gates
+    (PSI > 0.2 = investigate). Fixed-width bins on value, exact integer
+    counts, Laplace-smoothed exact-double fractions, per-bin
+    (p1-p2)·ln(p1/p2) rounded then decimal-summed — the same cross-engine
+    float recipe as unigram_logprob. One scan, one (event_type, bin)
+    aggregate, one event_type rollup."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    bin_ = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int")
+    per_bin = (
+        ev.select(
+            "event_type",
+            bin_.alias("bin"),
+            F.when(F.col("ts") < cut, 1).otherwise(0).alias("w1"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("w1").alias("n1"),
+            F.sum(F.lit(1) - F.col("w1")).alias("n2"),
+        )
+    )
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2"), F.count(F.lit(1)).alias("nb")
+    )
+    j = per_bin.join(tot, "event_type")
+    # Laplace smoothing keeps empty bins finite and is exact: (n+1)/(t+nb)
+    p1 = (F.col("n1") + F.lit(1)) / (F.col("t1") + F.col("nb"))
+    p2 = (F.col("n2") + F.lit(1)) / (F.col("t2") + F.col("nb"))
+    term = F.round((p1 - p2) * F.log(p1 / p2), 6).cast("decimal(18,6)")
+    return (
+        j.select("event_type", term.alias("term"))
+        .groupBy("event_type")
+        .agg(F.sum("term").cast("double").alias("psi"))
+    )
+
+
+SQL_PSI_DRIFT = """
+WITH b AS (
+    SELECT event_type,
+           CAST(CASE WHEN floor(value / 50.0) > 9 THEN 9
+                     ELSE floor(value / 50.0) END AS INTEGER) AS bin,
+           CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS w1
+    FROM events
+), per_bin AS (
+    SELECT event_type, bin,
+           CAST(sum(w1) AS BIGINT) AS n1,
+           CAST(sum(1 - w1) AS BIGINT) AS n2
+    FROM b GROUP BY 1, 2
+), tot AS (
+    SELECT event_type, CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2,
+           count(*) AS nb
+    FROM per_bin GROUP BY 1
+)
+SELECT p.event_type,
+       CAST(sum(CAST(round(((p.n1 + 1) / CAST(t.t1 + t.nb AS DOUBLE)
+                            - (p.n2 + 1) / CAST(t.t2 + t.nb AS DOUBLE))
+                           * ln(((p.n1 + 1) / CAST(t.t1 + t.nb AS DOUBLE))
+                                / ((p.n2 + 1) / CAST(t.t2 + t.nb AS DOUBLE))), 6)
+                AS DECIMAL(18,6))) AS DOUBLE) AS psi
+FROM per_bin p JOIN tot t USING (event_type)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3480,6 +3546,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "feature_snapshot": (q_feature_snapshot, SQL_FEATURE_SNAPSHOT),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "cluster_keepers": (q_cluster_keepers, _cluster_keepers_sql()),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     # rows-only: sketch internals are engine-specific by design; error
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
