@@ -167,3 +167,44 @@ def test_stream_stream_join_matches_batch(spark, stream_lake, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_static_broadcast_enrichment(spark, stream_lake, tmp_path):
+    """Stream-static join: the streaming clickstream enriched against a
+    broadcast static dimension (device → tier). No watermark needed —
+    static side is fixed per micro-batch; the plan must broadcast it."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_analytics_platform_spark.sources.ndjson import read_clickstream_raw
+    from ecommerce_analytics_platform_spark.sources.schemas import CLICKSTREAM_RAW_SCHEMA
+
+    dim = spark.createDataFrame(
+        [("mobile", "m-tier"), ("desktop", "d-tier"), ("tablet", "t-tier")],
+        "device string, tier string",
+    )
+    stream = (
+        spark.readStream.schema(CLICKSTREAM_RAW_SCHEMA)
+        .json(str(stream_lake / "raw"))
+        .join(F.broadcast(dim), "device", "left")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stream_static")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sstat"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["tier"]: r["n"] for r in spark.sql("SELECT * FROM t_stream_static").collect()}
+
+    batch = (
+        read_clickstream_raw(spark, str(stream_lake / "raw"))
+        .join(F.broadcast(dim), "device", "left")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = {r["tier"]: r["n"] for r in batch.collect()}
+    assert got == expected and sum(got.values()) > 0
