@@ -286,8 +286,96 @@ def connected_components(
             f"connected_components did not converge within max_iter={max_iter} "
             "iterations; returned labels may split duplicate clusters. "
             "Raise max_iter (rounds needed = graph diameter) or switch to "
-            "large-star/small-star contraction for long-chain graphs.",
+            "connected_components_star (large-star/small-star contraction, "
+            "O(log^2 n) rounds) for long-chain graphs.",
             RuntimeWarning,
             stacklevel=2,
         )
     return labels.select(F.col("u").alias("node"), F.col("lbl").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components by large-star/small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the long-diameter companion to :func:`connected_components`.
+
+    Min-label propagation needs O(diameter) rounds: a 10⁶-node chain needs
+    10⁶ rounds. Star contraction converges in O(log² n) rounds on ANY
+    graph shape by rewiring neighborhoods instead of propagating labels:
+
+    - **large-star** (per node u): connect every strictly-larger neighbor
+      to m = min(Γ(u) ∪ {u});
+    - **small-star** (per node u): connect every smaller-or-equal neighbor
+      (and u itself) to that minimum.
+
+    Each half-round is one groupBy-min + one self-join-free re-emit — the
+    same single-shuffle-per-round budget as min-label, so the 100 TB cost
+    model is unchanged; only the round COUNT improves on chainy graphs.
+    Fixpoint: the edge multiset stabilizes into stars centered at each
+    component's minimum node; detected via the monotonically decreasing
+    (n_edges, sum_dst) pair. Output matches ``connected_components``:
+    ``(node, component)``, component = min node id reachable.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+
+    def canon(df: DataFrame) -> DataFrame:
+        # undirected edge set, canonical u > v orientation (u attaches to v)
+        return (
+            df.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+
+    cur = canon(e).localCheckpoint()
+    stats = cur.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).collect()[0]
+    prev = (stats["n"], stats["s"])
+    for _ in range(max_rounds):
+        # ---- large-star: neighbors strictly larger than u attach to min ----
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        cur = canon(ls.union(cur)).localCheckpoint()
+        # ---- small-star: neighbors <= u (canonical orientation) attach ----
+        mins2 = (
+            cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .groupBy("u")
+            .agg(F.min("v").alias("mn"))
+        )
+        mins2 = mins2.select("u", F.least("mn", F.col("u")).alias("m"))
+        ss = (
+            cur.join(mins2, "u")  # canonical: v <= u already
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(cur.join(mins2, "u").select("u", F.col("m").alias("v")))
+        )
+        cur = canon(ss).localCheckpoint()
+        st = cur.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()[0]
+        now = (st["n"], st["s"])
+        if now == prev:
+            break
+        prev = now
+    # components: every non-center node has exactly one star edge to the
+    # center (the component min); centers label themselves
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    lbl = cur.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    return nodes.join(lbl, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )

@@ -1,0 +1,48 @@
+"""Large-star/small-star CC must agree with min-label propagation —
+including on the long-chain shape where min-label's round count explodes."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ecommerce_analytics_platform_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _labels(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_star_matches_minlabel_on_random_graph(spark):
+    rng = random.Random(11)
+    pairs = [(rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges_df(spark, pairs)
+    assert _labels(connected_components_star(e)) == _labels(connected_components(e))
+
+
+def test_star_converges_on_long_chain_in_log_rounds(spark):
+    """A 200-node chain has diameter 199 — min-label would need ~199
+    rounds; star contraction must finish inside max_rounds=20 (O(log² n))
+    and still label every node with the chain minimum."""
+    chain = [(i, i + 1) for i in range(200)]
+    got = _labels(connected_components_star(_edges_df(spark, chain), max_rounds=20))
+    assert set(got) == set(range(201))
+    assert all(lbl == 0 for lbl in got.values())
+
+
+def test_star_handles_disjoint_components_and_self_loops(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 10), (5, 5), (20, 21)]
+    got = _labels(connected_components_star(_edges_df(spark, pairs)))
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == 20
+    assert 5 not in got  # self-loop-only node has no edges after filtering
