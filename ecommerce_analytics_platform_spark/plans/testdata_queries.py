@@ -3334,6 +3334,23 @@ GROUP BY 1
 """
 
 
+def q_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster contract as neardup_clusters, computed by large-star/
+    small-star contraction (operators/dedup.py::connected_components_star,
+    Kiveris SoCC'14) instead of min-label propagation — O(log²n) rounds on
+    any graph shape, so the same oracle doubles as a cross-algorithm
+    equivalence check."""
+    from ecommerce_analytics_platform_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
+    return connected_components_star(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def q_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup POLICY on top of near-dup clustering: per cluster keep the
     highest-quality member (longest document, doc_id tiebreak) rather than
@@ -3481,6 +3498,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "neardup_pairs": (q_neardup_pairs, _neardup_sql()),
     "neardup_verified": (q_neardup_verified, _neardup_verified_sql()),
     "neardup_clusters": (q_neardup_clusters, _neardup_clusters_sql()),
+    "neardup_clusters_star": (q_neardup_clusters_star, _neardup_clusters_sql()),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
