@@ -65,10 +65,10 @@ def main():
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:
+        queries = {n: f for n, f in queries.items() if n in only}
     failures = []
     for name, fn in queries.items():
-        if only and name not in only:
-            continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
