@@ -117,3 +117,28 @@ def test_minhash_table_matches_struct_fold(spark, texts):
         for r in slow_df.collect()
     }
     assert fast == slow
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_star_cc_equals_minlabel_cc(spark, pairs):
+    """Star contraction and min-label propagation are different algorithms
+    with the same contract — equal component assignments on ANY graph."""
+    from ecommerce_analytics_platform_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    lbl = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    star = {r["node"]: r["component"] for r in connected_components_star(e).collect()}
+    assert lbl == star
