@@ -128,6 +128,36 @@ def dedup_against_corpus(
     )
 
 
+def lsh_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    based: DataFrame | None = None,
+) -> DataFrame:
+    """``(__id, band, bucket)`` LSH band-bucket membership — the shared
+    candidate-generation primitive behind corpus self-dedup
+    (:func:`minhash_lsh_pairs`) and incremental batch-vs-corpus dedup
+    (:func:`neardup_against_corpus`). Persisted: every consumer joins it
+    at least twice. Documents with zero shingles are unsignable and
+    excluded (same contract as ``minhash_table``)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig_df = minhash_table(df, id_col, text_col, num_hashes, shingle_n, based=based).persist()
+
+    def band_struct(b: int) -> Column:
+        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        bucket = portable_hash60(F.concat_ws("_", *[c.cast("string") for c in cols]))
+        return F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+
+    # one row per (doc, band) via a single explode — no N-way union
+    return sig_df.select(
+        "__id", F.explode(F.array(*[band_struct(b) for b in range(bands)])).alias("bb")
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -147,25 +177,15 @@ def minhash_lsh_pairs(
     meet if they collide in ≥1 band, so the join never goes quadratic.
     Output: id_a, id_b, n_bands (how many bands collided).
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     # vectorized signature table (numpy Carter-Wegman family — one md5 per
     # shingle JVM-side, k hashes + segment-min in one Arrow pass). persist()
     # because the LSH self-join reads the signatures from BOTH sides —
     # without it the whole shingle+hash pipeline runs twice (measured 2x).
     # At 100 TB this persist becomes an intermediate table / DISK_ONLY
     # checkpoint.
-    sig_df = minhash_table(df, id_col, text_col, num_hashes, shingle_n, based=based).persist()
-
-    def band_struct(b: int) -> Column:
-        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
-        bucket = portable_hash60(F.concat_ws("_", *[c.cast("string") for c in cols]))
-        return F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
-
-    # one row per (doc, band) via a single explode — no N-way union
-    buckets = sig_df.select(
-        "__id", F.explode(F.array(*[band_struct(b) for b in range(bands)])).alias("bb")
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = lsh_band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n, based=based
+    )
 
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -183,6 +203,55 @@ def minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
     return pairs
+
+
+def neardup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-dup: LSH band-buckets of the incoming batch joined
+    against the corpus's buckets — the MinHash companion to the exact
+    :func:`dedup_against_corpus`. A continuously-ingesting corpus keeps its
+    band-bucket table materialized (bucketed on (band, bucket)); each delta
+    batch computes its own buckets (map-only over the delta) and one
+    bucket-key join surfaces candidates — the corpus text is never
+    re-shingled, and the join is bounded by bucket collisions, never
+    |delta| × |corpus|.
+
+    Output, one row per signable incoming doc: ``(id_col, n_candidates,
+    matched_doc_id)`` — the distinct colliding corpus docs and the smallest
+    such id (null = no collision ⇒ the doc is near-dup-fresh).
+    """
+    nb = lsh_band_buckets(new_docs, id_col, text_col, num_hashes, bands, shingle_n)
+    cb = lsh_band_buckets(corpus, id_col, text_col, num_hashes, bands, shingle_n)
+    cand = (
+        nb.alias("i")
+        .join(
+            cb.alias("c"),
+            on=[
+                F.col("i.band") == F.col("c.band"),
+                F.col("i.bucket") == F.col("c.bucket"),
+            ],
+        )
+        .select(F.col("i.__id").alias("__id"), F.col("c.__id").alias("corpus_doc"))
+        .distinct()
+    )
+    return (
+        nb.select("__id")
+        .distinct()
+        .join(cand, "__id", "left")
+        .groupBy("__id")
+        .agg(
+            F.count("corpus_doc").alias("n_candidates"),
+            F.min("corpus_doc").alias("matched_doc_id"),
+        )
+        .select(F.col("__id").alias(id_col), "n_candidates", "matched_doc_id")
+    )
 
 
 def jaccard_ngram_pairs(

@@ -3467,6 +3467,48 @@ GROUP BY 1
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion: the incoming delta (doc_id % 10 ==
+    7) LSH-banded against the existing corpus's band-bucket table — the
+    MinHash companion to incremental_dedup's exact fingerprints. The
+    corpus is never re-shingled per batch at scale (its buckets persist as
+    a bucketed table); here both sides derive from the same documents
+    table for the oracle."""
+    from ecommerce_analytics_platform_spark.operators.dedup import neardup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return neardup_against_corpus(incoming, corpus, "doc_id", "text", 16, 4)
+
+
+def _incremental_neardup_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    return f"""
+WITH shingled AS (
+    SELECT doc_id, ({_SHINGLES_SQL}) AS sh FROM documents
+), based AS (
+    SELECT doc_id, {_BASES_SQL} AS bases FROM shingled WHERE len(sh) > 0
+), sigs AS (
+    SELECT doc_id, {_mh_cols_sql(num_hashes)} FROM based
+), buckets AS ({_band_rows_sql(num_hashes, bands)}),
+bin AS (
+    SELECT * FROM buckets WHERE doc_id % 10 = 7
+), bcorp AS (
+    SELECT * FROM buckets WHERE doc_id % 10 <> 7
+), cand AS (
+    SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corpus_doc
+    FROM bin i JOIN bcorp c ON i.band = c.band AND i.bucket = c.bucket
+), alln AS (
+    SELECT DISTINCT doc_id FROM bin
+)
+SELECT a.doc_id,
+       CAST(count(cand.corpus_doc) AS BIGINT) AS n_candidates,
+       min(cand.corpus_doc) AS matched_doc_id
+FROM alln a LEFT JOIN cand USING (doc_id)
+GROUP BY a.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3544,6 +3586,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "pagerank": (q_pagerank, _pagerank_sql()),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "incremental_neardup": (q_incremental_neardup, _incremental_neardup_sql()),
     "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),
     "late_suppliers": (q_late_suppliers, SQL_LATE_SUPPLIERS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
