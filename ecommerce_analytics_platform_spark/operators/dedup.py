@@ -329,7 +329,10 @@ def connected_components(
     # label sum is strictly monotone until the fixpoint: comparing one
     # cheap sum per round detects convergence without the old
     # join-the-two-generations change scan (one agg job vs join+filter).
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    # Sum in decimal(38,0): a plain int64 sum of 60-bit labels wraps
+    # silently in non-ANSI mode, making "sum unchanged" only probabilistic.
+    label_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).collect()[0][0]
     changed = 0
     try:
         for _ in range(max_iter):
@@ -341,7 +344,7 @@ def connected_components(
             labels = labels.join(nbr, "u", "left").select(
                 "u", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl")
             ).localCheckpoint()
-            new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            new_sum = labels.agg(label_sum).collect()[0][0]
             changed = 0 if new_sum == prev_sum else 1
             prev_sum = new_sum
             if changed == 0:
@@ -390,6 +393,9 @@ def connected_components_star(
     (n_edges, sum_dst) pair. Output matches ``connected_components``:
     ``(node, component)``, component = min node id reachable.
     """
+    all_nodes = edges.select(F.col(src).alias("node")).union(
+        edges.select(F.col(dst).alias("node"))
+    ).distinct()
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
@@ -403,11 +409,21 @@ def connected_components_star(
             .distinct()
         )
 
+    # digest = (edge count, decimal-exact sum(u), sum(v)): a cheap per-round
+    # fingerprint. Distinct edge sets CAN collide on any fixed digest, so a
+    # digest match is only a trigger for the exact set-equality check below
+    # (count equality + one-direction anti-join) — never the stop condition
+    # itself.
+    digest_aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+    ]
     cur = canon(e).localCheckpoint()
-    stats = cur.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
-    ).collect()[0]
-    prev = (stats["n"], stats["s"])
+    stats = cur.agg(*digest_aggs).collect()[0]
+    prev = (stats["n"], stats["su"], stats["sv"])
+    prev_df = cur
+    converged = False
     for _ in range(max_rounds):
         # ---- large-star: neighbors strictly larger than u attach to min ----
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -432,19 +448,31 @@ def connected_components_star(
             .union(cur.join(mins2, "u").select("u", F.col("m").alias("v")))
         )
         cur = canon(ss).localCheckpoint()
-        st = cur.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()[0]
-        now = (st["n"], st["s"])
+        st = cur.agg(*digest_aggs).collect()[0]
+        now = (st["n"], st["su"], st["sv"])
         if now == prev:
-            break
+            # digests agree — confirm with the exact check: equal counts +
+            # empty (prev \ cur) means the distinct sets are identical.
+            if prev_df.join(cur, ["u", "v"], "left_anti").isEmpty():
+                converged = True
+                break
         prev = now
+        prev_df = cur
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not converge within "
+            f"max_rounds={max_rounds}; returned labels may split clusters. "
+            "Raise max_rounds (O(log^2 n) rounds suffice for any graph).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # components: every non-center node has exactly one star edge to the
-    # center (the component min); centers label themselves
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-    )
+    # center (the component min); centers label themselves. Nodes are drawn
+    # from the UNFILTERED edge list so self-loop-only nodes still get a
+    # (node, node) label — same contract as connected_components.
     lbl = cur.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
-    return nodes.join(lbl, "node", "left").select(
+    return all_nodes.join(lbl, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )

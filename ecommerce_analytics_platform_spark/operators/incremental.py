@@ -136,18 +136,62 @@ def swap_into_place(target_path: str, tmp_path: str) -> None:
     shutil.rmtree(old_path, ignore_errors=True)
 
 
+def _partition_leaf_dirs(root: str, depth: int) -> list[str]:
+    """Relative paths of ``col=value`` partition leaf directories exactly
+    ``depth`` levels under ``root`` (hive layout as written by Spark)."""
+    out: list[str] = []
+
+    def rec(cur: str, d: int) -> None:
+        if d == depth:
+            out.append(os.path.relpath(cur, root))
+            return
+        for name in sorted(os.listdir(cur)):
+            p = os.path.join(cur, name)
+            if os.path.isdir(p) and "=" in name:
+                rec(p, d + 1)
+
+    rec(root, 0)
+    return out
+
+
 def merge_delete_insert(
     spark,
     target_path: str,
     new_batch: DataFrame,
     unique_key: list[str],
     partition_by: list[str] | None = None,
+    prune_partitions: bool = True,
 ) -> None:
-    """delete+insert merge into a parquet directory (atomic dir swap).
+    """delete+insert merge into a parquet directory.
 
-    First write (no target): plain create. Otherwise: keep target rows whose
-    ``unique_key`` does NOT appear in the new batch (left-anti, broadcast
-    new-batch keys), union the new batch, write fresh, swap.
+    First write (no target): plain create. Un-partitioned target: keep
+    target rows whose ``unique_key`` does NOT appear in the new batch
+    (left-anti, broadcast new-batch keys), union the new batch, write
+    fresh, atomic dir swap.
+
+    Partitioned target with ``prune_partitions`` (default): replaceWhere
+    semantics — ONLY the partitions the new batch touches are read,
+    merged, and swapped; every other partition directory is left
+    physically untouched. At 100 TB this is the difference between a
+    1-day batch rewriting 1 day and rewriting 36 months. The affected
+    partition values come from one distinct-collect over the (small)
+    batch; the target scan filters on them, so Catalyst partition-prunes
+    the read to the same directories being replaced.
+
+    CONTRACT for the pruned path: a row's partition value must be stable
+    across versions of the same key (the standard replaceWhere
+    assumption — an ``event_date`` derived from the event itself is; a
+    mutable status column is not). If keys can migrate between
+    partitions, pass ``prune_partitions=False`` to get the whole-table
+    delete+insert.
+
+    Crash safety: the un-pruned path keeps the single atomic-swap window
+    repaired by :func:`recover_swap`. The pruned path swaps one partition
+    directory at a time — a crash mid-loop leaves a readable table where
+    each affected partition is either fully old or fully new; replaying
+    the same batch (the caller's retry semantics, e.g. the streaming
+    checkpoint in ``continuous_pipeline``) converges because delete+insert
+    is idempotent per partition.
     """
     recover_swap(target_path)
 
@@ -162,6 +206,42 @@ def merge_delete_insert(
 
     target = spark.read.parquet(target_path)
     keys = new_batch.select(*unique_key).distinct()
+
+    if partition_by and prune_partitions:
+        import functools
+
+        part_vals = new_batch.select(*partition_by).distinct().collect()
+        if not part_vals:
+            return  # empty batch: nothing to merge
+        pred = functools.reduce(
+            lambda a, b: a | b,
+            [
+                functools.reduce(
+                    lambda a, b: a & b,
+                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+                )
+                for r in part_vals
+            ],
+        )
+        affected = target.filter(pred)  # partition-pruned scan
+        kept = affected.join(F.broadcast(keys), on=unique_key, how="left_anti")
+        merged = kept.select(*writer_cols).unionByName(new_batch)
+
+        tmp_path = f"{target_path}__ptmp_{uuid.uuid4().hex[:8]}"
+        trash_path = f"{target_path}__ptrash_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp_path)
+        try:
+            for rel in _partition_leaf_dirs(tmp_path, len(partition_by)):
+                live = os.path.join(target_path, rel)
+                if os.path.isdir(live):
+                    os.renames(live, os.path.join(trash_path, rel))
+                os.makedirs(os.path.dirname(live), exist_ok=True)
+                os.rename(os.path.join(tmp_path, rel), live)
+        finally:
+            shutil.rmtree(tmp_path, ignore_errors=True)
+            shutil.rmtree(trash_path, ignore_errors=True)
+        return
+
     kept = target.join(F.broadcast(keys), on=unique_key, how="left_anti")
     merged = kept.select(*writer_cols).unionByName(new_batch)
 

@@ -38,6 +38,59 @@ def normalize(df: DataFrame, vec_col: str, out_col: str = "__nvec") -> DataFrame
     return df.withColumn(out_col, F.transform(v, lambda x: x / n))
 
 
+def _safe_unit_rows(M):
+    """L2-normalize matrix rows in place; zero vectors stay zero instead of
+    becoming NaN (guarded divide — a zero-norm row scores 0 with everything)."""
+    import numpy as np
+
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def _shard_cogroup_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+    n_shards: int,
+    score_shard,
+) -> DataFrame:
+    """Shared scale skeleton for exact/quantized dense top-k WITHOUT driver
+    materialization: corpus hashed into ``n_shards`` shards, queries
+    replicated to every shard via one ``explode(sequence(...))`` (the
+    block-nested-loop row replication — |Q|·n_shards rows, unavoidable for
+    exact scoring), cogroup on ``shard`` runs one BLAS matmul per
+    (query batch × corpus shard), per-shard top-k under the strict total
+    order (cosine DESC, cid ASC) provably contains the global top-k, and a
+    final window pass reduces. Driver memory O(1); per-task memory
+    O(shard_rows·dim + |Q|·dim). Same cogroup-per-partition pattern as
+    :func:`ivf_topk` — the IVF list assignment is replaced by a hash."""
+    c = corpus.select(
+        F.pmod(F.hash(F.col(corpus_id)), F.lit(n_shards)).alias("shard"),
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+    )
+    q = queries.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard"),
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+    )
+    scored = (
+        q.groupBy("shard")
+        .cogroup(c.groupBy("shard"))
+        .applyInPandas(score_shard, "qid long, cid long, cosine double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -77,26 +130,60 @@ def cosine_topk_blas(
     k: int = 5,
     round_digits: int = 4,
     exclude_self: bool = True,
+    broadcast_threshold: int = 100_000,
+    shard_rows: int = 8192,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors via broadcast corpus + blocked matmul.
+    """Exact top-k cosine neighbors via blocked BLAS matmuls.
 
-    The scale pattern for dense scoring: collect the (small) corpus matrix to
-    the driver, broadcast it, and let every partition of queries do one
-    vectorized ``Q @ C.T`` per Arrow batch inside ``mapInPandas`` — one BLAS
-    call instead of 25M interpreted array folds (30 s → ~1 s at 5k×5k).
-    At billions of corpus vectors, shard the corpus (IVF/LSH — see
-    :func:`lsh_bucketed_topk`) and run this per shard.
+    Two physical strategies behind one contract (score rounded to
+    ``round_digits``, rank by cosine DESC then corpus id ASC, top ``k`` —
+    identical to :func:`cosine_topk_bruteforce`):
 
-    Semantics identical to :func:`cosine_topk_bruteforce`: score rounded to
-    ``round_digits``, rank by (cosine DESC, corpus id ASC), top ``k``.
+    - **small corpus** (≤ ``broadcast_threshold`` rows, an explicit guard —
+      at 64-d fp64 the default 100k rows is ~50 MB): collect + broadcast the
+      corpus matrix, one ``Q @ C.T`` per Arrow batch of queries inside
+      ``mapInPandas`` (one BLAS call instead of 25M interpreted array
+      folds; 30 s → ~1 s at 5k×5k).
+    - **large corpus**: NO driver materialization — the
+      :func:`_shard_cogroup_topk` skeleton (hash-sharded corpus, queries
+      replicated per shard, per-shard BLAS + top-k, global window reduce).
+      Corpus size stops bounding driver memory; per-task footprint is
+      ``shard_rows``·dim.
     """
     import numpy as np
     import pandas as pd
 
+    n_corpus = corpus.count()
+    if n_corpus > broadcast_threshold:
+        def score_shard(_key, qpdf, cpdf):
+            if len(qpdf) == 0 or len(cpdf) == 0:
+                return pd.DataFrame({"qid": [], "cid": [], "cosine": []}).astype(
+                    {"qid": "int64", "cid": "int64", "cosine": "float64"}
+                )
+            Q = _safe_unit_rows(np.array([list(v) for v in qpdf["qvec"]], dtype=np.float64))
+            C = _safe_unit_rows(np.array([list(v) for v in cpdf["cvec"]], dtype=np.float64))
+            qids = qpdf["qid"].to_numpy()
+            cids = cpdf["cid"].to_numpy()
+            S = np.round(Q @ C.T, round_digits)
+            if exclude_self:
+                S = np.where(cids[None, :] == qids[:, None], -np.inf, S)
+            kk = min(k, S.shape[1])
+            order = np.lexsort((np.broadcast_to(cids, S.shape), -S), axis=1)[:, :kk]
+            rows = np.repeat(np.arange(S.shape[0]), kk)
+            cols = order.ravel()
+            keep = np.isfinite(S[rows, cols])
+            return pd.DataFrame(
+                {"qid": qids[rows[keep]], "cid": cids[cols[keep]], "cosine": S[rows[keep], cols[keep]]}
+            )
+
+        n_shards = max(1, -(-n_corpus // shard_rows))
+        return _shard_cogroup_topk(
+            queries, corpus, query_id, corpus_id, vec_col, k, n_shards, score_shard
+        )
+
     rows = corpus.select(corpus_id, vec_col).collect()
     cids = np.array([r[0] for r in rows], dtype=np.int64)
-    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    C = _safe_unit_rows(np.array([list(r[1]) for r in rows], dtype=np.float64))
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast((cids, C))
     buffer = min(len(cids), k + 128)  # tie-safety margin around the k-th score
@@ -104,8 +191,7 @@ def cosine_topk_blas(
     def score(batches):
         b_cids, b_C = bc.value
         for pdf in batches:
-            Q = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
-            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+            Q = _safe_unit_rows(np.array([list(v) for v in pdf["__vec"]], dtype=np.float64))
             S = np.round(Q @ b_C.T, round_digits)
             qids = pdf["__qid"].to_numpy()
             out_q, out_c, out_s, out_r = [], [], [], []
@@ -115,6 +201,7 @@ def cosine_topk_blas(
                     s = np.where(b_cids == qids[i], -np.inf, s)
                 cand = np.argpartition(-s, buffer - 1)[:buffer]
                 order = cand[np.lexsort((b_cids[cand], -s[cand]))][:k]
+                order = order[np.isfinite(s[order])]  # never emit masked self
                 out_q.extend([qids[i]] * len(order))
                 out_c.extend(b_cids[order])
                 out_s.extend(s[order])
@@ -258,31 +345,96 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     round_digits: int = 4,
+    broadcast_threshold: int = 100_000,
+    block_rows: int = 8192,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     round(cosine, round_digits) >= threshold.
 
-    Same broadcast + blocked-BLAS pattern as :func:`cosine_topk_blas` —
-    one matmul per Arrow batch, emit only above-threshold pairs, so the
-    output (not the O(n²) score matrix) is what hits the network. At
-    billions of vectors, shard the corpus by LSH/IVF bucket first and run
-    this per shard.
+    - **small corpus** (≤ ``broadcast_threshold`` rows): broadcast +
+      blocked-BLAS like :func:`cosine_topk_blas` — one matmul per Arrow
+      batch, emit only above-threshold pairs, so the output (not the O(n²)
+      score matrix) is what hits the network.
+    - **large corpus**: block-pair grouping, no driver materialization.
+      Rows are hashed into B = ceil(n/block_rows) blocks; each row is
+      replicated to the B groups keyed (min(b,o), max(b,o)) — every
+      unordered block pair (and each diagonal block) is scored by exactly
+      one ``applyInPandas`` task as a single BLAS matmul, emitting pairs
+      with id_a < id_b (each unordered id pair appears in exactly one
+      group, so no dedup pass is needed). Per-task memory is
+      O(2·block_rows·dim); shuffle is n·B rows — the inherent cost of
+      EXACT all-pairs. At 10⁹+ vectors use the approximate prefilters
+      (:func:`lsh_bucketed_topk` buckets / MinHash-LSH) and reserve this
+      operator for in-bucket verification.
     """
     import numpy as np
     import pandas as pd
 
+    n = df.count()
+    if n > broadcast_threshold:
+        n_blocks = max(1, -(-n // block_rows))
+        base = df.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+        )
+        grouped = base.select(
+            "blk",
+            "__id",
+            "__vec",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+        ).select(
+            F.least("blk", "other").alias("glo"),
+            F.greatest("blk", "other").alias("ghi"),
+            "blk",
+            "__id",
+            "__vec",
+        )
+
+        def score_pair(key, pdf):
+            glo, ghi = key
+            A = pdf[pdf["blk"] == glo]
+            if glo == ghi:
+                B = A
+            else:
+                B = pdf[pdf["blk"] == ghi]
+            if len(A) == 0 or len(B) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                )
+            MA = _safe_unit_rows(np.array([list(v) for v in A["__vec"]], dtype=np.float64))
+            MB = _safe_unit_rows(np.array([list(v) for v in B["__vec"]], dtype=np.float64))
+            ida = A["__id"].to_numpy()
+            idb = B["__id"].to_numpy()
+            S = np.round(MA @ MB.T, round_digits)
+            if glo == ghi:
+                # same matrix on both sides: id_a < id_b keeps each
+                # unordered pair once and kills the diagonal
+                mask = (S >= threshold) & (ida[:, None] < idb[None, :])
+                ii, jj = np.nonzero(mask)
+                a, b = ida[ii], idb[jj]
+            else:
+                # disjoint blocks: every pair appears exactly once here —
+                # emit all hits, canonicalized to (min id, max id)
+                ii, jj = np.nonzero(S >= threshold)
+                a = np.minimum(ida[ii], idb[jj])
+                b = np.maximum(ida[ii], idb[jj])
+            return pd.DataFrame({"id_a": a, "id_b": b, "cosine": S[ii, jj]})
+
+        return grouped.groupBy("glo", "ghi").applyInPandas(
+            score_pair, "id_a long, id_b long, cosine double"
+        )
+
     rows = df.select(id_col, vec_col).collect()
     cids = np.array([r[0] for r in rows], dtype=np.int64)
-    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    C = _safe_unit_rows(np.array([list(r[1]) for r in rows], dtype=np.float64))
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((cids, C))
 
     def score(batches):
         b_cids, b_C = bc.value
         for pdf in batches:
-            Q = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
-            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+            Q = _safe_unit_rows(np.array([list(v) for v in pdf["__vec"]], dtype=np.float64))
             S = np.round(Q @ b_C.T, round_digits)
             qids = pdf["__qid"].to_numpy()
             out_a, out_b, out_s = [], [], []
@@ -366,6 +518,8 @@ def int8_topk(
     rerank_factor: int = 4,
     round_digits: int = 4,
     exclude_self: bool = True,
+    broadcast_threshold: int = 100_000,
+    shard_rows: int = 8192,
 ) -> DataFrame:
     """Quantized-score top-k with exact rerank — the memory-bound scale path.
 
@@ -380,29 +534,71 @@ def int8_topk(
 
     At 10⁹ corpus vectors the approximate pass is what streams through
     memory/network, so its 4× compression is a direct 4× on the dominant
-    cost; the rerank touches k·rerank_factor fp64 rows per query.
+    cost; the rerank touches k·rerank_factor fp64 rows per query. Above
+    ``broadcast_threshold`` corpus rows the op switches to the
+    :func:`_shard_cogroup_topk` skeleton (quantization happens per shard —
+    the scale is per-VECTOR, so shard boundaries cannot change any score)
+    and the driver never holds the matrix.
     """
     import numpy as np
     import pandas as pd
 
+    def _quantize(C):
+        scale = np.abs(C).max(axis=1, keepdims=True) / 127.0
+        scale[scale == 0] = 1.0
+        return np.floor(C / scale + 0.5).astype(np.int8), scale.ravel()
+
+    n_corpus = corpus.count()
+    n_cand_target = max(k * rerank_factor, k + 8)
+
+    if n_corpus > broadcast_threshold:
+        def score_shard(_key, qpdf, cpdf):
+            if len(qpdf) == 0 or len(cpdf) == 0:
+                return pd.DataFrame({"qid": [], "cid": [], "cosine": []}).astype(
+                    {"qid": "int64", "cid": "int64", "cosine": "float64"}
+                )
+            Q = _safe_unit_rows(np.array([list(v) for v in qpdf["qvec"]], dtype=np.float64))
+            C = _safe_unit_rows(np.array([list(v) for v in cpdf["cvec"]], dtype=np.float64))
+            cids = cpdf["cid"].to_numpy()
+            qids = qpdf["qid"].to_numpy()
+            C8, scale = _quantize(C)
+            S_approx = (Q.astype(np.float32) @ C8.astype(np.float32).T) * scale[None, :]
+            n_cand = min(len(cids), n_cand_target)
+            out_q, out_c, out_s = [], [], []
+            for i in range(S_approx.shape[0]):
+                s_a = S_approx[i]
+                if exclude_self:
+                    s_a = np.where(cids == qids[i], -np.inf, s_a)
+                cand = np.argpartition(-s_a, n_cand - 1)[:n_cand]
+                s_e = np.round(C[cand] @ Q[i], round_digits)
+                if exclude_self:
+                    s_e = np.where(cids[cand] == qids[i], -np.inf, s_e)
+                sel = np.lexsort((cids[cand], -s_e))[: min(k, len(cand))]
+                sel = sel[np.isfinite(s_e[sel])]
+                out_q.extend([qids[i]] * len(sel))
+                out_c.extend(cids[cand[sel]])
+                out_s.extend(s_e[sel])
+            return pd.DataFrame({"qid": out_q, "cid": out_c, "cosine": out_s})
+
+        n_shards = max(1, -(-n_corpus // shard_rows))
+        return _shard_cogroup_topk(
+            queries, corpus, query_id, corpus_id, vec_col, k, n_shards, score_shard
+        )
+
     rows = corpus.select(corpus_id, vec_col).collect()
     cids = np.array([r[0] for r in rows], dtype=np.int64)
-    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
-    scale = np.abs(C).max(axis=1, keepdims=True) / 127.0
-    scale[scale == 0] = 1.0
-    C8 = np.floor(C / scale + 0.5).astype(np.int8)
+    C = _safe_unit_rows(np.array([list(r[1]) for r in rows], dtype=np.float64))
+    C8, scale = _quantize(C)
     spark = queries.sparkSession
-    bc = spark.sparkContext.broadcast((cids, C8, scale.ravel(), C))
-    n_cand = min(len(cids), max(k * rerank_factor, k + 8))
+    bc = spark.sparkContext.broadcast((cids, C8, scale, C))
+    n_cand = min(len(cids), n_cand_target)
 
     def score(batches):
         b_cids, b_C8, b_scale, b_C = bc.value
         # int8 codes promoted once per executor; the broadcast itself stays 4x small
         b_C8f = b_C8.astype(np.float32)
         for pdf in batches:
-            Q = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
-            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+            Q = _safe_unit_rows(np.array([list(v) for v in pdf["__vec"]], dtype=np.float64))
             # approximate scores: (Q @ C8.T) * scale  ==  Q @ C_quantized.T
             S_approx = (Q.astype(np.float32) @ b_C8f.T) * b_scale[None, :]
             qids = pdf["__qid"].to_numpy()
@@ -412,16 +608,18 @@ def int8_topk(
                 if exclude_self:
                     s_a = np.where(b_cids == qids[i], -np.inf, s_a)
                 cand = np.argpartition(-s_a, n_cand - 1)[:n_cand]
-                # exact rerank of the surviving candidates only
+                # exact rerank of the surviving candidates only; emit the
+                # MASKED reranked score so a surviving self row is dropped,
+                # never resurface with cosine ~1.0
                 s_e = np.round(b_C[cand] @ Q[i], round_digits)
                 if exclude_self:
                     s_e = np.where(b_cids[cand] == qids[i], -np.inf, s_e)
-                order = cand[np.lexsort((b_cids[cand], -s_e))][:k]
-                s_out = np.round(b_C[order] @ Q[i], round_digits)
-                out_q.extend([qids[i]] * len(order))
-                out_c.extend(b_cids[order])
-                out_s.extend(s_out)
-                out_r.extend(range(1, len(order) + 1))
+                sel = np.lexsort((b_cids[cand], -s_e))[: min(k, len(cand))]
+                sel = sel[np.isfinite(s_e[sel])]
+                out_q.extend([qids[i]] * len(sel))
+                out_c.extend(b_cids[cand[sel]])
+                out_s.extend(s_e[sel])
+                out_r.extend(range(1, len(sel) + 1))
             yield pd.DataFrame(
                 {"qid": out_q, "cid": out_c, "cosine": out_s, "rank": out_r}
             )

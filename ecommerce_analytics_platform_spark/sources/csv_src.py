@@ -45,8 +45,11 @@ def read_csv_robust(
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): clean rows drop the corrupt column; quarantine
     keeps the raw offending line for replay/audit."""
-    # PERMISSIVE only materializes _corrupt on access after caching in some
-    # Spark versions; the filter itself is the documented contract.
+    # Spark refuses raw-CSV queries whose referenced columns reduce to only
+    # the corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    # RECORD_COLUMN) — the documented remedy is to cache the parsed frame
+    # first, which is also what we want: both halves read the same parse.
+    df = df.cache()
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")

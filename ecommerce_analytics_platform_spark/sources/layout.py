@@ -44,19 +44,28 @@ def write_clustered(
     keys = partition_by + cluster_by
     # Spark's default parquet timestamp encoding is INT96, which carries NO
     # footer min/max stats — a timestamp cluster key would sort the data
-    # and then be unable to prune on it. Write annotated int64 micros.
-    df.sparkSession.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
-    out = df
-    if keys:
-        out = out.repartitionByRange(num_files, *keys).sortWithinPartitions(*keys)
-    else:
-        out = out.repartition(num_files)
-    writer = out.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    # and then be unable to prune on it. Write annotated int64 micros, but
+    # restore the caller's setting afterwards (a session conf is global;
+    # leaking it would silently change every later sink's encoding).
+    conf = df.sparkSession.conf
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = conf.get(ts_key, None)
+    conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        out = df
+        if keys:
+            out = out.repartitionByRange(num_files, *keys).sortWithinPartitions(*keys)
+        else:
+            out = out.repartition(num_files)
+        writer = out.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+    finally:
+        if prev_ts is None:
+            conf.unset(ts_key)
+        else:
+            conf.set(ts_key, prev_ts)
 
 
 def scan_stats(spark: SparkSession, path: str, predicate: str | None = None) -> dict:

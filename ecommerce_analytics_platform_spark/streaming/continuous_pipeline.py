@@ -57,11 +57,15 @@ def start_continuous_silver(
         landed = enrich_clickstream(batch_df, batch_id=batch_id)
         wh.append(landed, "bronze.clickstream", partition_by=["ingest_date"])
         silver_batch = stg_clickstream_events(landed)
+        # partitioned by event_date so the per-micro-batch merge rewrites
+        # ONLY the dates present in the batch (replaceWhere pruning) —
+        # without it every micro-batch rewrote the entire silver table
         merge_delete_insert(
             spark,
             wh.path("staging.stg_clickstream_events"),
             silver_batch,
             unique_key=["event_id"],
+            partition_by=["event_date"],
         )
 
     stream = read_clickstream_stream(spark, raw_dir)

@@ -71,7 +71,10 @@ def main() -> None:
             minhash_lsh_pairs,
         )
         from ecommerce_analytics_platform_spark.operators.sessionize import sessionize_by_gap
-        from ecommerce_analytics_platform_spark.operators.similarity import ivf_topk
+        from ecommerce_analytics_platform_spark.operators.similarity import (
+            cosine_topk_blas,
+            ivf_topk,
+        )
 
         w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
         yield "hash_agg_daily", lambda: ev.groupBy(F.col("ts").cast("date")).agg(
@@ -89,6 +92,12 @@ def main() -> None:
             minhash_lsh_pairs(dc, "doc_id", "text", 16, 4), "id_a", "id_b"
         )
         yield "ivf_topk", lambda: ivf_topk(em, em, "vec_id", "vec_id", "embedding", k=3)
+        # forced sharded path: corpus size must bound TASK memory, not
+        # driver memory (broadcast_threshold=0 disables the collect path)
+        yield "sharded_exact_topk", lambda: cosine_topk_blas(
+            em, em, "vec_id", "vec_id", "embedding", k=3,
+            broadcast_threshold=0, shard_rows=2048,
+        )
 
         def triangles():
             e0 = lin.filter(F.col("l_orderkey") % 10 == 0)

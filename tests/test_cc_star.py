@@ -41,8 +41,19 @@ def test_star_converges_on_long_chain_in_log_rounds(spark):
 
 def test_star_handles_disjoint_components_and_self_loops(spark):
     pairs = [(1, 2), (2, 3), (10, 11), (11, 10), (5, 5), (20, 21)]
-    got = _labels(connected_components_star(_edges_df(spark, pairs)))
+    e = _edges_df(spark, pairs)
+    got = _labels(connected_components_star(e))
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == got[11] == 10
     assert got[20] == got[21] == 20
-    assert 5 not in got  # self-loop-only node has no edges after filtering
+    # self-loop-only node labels itself — same contract as min-label CC
+    assert got[5] == 5
+    assert got == _labels(connected_components(e))
+
+
+def test_star_nonconvergence_warns(spark):
+    """Exhausting max_rounds without reaching the star fixpoint must warn,
+    mirroring connected_components' contract."""
+    chain = [(i, i + 1) for i in range(200)]
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components_star(_edges_df(spark, chain), max_rounds=1)

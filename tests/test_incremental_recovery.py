@@ -114,3 +114,88 @@ def test_compact_is_staged_not_in_place(spark, tmp_path, monkeypatch):
         assert not glob.glob(f"{path}__tmp_*") and not glob.glob(f"{path}__old_*")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _file_state(root):
+    """{relative parquet path: (size, mtime_ns)} — byte-identity proxy."""
+    out = {}
+    for r, _d, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(r, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_pruned_merge_leaves_untouched_partitions_bytes_alone(spark, tmp_path):
+    """replaceWhere semantics: a batch touching only day 3 must rewrite ONLY
+    the day-3 partition directory — every other partition's files stay
+    byte-identical (same inode content: size+mtime unchanged, same paths)."""
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"2026-03-0{1 + i % 3}", f"v{i}") for i in range(30)],
+        ["k", "d", "v"],
+    )
+    merge_delete_insert(spark, target, base, unique_key=["k"], partition_by=["d"])
+    before = _file_state(target)
+    assert any("d=2026-03-01" in p for p in before)
+
+    batch = spark.createDataFrame(
+        [(2, "2026-03-03", "UPDATED"), (99, "2026-03-03", "new")], ["k", "d", "v"]
+    )
+    merge_delete_insert(spark, target, batch, unique_key=["k"], partition_by=["d"])
+    after = _file_state(target)
+
+    untouched_before = {p: s for p, s in before.items() if "d=2026-03-03" not in p}
+    untouched_after = {p: s for p, s in after.items() if "d=2026-03-03" not in p}
+    assert untouched_before == untouched_after  # bytes + paths + mtimes identical
+    # and the touched partition applied delete+insert
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).filter("d = '2026-03-03'").collect()}
+    assert (2, "UPDATED") in got and (99, "new") in got
+    assert (2, "v2") not in got
+    # whole-table row count: 30 original - 1 replaced + 1 new
+    assert spark.read.parquet(target).count() == 31
+    # no leftover scratch dirs
+    assert not glob.glob(f"{target}__p*")
+
+
+def test_pruned_merge_adds_new_partition(spark, tmp_path):
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "2026-03-01", "a")], ["k", "d", "v"])
+    merge_delete_insert(spark, target, base, unique_key=["k"], partition_by=["d"])
+    batch = spark.createDataFrame([(2, "2026-04-01", "b")], ["k", "d", "v"])
+    merge_delete_insert(spark, target, batch, unique_key=["k"], partition_by=["d"])
+    # partition-type inference reads the string dirs back as dates — stringify
+    got = {(r["k"], str(r["d"]), r["v"])
+           for r in spark.read.parquet(target).select("k", "d", "v").collect()}
+    assert got == {(1, "2026-03-01", "a"), (2, "2026-04-01", "b")}
+
+
+def test_pruned_merge_empty_batch_is_noop(spark, tmp_path):
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "2026-03-01", "a")], ["k", "d", "v"])
+    merge_delete_insert(spark, target, base, unique_key=["k"], partition_by=["d"])
+    before = _file_state(target)
+    empty = spark.createDataFrame([], "k long, d string, v string")
+    merge_delete_insert(spark, target, empty, unique_key=["k"], partition_by=["d"])
+    assert _file_state(target) == before
+
+
+def test_unpruned_merge_still_full_delete_insert(spark, tmp_path):
+    """prune_partitions=False keeps the reference's whole-table delete+insert
+    (for keys that CAN migrate partitions)."""
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "2026-03-01", "a"), (2, "2026-03-02", "b")], ["k", "d", "v"]
+    )
+    merge_delete_insert(spark, target, base, unique_key=["k"], partition_by=["d"])
+    # key 2 migrates from 03-02 to 03-05: only the un-pruned path removes
+    # the stale 03-02 row
+    batch = spark.createDataFrame([(2, "2026-03-05", "moved")], ["k", "d", "v"])
+    merge_delete_insert(
+        spark, target, batch, unique_key=["k"], partition_by=["d"], prune_partitions=False
+    )
+    got = {(r["k"], str(r["d"]), r["v"])
+           for r in spark.read.parquet(target).select("k", "d", "v").collect()}
+    assert got == {(1, "2026-03-01", "a"), (2, "2026-03-05", "moved")}

@@ -92,3 +92,62 @@ def test_int8_rerank_matches_exact_topk(spark, emb):
     assert set(q for q, _ in quant) == set(q for q, _ in exact)
     agree = sum(quant[key] == cid for key, cid in exact.items()) / len(exact)
     assert agree >= 0.95, agree
+
+
+def test_sharded_topk_matches_broadcast(spark, emb):
+    """Forcing the sharded cogroup path (broadcast_threshold=0) must give
+    byte-identical results to the broadcast path — same rounding, same
+    (cosine DESC, cid ASC) total order, same self-exclusion."""
+    small = emb.limit(120).cache()
+    bl = _key(cosine_topk_blas(small, small, "vec_id", "vec_id", "embedding", k=3).collect())
+    sh = _key(cosine_topk_blas(small, small, "vec_id", "vec_id", "embedding", k=3,
+                               broadcast_threshold=0, shard_rows=16).collect())
+    assert bl == sh
+
+
+def test_sharded_neardup_matches_broadcast(spark, emb):
+    from ecommerce_analytics_platform_spark.operators.similarity import cosine_neardup_pairs
+
+    small = emb.limit(150).cache()
+    def pairs(**kw):
+        return {(r["id_a"], r["id_b"]): round(r["cosine"], 4)
+                for r in cosine_neardup_pairs(small, "vec_id", "embedding",
+                                              threshold=0.2, **kw).collect()}
+    bl = pairs()
+    sh = pairs(broadcast_threshold=0, block_rows=32)
+    assert len(bl) > 0
+    assert bl == sh
+
+
+def test_sharded_int8_matches_exact(spark, emb):
+    """Sharded int8 path: per-shard candidate cut only ADDS candidates vs
+    the global cut, so agreement with the exact top-k must stay >= 95%."""
+    from ecommerce_analytics_platform_spark.operators.similarity import int8_topk
+
+    small = emb.limit(200).cache()
+    exact = {(r["qid"], r["rank"]): r["cid"] for r in
+             cosine_topk_blas(small, small, "vec_id", "vec_id", "embedding", k=3).collect()}
+    quant = {(r["qid"], r["rank"]): r["cid"] for r in
+             int8_topk(small, small, "vec_id", "vec_id", "embedding", k=3,
+                       rerank_factor=4, broadcast_threshold=0, shard_rows=64).collect()}
+    assert set(q for q, _ in quant) == set(q for q, _ in exact)
+    agree = sum(quant.get(key) == cid for key, cid in exact.items()) / len(exact)
+    assert agree >= 0.95, agree
+
+
+def test_tiny_corpus_self_exclusion(spark, emb):
+    """Corpus <= k with exclude_self: the masked self row must never be
+    emitted (advisor: -inf row previously survived the [:k] cut in
+    int8_topk and reappeared with cosine ~1.0)."""
+    from ecommerce_analytics_platform_spark.operators.similarity import int8_topk
+
+    tiny = emb.limit(3).cache()
+    for fn in (cosine_topk_blas, int8_topk):
+        rows = fn(tiny, tiny, "vec_id", "vec_id", "embedding", k=5).collect()
+        for r in rows:
+            assert r["qid"] != r["cid"], (fn.__name__, r)
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["qid"], []).append(r["rank"])
+        for q, ranks in per_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
