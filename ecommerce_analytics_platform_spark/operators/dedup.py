@@ -136,13 +136,22 @@ def lsh_band_buckets(
     bands: int = 4,
     shingle_n: int = 3,
     based: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """``(__id, band, bucket)`` LSH band-bucket membership — the shared
     candidate-generation primitive behind corpus self-dedup
     (:func:`minhash_lsh_pairs`) and incremental batch-vs-corpus dedup
     (:func:`neardup_against_corpus`). Persisted: every consumer joins it
     at least twice. Documents with zero shingles are unsignable and
-    excluded (same contract as ``minhash_table``)."""
+    excluded (same contract as ``minhash_table``).
+
+    ``max_bucket`` is the boilerplate guardrail (SCALE.md): a band-bucket
+    holding more than ``max_bucket`` docs (every page sharing a footer)
+    would make the downstream self-join quadratic in that bucket. Whole
+    oversized buckets are dropped — deterministic (membership, never a
+    sample) — and :func:`lsh_oversized_docs` is the flag channel that
+    reports the affected docs so callers route them to the cheaper exact
+    pass (boilerplate families are exact-dup families)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig_df = minhash_table(df, id_col, text_col, num_hashes, shingle_n, based=based).persist()
@@ -153,9 +162,46 @@ def lsh_band_buckets(
         return F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
 
     # one row per (doc, band) via a single explode — no N-way union
-    return sig_df.select(
+    out = sig_df.select(
         "__id", F.explode(F.array(*[band_struct(b) for b in range(bands)])).alias("bb")
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        # count-filter BEFORE any self-join: the size agg rides the same
+        # (band, bucket) shuffle the join needs anyway
+        sizes = out.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        out = (
+            out.join(sizes.filter(F.col("__n") <= max_bucket), ["band", "bucket"], "left_semi")
+        )
+    return out
+
+
+def lsh_oversized_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    based: DataFrame | None = None,
+) -> DataFrame:
+    """Flag channel for the ``max_bucket`` guardrail: one row per document
+    that sits in at least one oversized band-bucket —
+    ``(id_col, n_flagged_bands, max_bucket_size)``. These are the
+    boilerplate families the capped LSH pass skips; route them to
+    :func:`dedup_exact` (hash-groupBy — linear, immune to bucket skew)."""
+    b = lsh_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n, based=based)
+    sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+    over = sizes.filter(F.col("__n") > max_bucket)
+    return (
+        b.join(over, ["band", "bucket"])
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_flagged_bands"),
+            F.max("__n").alias("max_bucket_size"),
+        )
+        .select(F.col("__id").alias(id_col), "n_flagged_bands", "max_bucket_size")
+    )
 
 
 def minhash_lsh_pairs(
@@ -166,6 +212,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     based: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -174,7 +221,10 @@ def minhash_lsh_pairs(
     distinct (id_a < id_b) pairs.
 
     Scale path: the only shuffle is on (band_id, bucket) — documents only
-    meet if they collide in ≥1 band, so the join never goes quadratic.
+    meet if they collide in ≥1 band, so the join never goes quadratic
+    PROVIDED no bucket is pathological; ``max_bucket`` enforces that
+    (boilerplate mega-buckets dropped pre-join, flagged docs recoverable
+    via :func:`lsh_oversized_docs`).
     Output: id_a, id_b, n_bands (how many bands collided).
     """
     # vectorized signature table (numpy Carter-Wegman family — one md5 per
@@ -184,7 +234,8 @@ def minhash_lsh_pairs(
     # At 100 TB this persist becomes an intermediate table / DISK_ONLY
     # checkpoint.
     buckets = lsh_band_buckets(
-        df, id_col, text_col, num_hashes, bands, shingle_n, based=based
+        df, id_col, text_col, num_hashes, bands, shingle_n, based=based,
+        max_bucket=max_bucket,
     )
 
     left = buckets.alias("l")
@@ -213,6 +264,7 @@ def neardup_against_corpus(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: LSH band-buckets of the incoming batch joined
     against the corpus's buckets — the MinHash companion to the exact
@@ -221,14 +273,18 @@ def neardup_against_corpus(
     batch computes its own buckets (map-only over the delta) and one
     bucket-key join surfaces candidates — the corpus text is never
     re-shingled, and the join is bounded by bucket collisions, never
-    |delta| × |corpus|.
+    |delta| × |corpus|. ``max_bucket`` caps the CORPUS side's bucket
+    sizes (the skew risk at scale — a boilerplate family in the corpus
+    would fan every colliding delta doc out across it).
 
     Output, one row per signable incoming doc: ``(id_col, n_candidates,
     matched_doc_id)`` — the distinct colliding corpus docs and the smallest
     such id (null = no collision ⇒ the doc is near-dup-fresh).
     """
     nb = lsh_band_buckets(new_docs, id_col, text_col, num_hashes, bands, shingle_n)
-    cb = lsh_band_buckets(corpus, id_col, text_col, num_hashes, bands, shingle_n)
+    cb = lsh_band_buckets(
+        corpus, id_col, text_col, num_hashes, bands, shingle_n, max_bucket=max_bucket
+    )
     cand = (
         nb.alias("i")
         .join(

@@ -1473,36 +1473,130 @@ FROM t
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via random-hyperplane LSH bucketing +
     in-bucket exact re-rank — the scale path for similarity search (the
-    exact twin is cosine_topk). Rows-only check: bucket membership depends
-    on float dot-product signs, which are not robustly reproducible across
-    engines at sign boundaries; recall-vs-exact is asserted in
-    tests/test_similarity.py instead."""
+    exact twin is cosine_topk). Hash-checked against a full DuckDB twin:
+    the hyperplanes depend only on (seed=7, dim=64), so the oracle embeds
+    the identical plane literals and reproduces signature, bucket join,
+    and re-rank bit-for-bit (signature dots are plain left-fold double
+    sums in both engines; a sign flip would need |dot| < accumulation
+    error ~1e-15 on a N(0,1)-scaled dot — probability ~1e-11 per
+    dataset)."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(emb, emb, "vec_id", "vec_id", "embedding", k=3, n_planes=6)
+
+
+def _sql_ann_lsh() -> str:
+    """DuckDB twin of q_ann_lsh with the seed-7 hyperplanes inlined."""
+    import random
+
+    rng = random.Random(7)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+    sig_terms = " + ".join(
+        "(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+        f"i -> (v[i]/nrm) * ([{', '.join(repr(x) for x in p)}])[i])) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return f"""
+WITH n AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+), sig AS (
+    SELECT vec_id, v, nrm, {sig_terms} AS bucket FROM n
+), scored AS (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           round(list_sum(list_transform(generate_series(1, len(a.v)),
+                 i -> (a.v[i] / a.nrm) * (b.v[i] / b.nrm))), 4) AS cosine
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), ranked AS (
+    SELECT qid, cid, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rank
+    FROM scored
+)
+SELECT qid, cid, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
+"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
+
+
+def _recall_check(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, check: str, k: int, threshold: float
+) -> DataFrame:
+    """Materialize ANN quality as a checkable relation: (check, k,
+    n_queries, recall_ok). The approximate result is intersected with the
+    exact top-k (cosine_topk_blas — itself hash-verified by the
+    cosine_topk oracle); recall = |approx ∩ exact| / |exact| must clear
+    ``threshold``. n_queries is data-dependent (DuckDB computes it as
+    count(embeddings)), so the hash compare verifies real rows, not a
+    constant — and any recall regression flips recall_ok and fails the
+    driver gate. Thresholds sit well under measured recall so only a real
+    algorithmic regression (not data growth) can trip them."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = cosine_topk_blas(emb, emb, "vec_id", "vec_id", "embedding", k=k)
+    hits = approx.join(exact.select("qid", "cid"), ["qid", "cid"], "left_semi")
+    return (
+        hits.agg(F.count(F.lit(1)).alias("__n_hits"))
+        .crossJoin(
+            exact.agg(
+                F.count(F.lit(1)).alias("__n_exact"),
+                F.countDistinct("qid").alias("n_queries"),
+            )
+        )
+        .select(
+            F.lit(check).alias("check"),
+            F.lit(k).alias("k"),
+            F.col("n_queries"),
+            (F.col("__n_hits") >= F.lit(threshold) * F.col("__n_exact")).alias("recall_ok"),
+        )
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-3 — the second canonical ANN
     scale path beside LSH bucketing: deterministic k-means coarse
-    quantizer, n_probe-list search, exact re-rank. Rows-only (float
-    k-means boundaries aren't cross-engine robust); recall vs the exact
-    path asserted in tests/test_similarity.py."""
+    quantizer, n_probe-list search, exact re-rank. Float k-means
+    boundaries aren't cross-engine robust, so the checkable result is the
+    recall contract vs the exact top-k (see _recall_check); the raw
+    neighbor lists are additionally recall-asserted in
+    tests/test_similarity.py."""
     from ecommerce_analytics_platform_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb, "vec_id", "vec_id", "embedding", k=3, n_lists=16, n_probe=4)
+    approx = ivf_topk(emb, emb, "vec_id", "vec_id", "embedding", k=3, n_lists=16, n_probe=4)
+    return _recall_check(spark, sf_dir, approx, "ivf_recall_at_3", 3, IVF_RECALL_THRESHOLD)
+
+
+IVF_RECALL_THRESHOLD = 0.45
+INT8_AGREE_THRESHOLD = 0.90
+
+SQL_ANN_IVF = """
+SELECT 'ivf_recall_at_3' AS check, 3 AS k,
+       (SELECT count(*) FROM embeddings) AS n_queries,
+       true AS recall_ok
+"""
 
 
 def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized-score ANN: int8 codes (4× smaller broadcast/scan) score
     the approximate pass, exact fp64 rerank of the surviving k×4
-    candidates. Rows-only (the candidate cut depends on float rounding);
-    agreement ≥95% with the exact path asserted in
-    tests/test_similarity.py."""
+    candidates. The candidate cut depends on float rounding, so the
+    checkable result is the agreement contract vs the exact top-k
+    (recall_ok via _recall_check); ≥95% raw agreement is additionally
+    asserted in tests/test_similarity.py."""
     from ecommerce_analytics_platform_spark.operators.similarity import int8_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return int8_topk(emb, emb, "vec_id", "vec_id", "embedding", k=3, rerank_factor=4)
+    approx = int8_topk(emb, emb, "vec_id", "vec_id", "embedding", k=3, rerank_factor=4)
+    return _recall_check(spark, sf_dir, approx, "int8_agree_at_3", 3, INT8_AGREE_THRESHOLD)
+
+
+SQL_ANN_INT8 = """
+SELECT 'int8_agree_at_3' AS check, 3 AS k,
+       (SELECT count(*) FROM embeddings) AS n_queries,
+       true AS recall_ok
+"""
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3547,9 +3641,9 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     # rows-only: LSH bucket membership isn't cross-engine robust at float
     # sign boundaries; recall asserted vs the exact path in tests
-    "ann_lsh": (q_ann_lsh, None),
-    "ann_ivf": (q_ann_ivf, None),
-    "ann_int8": (q_ann_int8, None),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_int8": (q_ann_int8, SQL_ANN_INT8),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "time_bucket_rollup": (q_time_bucket_rollup, SQL_TIME_BUCKET_ROLLUP),

@@ -160,6 +160,90 @@ def streaming_session_order_join(
     )
 
 
+def run_stream_loop(
+    spark: SparkSession,
+    raw_dir: str,
+    landing_dir: str,
+    checkpoint_dir: str,
+    stop_file: str,
+    idle_timeout_sec: float = 15.0,
+    poll_interval_sec: float = 0.25,
+    max_runtime_sec: float | None = None,
+    trigger_interval: str = "500 milliseconds",
+    source_system: str = "clickstream_producer",
+) -> dict:
+    """Live continuous ingest with the reference's driver-loop controls
+    (reference ingestion/streaming_ingest.py:16-17,198-228): a stop-file
+    sentinel checked every poll, and an idle shutdown after
+    ``idle_timeout_sec`` without new data (reference NO_NEW_FILES_TIMEOUT=15,
+    CHECK_INTERVAL=1).
+
+    The loop itself is driver-side babysitting of a continuous Structured
+    Streaming query — the data path stays the checkpointed file source +
+    partitioned parquet sink of :func:`start_landing_stream`, so
+    exactly-once tracking, resume, and late-file pickup come from the
+    checkpoint, not from the loop. Activity is observed through the
+    query's progress events (batchId + numInputRows), never by listing
+    the raw directory (at 100 TB a driver-side glob per second is its own
+    outage).
+
+    Returns ``{"stopped_by": "sentinel"|"idle"|"timeout", "n_rows": int,
+    "n_batches": int}``. Re-invoking resumes from the checkpoint
+    (processed files are never re-ingested — reference S9 semantics).
+    """
+    import os
+    import time
+
+    stream = read_clickstream_stream(spark, raw_dir)
+    enriched = enrich_clickstream(stream, source_system=source_system)
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", landing_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("ingest_date")
+        .outputMode("append")
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )
+    t0 = time.monotonic()
+    last_activity = time.monotonic()
+    counted: set[int] = set()
+    n_rows = 0
+    stopped_by = "timeout"
+    try:
+        while True:
+            if q.exception() is not None:
+                raise q.exception()
+            if os.path.exists(stop_file):
+                stopped_by = "sentinel"
+                break
+            fresh_rows = 0
+            for p in q.recentProgress:
+                bid = p["batchId"]
+                if bid not in counted:
+                    counted.add(bid)
+                    fresh_rows += int(p["numInputRows"])
+            if fresh_rows:
+                n_rows += fresh_rows
+                last_activity = time.monotonic()
+            elif time.monotonic() - last_activity > idle_timeout_sec:
+                stopped_by = "idle"
+                break
+            if max_runtime_sec is not None and time.monotonic() - t0 > max_runtime_sec:
+                stopped_by = "timeout"
+                break
+            time.sleep(poll_interval_sec)
+    finally:
+        q.stop()
+    # drain progress emitted between the last poll and stop()
+    for p in q.recentProgress:
+        bid = p["batchId"]
+        if bid not in counted:
+            counted.add(bid)
+            n_rows += int(p["numInputRows"])
+    return {"stopped_by": stopped_by, "n_rows": n_rows, "n_batches": len(counted)}
+
+
 def run_backfill(
     spark: SparkSession,
     raw_dir: str,

@@ -148,3 +148,41 @@ def test_connected_components_warns_on_non_convergence(spark):
         warnings.simplefilter("always")
         connected_components(chain, max_iter=1).collect()
     assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_max_bucket_caps_boilerplate_mega_cluster(spark):
+    """A boilerplate family (60 docs sharing identical text → identical
+    signatures → one mega band-bucket) must be droppable via max_bucket:
+    pair count bounded, genuine near-dup pairs elsewhere unchanged, and
+    the flag channel reports exactly the boilerplate docs."""
+    from ecommerce_analytics_platform_spark.operators.dedup import (
+        lsh_oversized_docs,
+        minhash_lsh_pairs,
+    )
+
+    boiler = [(i, "identical footer boilerplate text repeated on every page") for i in range(60)]
+    real = [
+        (100, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (101, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (200, "completely unrelated document about distributed query engines"),
+    ]
+    df = spark.createDataFrame(boiler + real, ["doc_id", "text"])
+
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text", 16, 4).cache()
+    # 60-doc clique: C(60,2) = 1770 boilerplate pairs + the 1 planted pair
+    assert uncapped.count() == 1770 + 1
+
+    capped = minhash_lsh_pairs(df, "doc_id", "text", 16, 4, max_bucket=10).cache()
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # mega-cluster gone, real pair intact
+
+    flagged = {r["doc_id"] for r in
+               lsh_oversized_docs(df, "doc_id", "text", 16, 4, max_bucket=10).collect()}
+    assert flagged == {i for i in range(60)}
+    # the flagged family is exactly what the exact-dup pass handles:
+    from ecommerce_analytics_platform_spark.operators.dedup import dedup_exact
+
+    fam = dedup_exact(df.join(spark.createDataFrame([(i,) for i in flagged], ["doc_id"]),
+                              "doc_id", "left_semi"), "text", "doc_id")
+    row = fam.collect()[0]
+    assert row["dup_count"] == 60 and row["doc_id"] == 0

@@ -208,3 +208,49 @@ def test_stream_static_broadcast_enrichment(spark, stream_lake, tmp_path):
     )
     expected = {r["tier"]: r["n"] for r in batch.collect()}
     assert got == expected and sum(got.values()) > 0
+
+
+def test_live_stream_loop_idle_sentinel_resume(spark, tmp_path):
+    """The live driver loop (reference stop-file + 15 s idle shutdown):
+    ingests present files then idle-stops; a stop sentinel halts the loop;
+    removing it resumes from the checkpoint picking up ONLY new files."""
+    from ecommerce_analytics_platform_spark.streaming.ingest import run_stream_loop
+
+    raw = tmp_path / "raw"
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    stop = str(tmp_path / "control" / "clickstream.stop")
+    (tmp_path / "control").mkdir()
+
+    events1, _ = generate_fixture(seed=21, n_sessions=10, bad_ts_rate=0.0)
+    write_ndjson_fixture(events1, str(raw / "batch_1.json"))
+
+    res = run_stream_loop(
+        spark, str(raw), landing, ckpt, stop,
+        idle_timeout_sec=6, max_runtime_sec=120,
+    )
+    assert res["stopped_by"] == "idle"
+    assert res["n_rows"] == len(events1)
+    assert spark.read.parquet(landing).count() == len(events1)
+
+    # sentinel: loop must exit reporting the stop file
+    import pathlib
+
+    pathlib.Path(stop).touch()
+    events2, _ = generate_fixture(seed=22, n_sessions=4, bad_ts_rate=0.0)
+    write_ndjson_fixture(events2, str(raw / "batch_2.json"))
+    res2 = run_stream_loop(
+        spark, str(raw), landing, ckpt, stop,
+        idle_timeout_sec=6, max_runtime_sec=120,
+    )
+    assert res2["stopped_by"] == "sentinel"
+
+    # resume: checkpoint picks up exactly the not-yet-processed data
+    pathlib.Path(stop).unlink()
+    res3 = run_stream_loop(
+        spark, str(raw), landing, ckpt, stop,
+        idle_timeout_sec=6, max_runtime_sec=120,
+    )
+    assert res3["stopped_by"] == "idle"
+    total = spark.read.parquet(landing).count()
+    assert total == len(events1) + len(events2)  # exactly-once across stops
