@@ -39,8 +39,16 @@ def generate_fixture(
     late_rate: float = 0.15,
     cancel_rate: float = 0.05,
     bad_ts_rate: float = 0.02,
+    catalog: dict[str, float] | None = None,
 ) -> tuple[list[dict], list[dict]]:
-    """Returns (clickstream_events, orders) as raw NDJSON-ready dicts."""
+    """Returns (clickstream_events, orders) as raw NDJSON-ready dicts.
+
+    ``catalog`` (product_id → price, see fixtures/catalog.py): when given,
+    cart item prices come from the static catalog — the reference's
+    producer behavior (linked_clickstream_order_generator.py:97,239) —
+    instead of per-item uniform noise; enables dim_products-vs-catalog
+    reconciliation. One rng.uniform draw still happens either way so the
+    event stream is identical with or without a catalog."""
     rng = random.Random(seed)
     events: list[dict] = []
     orders: list[dict] = []
@@ -89,11 +97,20 @@ def generate_fixture(
                 ev["experiment_id"] = rng.choice(EXPERIMENTS)
             events.append(ev)
             if etype == "add_to_cart":
+                # rng call ORDER is load-bearing: quantity then price, same
+                # as the original dict-literal evaluation — reordering
+                # would shift the whole downstream stream for every seed
+                quantity = rng.randint(1, 3)
+                noise_price = round(rng.uniform(5, 200), 2)
                 cart.append(
                     {
                         "product_id": product_id,
-                        "quantity": rng.randint(1, 3),
-                        "price": round(rng.uniform(5, 200), 2),
+                        "quantity": quantity,
+                        "price": (
+                            catalog.get(product_id, noise_price)
+                            if catalog is not None
+                            else noise_price
+                        ),
                     }
                 )
             if etype == "purchase" and cart:
@@ -115,7 +132,8 @@ def generate_fixture(
     # duplicate injection (reference lines 366-371): re-append random rows
     for _ in range(int(len(events) * dup_rate)):
         events.append(dict(rng.choice(events)))
-    for _ in range(max(1, int(len(orders) * dup_rate / 2))):
-        orders.append(dict(rng.choice(orders)))
+    if orders:  # a tiny fixture can legitimately convert zero sessions
+        for _ in range(max(1, int(len(orders) * dup_rate / 2))):
+            orders.append(dict(rng.choice(orders)))
 
     return events, orders

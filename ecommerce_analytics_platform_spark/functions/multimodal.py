@@ -7,11 +7,19 @@ as binary columns (or object-store URIs) beside typed metadata, and every
 transform is a vectorized batch function over Arrow record batches, never
 a row-at-a-time Python UDF.
 
-The *decode* kernels (JPEG decode, audio resample, video frame extraction)
-need libs not present in this container (Pillow/ffmpeg/torchvision), so the
-kernel bodies are deterministic fakes / NotImplementedError stubs — clearly
-marked. Everything Spark-side is real and tested: schemas, the mapInPandas
-batch contract, partition sizing, metadata pushdown.
+Decode kernels come in two tiers:
+
+- **real** — uncompressed formats parsed with pure numpy
+  (functions/codecs.py): PPM (P6) and 24-bit BMP images, PCM16 WAV audio,
+  plus nearest-neighbor resize. ``kernel="real"`` on the operators below
+  runs these against actual media bytes (tested on encoded fixtures with
+  exact expected features).
+- **stub/fake** — compressed formats (JPEG/MP3/H.264) need
+  Pillow/ffmpeg/torchvision, absent in this container; those kernel bodies
+  are deterministic fakes / NotImplementedError stubs — clearly marked.
+
+Everything Spark-side is real and tested either way: schemas, the
+mapInPandas batch contract, partition sizing, metadata pushdown.
 
 Scale notes: media bytes dominate I/O — keep them OUT of shuffles (derive
 features, drop the blob before any join/groupBy); filter on metadata first
@@ -88,22 +96,45 @@ def _fake_decode_image(buf: bytes) -> tuple[int, int, float]:
     return w, h, round(mean, 6)
 
 
+def _real_decode_image(buf: bytes) -> tuple[int | None, int | None, float | None]:
+    """REAL decode kernel for uncompressed formats (PPM/BMP — pure numpy,
+    functions/codecs.py). Returns (width, height, mean brightness in
+    [0, 1] rounded 6dp); nulls for empty/undecodable bytes so a mixed
+    corpus degrades row-wise instead of failing the batch."""
+    from ecommerce_analytics_platform_spark.functions import codecs
+
+    if not buf:
+        return None, None, None
+    try:
+        arr = codecs.decode_image(buf)
+    except ValueError:
+        return None, None, None
+    h, w = arr.shape[:2]
+    return w, h, round(float(arr.mean()) / 255.0, 6)
+
+
 def decode_image_features(
-    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    kernel: str = "fake",
 ) -> DataFrame:
     """Image decode → features via Arrow-batched mapInPandas.
 
     Batch contract: each pandas batch holds whole rows of (id, bytes);
     output schema is fixed and blob-free (drop bytes before any shuffle).
-    Decode kernel is stubbed (see :func:`_fake_decode_image`).
+    ``kernel="real"`` decodes PPM/BMP bytes with the pure-numpy codecs
+    (exact, tested); ``"fake"`` is the deterministic stand-in for
+    compressed formats (see :func:`_fake_decode_image`).
     """
     schema = "media_id long, width int, height int, mean_brightness double"
+    decode = {"fake": lambda b: _fake_decode_image(b), "real": _real_decode_image}[kernel]
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd
 
         for pdf in batches:
-            decoded = [_fake_decode_image(b or b"") for b in pdf[content_col]]
+            decoded = [decode(b or b"") for b in pdf[content_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].to_numpy(),
@@ -113,7 +144,7 @@ def decode_image_features(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(kernel, schema)
+    return df.select(id_col, content_col).mapInPandas(fn, schema)
 
 
 def resize_images(
@@ -122,23 +153,50 @@ def resize_images(
     target_h: int,
     id_col: str = "media_id",
     content_col: str = "content",
+    kernel: str = "real",
 ) -> DataFrame:
-    """Image resize plumbing — kernel stubbed (needs Pillow).
+    """Image resize via Arrow-batched mapInPandas.
 
-    Raises NotImplementedError from the executor when actually executed;
-    the returned DataFrame's schema/partitioning is real, so plans that
-    embed it can be built and inspected.
+    ``kernel="real"``: decode PPM/BMP with the pure-numpy codecs,
+    nearest-neighbor resize (integer index maps — deterministic across
+    platforms), re-encode as PPM; undecodable rows pass through with null
+    content. ``kernel="stub"`` raises NotImplementedError from the
+    executor (compressed formats need Pillow) — the returned DataFrame's
+    schema/partitioning is still real for plan inspection.
     """
     schema = "media_id long, content binary, width int, height int"
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(
-            "image resize requires Pillow; real kernel: "
+            "compressed-format resize requires Pillow; real kernel: "
             "PIL.Image.open(bytes).resize((target_w, target_h)).save(buf)"
         )
         yield  # pragma: no cover
 
-    return df.select(id_col, content_col).mapInPandas(kernel, schema)
+    def real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        from ecommerce_analytics_platform_spark.functions import codecs
+
+        for pdf in batches:
+            out = {"media_id": [], "content": [], "width": [], "height": []}
+            for mid, b in zip(pdf[id_col], pdf[content_col]):
+                out["media_id"].append(mid)
+                try:
+                    arr = codecs.decode_image(b or b"")
+                except ValueError:
+                    out["content"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    continue
+                resized = codecs.resize_nearest(arr, target_w, target_h)
+                out["content"].append(codecs.encode_ppm(resized))
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+            yield pd.DataFrame(out)
+
+    fn = {"stub": stub, "real": real}[kernel]
+    return df.select(id_col, content_col).mapInPandas(fn, schema)
 
 
 def sample_video_frames(
@@ -192,15 +250,21 @@ def sample_video_frames(
 
 
 def audio_features(
-    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    kernel: str = "fake",
 ) -> DataFrame:
-    """Audio feature extraction with a deterministic fake kernel
-    (duration from byte length at nominal 16 kHz/16-bit mono; RMS-ish
-    energy from raw bytes) — same plumbing as a real soundfile/librosa
-    kernel."""
+    """Audio feature extraction via Arrow-batched mapInPandas.
+
+    ``kernel="real"``: parse RIFF/WAVE PCM16 with the pure-numpy codec —
+    duration = n_samples / sample_rate, energy = RMS of the normalized
+    signal (exact, tested on encoded fixtures); undecodable rows yield
+    nulls. ``"fake"`` is the deterministic stand-in for compressed audio
+    (duration from byte length at nominal 16 kHz/16-bit mono)."""
     schema = "media_id long, duration_sec double, energy double"
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd
 
         for pdf in batches:
@@ -213,4 +277,27 @@ def audio_features(
                 {"media_id": pdf[id_col].to_numpy(), "duration_sec": out_d, "energy": out_e}
             )
 
-    return df.select(id_col, content_col).mapInPandas(kernel, schema)
+    def real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        from ecommerce_analytics_platform_spark.functions import codecs
+
+        for pdf in batches:
+            out_d, out_e = [], []
+            for b in pdf[content_col]:
+                try:
+                    samples, rate = codecs.decode_wav_pcm16(b or b"")
+                except ValueError:
+                    out_d.append(None)
+                    out_e.append(None)
+                    continue
+                out_d.append(round(samples.shape[0] / rate, 6))
+                x = samples.astype(np.float64) / 32768.0
+                out_e.append(round(float(np.sqrt((x * x).mean())), 6))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].to_numpy(), "duration_sec": out_d, "energy": out_e}
+            )
+
+    fn = {"fake": fake, "real": real}[kernel]
+    return df.select(id_col, content_col).mapInPandas(fn, schema)

@@ -1334,30 +1334,80 @@ FROM events GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column → mapInPandas feature extraction. documents.text
-    encoded to bytes stands in for encoded media (no codec libs in the
-    container); the Spark plumbing (schema, Arrow batches, blob-free
-    output) is the real thing."""
+    """REAL image decode, oracle-checked end to end: per doc a solid-color
+    PPM is ENCODED with the pure-numpy codec (dims/color from doc_id
+    arithmetic), then DECODED by the real kernel — and DuckDB predicts the
+    features from the same arithmetic, so the hash compare verifies the
+    whole encode→decode round trip. Colors are multiples of 51 so
+    mean/255 lands on exact tenths (no cross-engine round() ambiguity)."""
     from ecommerce_analytics_platform_spark.functions.multimodal import (
         decode_image_features,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
-    )
-    return decode_image_features(media)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ecommerce_analytics_platform_spark.functions import codecs
+
+        for pdf in batches:
+            content = []
+            for did in pdf["doc_id"]:
+                w, h, c = 2 + did % 7, 2 + did % 5, 51 * (did % 6)
+                content.append(codecs.encode_ppm(np.full((h, w, 3), c, dtype=np.uint8)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
+
+    media = docs.mapInPandas(gen, "media_id long, content binary")
+    return decode_image_features(media, kernel="real")
+
+
+SQL_IMAGE_FEATURES = """
+SELECT doc_id AS media_id,
+       CAST(2 + doc_id % 7 AS INT) AS width,
+       CAST(2 + doc_id % 5 AS INT) AS height,
+       round((51 * (doc_id % 6)) / 255.0, 6) AS mean_brightness
+FROM documents
+"""
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-feature twin of q_image_features (deterministic fake kernel)."""
+    """REAL WAV decode, oracle-checked: per doc a constant-amplitude PCM16
+    WAV is encoded (amplitude/length from doc_id arithmetic, rate 8192 Hz
+    and sample counts in multiples of 1024 so duration and RMS are exact
+    eighths — zero round() ambiguity), decoded by the real RIFF parser,
+    and DuckDB predicts duration/energy arithmetically."""
     from ecommerce_analytics_platform_spark.functions.multimodal import audio_features
 
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
-    )
-    return audio_features(media)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ecommerce_analytics_platform_spark.functions import codecs
+
+        for pdf in batches:
+            content = []
+            for did in pdf["doc_id"]:
+                amp = 4096 * (1 + did % 7)
+                n = 1024 * (1 + did % 5)
+                content.append(
+                    codecs.encode_wav_pcm16(np.full(n, amp, dtype="<i2"), 8192)
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
+
+    media = docs.mapInPandas(gen, "media_id long, content binary")
+    return audio_features(media, kernel="real")
+
+
+SQL_AUDIO_FEATURES = """
+SELECT doc_id AS media_id,
+       round((1 + doc_id % 5) / 8.0, 6) AS duration_sec,
+       round((1 + doc_id % 7) / 8.0, 6) AS energy
+FROM documents
+"""
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1375,6 +1425,61 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", "frame_ts_sec", F.length("content").alias("frame_bytes")
     )
+
+
+def q_product_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static product catalog (reference producers/product_list.py:15-39,
+    seed=894 — behavioral port in fixtures/catalog.py) rolled up per
+    price-psychology band (.99 / .95 / .49 / whole-dollar). Spark
+    aggregates the generated catalog; the oracle aggregates the SAME 1500
+    products embedded as a VALUES literal — the hash compare pins the
+    generator's determinism and the band arithmetic."""
+    from ecommerce_analytics_platform_spark.fixtures.catalog import catalog_df
+
+    cat = catalog_df(spark)
+    band = (
+        F.when(F.col("price_usd") < 10, ".99")
+        .when(F.col("price_usd") < 50, ".95")
+        .when(F.col("price_usd") < 150, ".49")
+        .otherwise("whole")
+    )
+    return (
+        cat.groupBy(band.alias("price_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_products"),
+            F.min("price_usd").alias("min_price"),
+            F.max("price_usd").alias("max_price"),
+            F.sum(F.col("price_usd").cast("decimal(18,4)")).cast("double").alias("total_price"),
+        )
+        .orderBy("price_band")
+    )
+
+
+def _product_catalog_sql() -> str:
+    from ecommerce_analytics_platform_spark.fixtures.catalog import generate_catalog
+
+    values = ", ".join(
+        f"('{p['product_id']}', {p['price_usd']!r})" for p in generate_catalog()
+    )
+    return f"""
+WITH catalog(product_id, price_usd) AS (VALUES {values}),
+banded AS (
+    SELECT CASE WHEN price_usd < 10 THEN '.99'
+                WHEN price_usd < 50 THEN '.95'
+                WHEN price_usd < 150 THEN '.49'
+                ELSE 'whole' END AS price_band,
+           CAST(price_usd AS DOUBLE) AS price_usd
+    FROM catalog
+)
+SELECT price_band,
+       count(*) AS n_products,
+       min(price_usd) AS min_price,
+       max(price_usd) AS max_price,
+       CAST(sum(CAST(price_usd AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM banded
+GROUP BY price_band
+ORDER BY price_band
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3706,8 +3811,10 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # bounds vs the exact aggregates are pytest-asserted
     "approx_sketches": (q_approx_sketches, None),
     "sketch_merge": (q_sketch_merge, None),
-    # rows-only (no SQL twin): deterministic-fake multimodal kernels
-    "image_features": (q_image_features, None),
-    "audio_features": (q_audio_features, None),
+    # real numpy codecs (PPM/WAV) with arithmetic oracles; video stays a
+    # rows-only deterministic fake (no uncompressed video format to parse)
+    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_frames": (q_video_frames, None),
+    "product_catalog": (q_product_catalog, _product_catalog_sql()),
 }

@@ -59,10 +59,18 @@ def test_audio_features(media):
 def test_resize_stub_raises_cleanly(media):
     """The stub kernel must fail with NotImplementedError at execution (not
     at plan time), proving the plumbing is a real executable plan."""
-    plan = resize_images(media, 224, 224)
+    plan = resize_images(media, 224, 224, kernel="stub")
     assert "content" in plan.columns  # plan builds fine
     with pytest.raises(Exception, match="NotImplementedError|Pillow"):
         plan.collect()
+
+
+def test_resize_real_nulls_undecodable(media):
+    """Default (real) resize kernel degrades row-wise on non-PPM/BMP bytes
+    instead of failing the batch."""
+    rows = resize_images(media, 32, 32).collect()
+    assert len(rows) > 0
+    assert all(r["content"] is None for r in rows)
 
 
 def test_blob_dropped_before_shuffle(media):
@@ -91,3 +99,89 @@ def test_video_frame_sampling_fake_kernel(spark):
     assert len(by_id[3]) == 1
     assert [r["frame_idx"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
     assert all(r["content"] is not None for r in by_id[1])
+
+
+# ---------------------------------------------------------------------------
+# REAL kernels: pure-numpy PPM/BMP/WAV codecs (functions/codecs.py)
+# ---------------------------------------------------------------------------
+
+
+def test_codec_roundtrips():
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import codecs
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+    assert (codecs.decode_bmp24(codecs.encode_bmp24(img)) == img).all()
+    # PPM header comments per the netpbm spec
+    with_comment = b"P6\n# a comment\n5 7\n255\n" + img.tobytes()
+    assert (codecs.decode_ppm(with_comment) == img).all()
+
+    stereo = rng.randint(-32768, 32767, (400, 2)).astype("<i2")
+    dec, rate = codecs.decode_wav_pcm16(codecs.encode_wav_pcm16(stereo, 8000))
+    assert rate == 8000 and (dec == stereo).all()
+
+
+def test_real_image_features_exact(spark):
+    """Real PPM/BMP decode through Spark: exact expected width/height/mean."""
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import codecs
+    from ecommerce_analytics_platform_spark.functions.multimodal import (
+        decode_image_features,
+    )
+
+    # 2x2 image with known pixels: mean = (0+60+120+255)*3ch.../12
+    img = np.array(
+        [[[0, 0, 0], [60, 60, 60]], [[120, 120, 120], [255, 255, 255]]], dtype=np.uint8
+    )
+    expected_mean = round((0 + 60 + 120 + 255) * 3 / 12 / 255.0, 6)
+    rows = [
+        (1, bytearray(codecs.encode_ppm(img))),
+        (2, bytearray(codecs.encode_bmp24(img))),
+        (3, bytearray(b"\xff\xd8garbage-jpeg")),  # undecodable → nulls
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in
+           decode_image_features(df, kernel="real").collect()}
+    for mid in (1, 2):
+        assert got[mid]["width"] == 2 and got[mid]["height"] == 2
+        assert got[mid]["mean_brightness"] == expected_mean
+    assert got[3]["width"] is None and got[3]["mean_brightness"] is None
+
+
+def test_real_resize_roundtrip(spark):
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import codecs
+    from ecommerce_analytics_platform_spark.functions.multimodal import resize_images
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (8, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_bmp24(img)))], "media_id long, content binary"
+    )
+    out = resize_images(df, 3, 4, kernel="real").collect()[0]
+    assert (out["width"], out["height"]) == (3, 4)
+    resized = codecs.decode_ppm(bytes(out["content"]))
+    assert (resized == codecs.resize_nearest(img, 3, 4)).all()
+
+
+def test_real_wav_features_exact(spark):
+    """Constant-amplitude PCM16 → exact RMS and duration."""
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import codecs
+    from ecommerce_analytics_platform_spark.functions.multimodal import audio_features
+
+    const = np.full(16000, 16384, dtype="<i2")  # 1 s at 16 kHz, amp 0.5
+    wav = codecs.encode_wav_pcm16(const, 16000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not-audio"))], "media_id long, content binary"
+    )
+    got = {r["media_id"]: r for r in audio_features(df, kernel="real").collect()}
+    assert got[1]["duration_sec"] == 1.0
+    assert got[1]["energy"] == 0.5
+    assert got[2]["duration_sec"] is None

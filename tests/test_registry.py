@@ -21,13 +21,11 @@ def test_oracle_keys_subset():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    # rows-only: deterministic-fake multimodal kernels, float-boundary-
-    # sensitive ANN bucketing (recall asserted in test_similarity), and
-    # engine-specific sketches (error bounds asserted below)
-    assert set(q) - set(o) == {
-        "image_features", "audio_features", "video_frames",
-        "ann_lsh", "ann_ivf", "ann_int8", "approx_sketches", "sketch_merge",
-    }
+    # rows-only remainder: the fake video kernel (no uncompressed video
+    # format to parse) and engine-specific sketch internals (error bounds
+    # asserted below). Everything else — including the ANN trio and the
+    # real image/audio codecs — now carries an oracle.
+    assert set(q) - set(o) == {"video_frames", "approx_sketches", "sketch_merge"}
 
 
 def test_approx_sketches_error_bounds(spark):
