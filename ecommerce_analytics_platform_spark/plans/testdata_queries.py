@@ -902,6 +902,39 @@ GROUP BY 1, 2
 """
 
 
+def q_neardup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs under the boilerplate guardrail: band-buckets
+    holding more than max_bucket=2 docs are deterministically dropped
+    BEFORE the self-join (operators/dedup.py max_bucket — the cap that
+    keeps one shared footer from making a bucket quadratic at 100 TB).
+    The oracle applies the identical cap, so the row is robust to however
+    many mega-buckets the data happens to contain."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4, max_bucket=2)
+
+
+def _neardup_capped_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 2) -> str:
+    return f"""
+WITH shingled AS (
+    SELECT doc_id, ({_SHINGLES_SQL}) AS sh FROM documents
+), based AS (
+    SELECT doc_id, {_BASES_SQL} AS bases FROM shingled WHERE len(sh) > 0
+), sigs AS (
+    SELECT doc_id, {_mh_cols_sql(num_hashes)} FROM based
+), buckets AS ({_band_rows_sql(num_hashes, bands)}),
+small AS (
+    SELECT band, bucket FROM buckets GROUP BY 1, 2 HAVING count(*) <= {max_bucket}
+), capped AS (
+    SELECT b.band, b.bucket, b.doc_id FROM buckets b
+    JOIN small s ON b.band = s.band AND b.bucket = s.bucket
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_bands
+FROM capped l JOIN capped r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates → exact n-gram Jaccard verification — the full
     production near-dup composition (candidate generation never goes
@@ -3737,6 +3770,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
     "simhash": (q_simhash, _simhash_sql()),
     "neardup_pairs": (q_neardup_pairs, _neardup_sql()),
+    "neardup_pairs_capped": (q_neardup_pairs_capped, _neardup_capped_sql()),
     "neardup_verified": (q_neardup_verified, _neardup_verified_sql()),
     "neardup_clusters": (q_neardup_clusters, _neardup_clusters_sql()),
     "neardup_clusters_star": (q_neardup_clusters_star, _neardup_clusters_sql()),
