@@ -25,7 +25,11 @@ from ecommerce_analytics_platform_spark.operators.corpus import (  # noqa: F401
 )
 from ecommerce_analytics_platform_spark.operators.dedup import (  # noqa: F401
     connected_components,
+    connected_components_star,
     dedup_against_corpus,
+    lsh_band_buckets,
+    lsh_oversized_docs,
+    neardup_against_corpus,
 )
 from ecommerce_analytics_platform_spark.operators.incremental import (  # noqa: F401
     lookback_filter,
@@ -44,8 +48,10 @@ from ecommerce_analytics_platform_spark.operators.similarity import (  # noqa: F
     cosine_neardup_pairs,
     cosine_topk_blas,
     cosine_topk_bruteforce,
+    int8_topk,
     ivf_topk,
     lsh_bucketed_topk,
+    lsh_neardup_pairs,
 )
 from ecommerce_analytics_platform_spark.operators.skew import (  # noqa: F401
     salted_agg,

@@ -452,6 +452,28 @@ def cosine_neardup_pairs(
     return prepared.mapInPandas(score, "id_a long, id_b long, cosine double")
 
 
+def hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic random hyperplanes — tiny (n_planes × dim floats),
+    embedded as literals so signature scoring is broadcast by construction.
+    Shared by the Spark operators AND the DuckDB oracle builders (same
+    seed → bit-identical plane literals on both sides)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _plane_signature(planes: list[list[float]]):
+    def signature(v: Column) -> Column:
+        sig = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            lit = F.array(*[F.lit(x) for x in p])
+            sig = sig + F.when(_dot(v, lit) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return sig
+
+    return signature
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -470,24 +492,14 @@ def lsh_bucketed_topk(
     (tiny: n_planes × dim floats) and embedded as literals — broadcast by
     construction, no shuffle to score signatures.
     """
-    import random
-
     from ecommerce_analytics_platform_spark.session import fan_out
 
     dim = len(corpus.select(vec_col).first()[0])
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    signature = _plane_signature(hyperplanes(dim, n_planes, seed))
     # signature scoring (n_planes interpreted dot products per vector) is the
     # CPU-heavy stage — spread it across cores before computing
     queries = fan_out(queries.select(query_id, vec_col))
     corpus = fan_out(corpus.select(corpus_id, vec_col))
-
-    def signature(v: Column) -> Column:
-        sig = F.lit(0).cast("long")
-        for i, p in enumerate(planes):
-            lit = F.array(*[F.lit(x) for x in p])
-            sig = sig + F.when(_dot(v, lit) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        return sig
 
     q = normalize(queries, vec_col, "__qv").select(
         F.col(query_id).alias("qid"), "__qv", signature(F.col("__qv")).alias("bucket")
@@ -628,3 +640,43 @@ def int8_topk(
         F.col(query_id).alias("__qid"), F.col(vec_col).alias("__vec")
     ).repartition(queries.sparkSession.sparkContext.defaultParallelism)
     return prepared.mapInPandas(score, "qid long, cid long, cosine double, rank int")
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_planes: int = 6,
+    seed: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate embedding near-dup pairs: only pairs colliding in the
+    random-hyperplane LSH bucket are scored — the SCALE companion to the
+    exact :func:`cosine_neardup_pairs` (whose block-pair path must ship
+    n·B rows for exactness). Here the only shuffle is the bucket-key join;
+    recall follows the LSH collision bound (high-cosine pairs agree on
+    most hyperplane signs, so few planes ⇒ high recall at near-dup
+    thresholds). Output: (id_a < id_b, cosine ≥ threshold) — a strict
+    subset of the exact operator's output by construction.
+    """
+    from ecommerce_analytics_platform_spark.session import fan_out
+
+    dim = len(df.select(vec_col).first()[0])
+    signature = _plane_signature(hyperplanes(dim, n_planes, seed))
+    base = fan_out(df.select(id_col, vec_col))
+    n = normalize(base, vec_col, "__nv").select(
+        F.col(id_col).alias("__id"), "__nv", signature(F.col("__nv")).alias("bucket")
+    )
+    a = n.select(F.col("__id").alias("id_a"), F.col("__nv").alias("va"), "bucket")
+    b = n.select(F.col("__id").alias("id_b"), F.col("__nv").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")), round_digits).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1622,18 +1622,24 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, emb, "vec_id", "vec_id", "embedding", k=3, n_planes=6)
 
 
-def _sql_ann_lsh() -> str:
-    """DuckDB twin of q_ann_lsh with the seed-7 hyperplanes inlined."""
-    import random
+def _lsh_sig_terms(n_planes: int = 6, seed: int = 7, dim: int = 64) -> str:
+    """DuckDB expression computing the hyperplane-sign signature — built
+    from the SAME seeded planes the Spark operators embed (similarity.
+    hyperplanes), so bucket membership is engine-identical."""
+    from ecommerce_analytics_platform_spark.operators.similarity import hyperplanes
 
-    rng = random.Random(7)
-    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
-    sig_terms = " + ".join(
-        "(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+    planes = hyperplanes(dim, n_planes, seed)
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
         f"i -> (v[i]/nrm) * ([{', '.join(repr(x) for x in p)}])[i])) > 0 "
         f"THEN {1 << b} ELSE 0 END)"
         for b, p in enumerate(planes)
     )
+
+
+def _sql_ann_lsh() -> str:
+    """DuckDB twin of q_ann_lsh with the seed-7 hyperplanes inlined."""
+    sig_terms = _lsh_sig_terms()
     return f"""
 WITH n AS (
     SELECT vec_id,
@@ -1657,6 +1663,42 @@ SELECT qid, cid, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
 
 
 SQL_ANN_LSH = _sql_ann_lsh()
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered embedding near-dup pairs — the SCALE path for
+    cosine_neardup_pairs (only bucket-colliding pairs are scored; the
+    shuffle is the bucket join, never all-pairs). Hash-checked against a
+    full DuckDB twin built from the identical seed-7 hyperplanes."""
+    from ecommerce_analytics_platform_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, "vec_id", "embedding", threshold=0.3, n_planes=6)
+
+
+def _sql_embedding_neardup_lsh() -> str:
+    sig_terms = _lsh_sig_terms()
+    return f"""
+WITH n AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+), sig AS (
+    SELECT vec_id, v, nrm, {sig_terms} AS bucket FROM n
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(generate_series(1, len(a.v)),
+             i -> (a.v[i] / a.nrm) * (b.v[i] / b.nrm))), 4) AS cosine
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+      i -> (a.v[i] / a.nrm) * (b.v[i] / b.nrm))), 4) >= 0.3
+"""
+
+
+SQL_EMBEDDING_NEARDUP_LSH = _sql_embedding_neardup_lsh()
 
 
 def _recall_check(
@@ -3781,6 +3823,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # rows-only: LSH bucket membership isn't cross-engine robust at float
     # sign boundaries; recall asserted vs the exact path in tests
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_int8": (q_ann_int8, SQL_ANN_INT8),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),

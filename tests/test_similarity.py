@@ -151,3 +151,24 @@ def test_tiny_corpus_self_exclusion(spark, emb):
             per_q.setdefault(r["qid"], []).append(r["rank"])
         for q, ranks in per_q.items():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_lsh_neardup_subset_of_exact(spark, emb):
+    """LSH-prefiltered near-dup pairs must be a SUBSET of the exact
+    above-threshold pairs with identical scores, and catch a decent
+    fraction of them (bucket collision recall)."""
+    from ecommerce_analytics_platform_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    small = emb.limit(200).cache()
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in cosine_neardup_pairs(small, "vec_id", "embedding", threshold=0.2).collect()}
+    approx = {(r["id_a"], r["id_b"]): r["cosine"]
+              for r in lsh_neardup_pairs(small, "vec_id", "embedding",
+                                         threshold=0.2, n_planes=4).collect()}
+    assert approx, "no LSH pairs found"
+    for pair, cos in approx.items():
+        assert pair in exact and exact[pair] == cos
+    assert len(approx) / len(exact) >= 0.1  # collision recall at 4 planes
