@@ -1254,15 +1254,48 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — HyperLogLog++ distinct counts and quantile
     sketches per event type. THE scale path for distincts/percentiles at
     100 TB (exact countDistinct pays an Expand + full shuffle; HLL is one
-    mergeable 1.5 KB sketch per group). Rows-only: sketch internals differ
-    across engines by design; error bounds vs exact are asserted in
-    tests/test_registry.py."""
+    mergeable 1.5 KB sketch per group). Sketch internals are
+    engine-specific, so the checkable relation is the accuracy contract
+    (same pattern as the ANN trio's _recall_check): exact counts/exact
+    percentiles hash-match the DuckDB twin, and ``hll_ok``/``q_ok`` flip
+    false — failing the driver gate — on any real accuracy regression
+    (HLL rsd=0.02 given 5% headroom; approx quantiles given 5% relative
+    + 1.0 absolute vs the interpolated exact). Tight bounds are
+    additionally pytest-asserted in tests/test_registry.py."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9], 10_000).alias("value_quantiles"),
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx_users"),
+        F.percentile_approx("value", [0.5, 0.9], 10_000).alias("__q"),
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50_exact"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 4).alias("p90_exact"),
         F.count(F.lit(1)).alias("n"),
     )
+    tol = lambda a, e: F.abs(a - e) <= 0.05 * F.abs(e) + F.lit(1.0)  # noqa: E731
+    return g.select(
+        "event_type",
+        "exact_users",
+        "p50_exact",
+        "p90_exact",
+        "n",
+        tol(F.col("__approx_users"), F.col("exact_users")).alias("hll_ok"),
+        (
+            tol(F.col("__q")[0], F.col("p50_exact"))
+            & tol(F.col("__q")[1], F.col("p90_exact"))
+        ).alias("q_ok"),
+    )
+
+
+SQL_APPROX_SKETCHES = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       round(quantile_cont(value, 0.9), 4) AS p90_exact,
+       count(*) AS n,
+       true AS hll_ok,
+       true AS q_ok
+FROM events GROUP BY event_type
+"""
 
 
 def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1458,6 +1491,22 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", "frame_ts_sec", F.length("content").alias("frame_bytes")
     )
+
+
+SQL_VIDEO_FRAMES = """
+WITH d AS (
+    SELECT doc_id AS media_id, octet_length(encode(text)) AS nb FROM documents
+), f AS (
+    SELECT media_id, nb,
+           greatest(CAST(floor(nb / 256.0) AS BIGINT), 1) AS n_frames
+    FROM d
+)
+SELECT media_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i AS DOUBLE) AS frame_ts_sec,
+       CAST(least(64, greatest(nb - i * 256, 0)) AS INTEGER) AS frame_bytes
+FROM f, unnest(generate_series(0, n_frames - 1)) AS t(i)
+"""
 
 
 def q_product_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3264,21 +3313,46 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_union_agg into weekly uniques — THE pattern for distinct counts at
     100 TB, where exact countDistinct needs a full shuffle of every key but
     sketches reduce to a few KB per partition and merge associatively.
-    Estimates are engine-specific (rows-only check; accuracy vs exact is
-    pytest-asserted)."""
+    Sketch estimates are engine-specific, so the checkable relation is the
+    accuracy contract (ANN-trio pattern): per-week exact uniques hash-match
+    the DuckDB twin and ``hll_ok`` flips false on a real merge/accuracy
+    regression (lgK=14 ⇒ ~0.8% rsd; 5% + 5 absolute headroom). Tight
+    bounds are additionally pytest-asserted."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk")
     )
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("d")).cast("date").alias("week_start")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"), F.lit(True))).alias(
+            "__approx_users"
+        )
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("week_start")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
     return (
-        daily.groupBy(F.date_trunc("week", F.col("d")).cast("date").alias("week_start"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"), F.lit(True))).alias(
-                "approx_users"
-            )
+        weekly.join(exact, "week_start")
+        .select(
+            "week_start",
+            "exact_users",
+            (
+                F.abs(F.col("__approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users") + F.lit(5.0)
+            ).alias("hll_ok"),
         )
         .orderBy("week_start")
     )
+
+
+SQL_SKETCH_MERGE = """
+SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week_start,
+       count(DISTINCT user_id) AS exact_users,
+       true AS hll_ok
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
 
 
 def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3884,14 +3958,16 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "cluster_keepers": (q_cluster_keepers, _cluster_keepers_sql()),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
-    # rows-only: sketch internals are engine-specific by design; error
-    # bounds vs the exact aggregates are pytest-asserted
-    "approx_sketches": (q_approx_sketches, None),
-    "sketch_merge": (q_sketch_merge, None),
-    # real numpy codecs (PPM/WAV) with arithmetic oracles; video stays a
-    # rows-only deterministic fake (no uncompressed video format to parse)
+    # sketch internals are engine-specific by design, so the checkable
+    # relation is the accuracy contract (exact values hash-match; ok-flags
+    # flip on regression) — same pattern as the ANN trio
+    "approx_sketches": (q_approx_sketches, SQL_APPROX_SKETCHES),
+    "sketch_merge": (q_sketch_merge, SQL_SKETCH_MERGE),
+    # real numpy codecs (PPM/WAV) with arithmetic oracles; video is a
+    # deterministic fake kernel (no uncompressed video format to parse)
+    # whose frame fan-out IS SQL-expressible — exact twin
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
-    "video_frames": (q_video_frames, None),
+    "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "product_catalog": (q_product_catalog, _product_catalog_sql()),
 }

@@ -21,21 +21,20 @@ def test_oracle_keys_subset():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    # rows-only remainder: the fake video kernel (no uncompressed video
-    # format to parse) and engine-specific sketch internals (error bounds
-    # asserted below). Everything else — including the ANN trio and the
-    # real image/audio codecs — now carries an oracle.
-    assert set(q) - set(o) == {"video_frames", "approx_sketches", "sketch_merge"}
+    # every registry query — including the ANN trio, the sketches (accuracy
+    # contracts), and the deterministic fake video kernel — carries an oracle
+    assert set(q) - set(o) == set()
 
 
-def test_approx_sketches_error_bounds(spark):
-    """HLL distinct within 5% of exact; approx median within the value
-    range percentile neighborhood of the exact median."""
+def test_approx_sketches_contract(spark):
+    """The accuracy-contract relation: exact aggregates are real and every
+    ok-flag holds (HLL within 5%+1, approx quantiles within 5%+1 of the
+    interpolated exact)."""
     from pyspark.sql import functions as F
 
     from ecommerce_analytics_platform_spark.plans.testdata_queries import _t
 
-    approx = {
+    rows = {
         r["event_type"]: r
         for r in entrymod.queries()["approx_sketches"](spark, SF_DIR).collect()
     }
@@ -43,28 +42,26 @@ def test_approx_sketches_error_bounds(spark):
     exact = {
         r["event_type"]: r
         for r in ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-        )
+        .agg(F.countDistinct("user_id").alias("users"))
         .collect()
     }
+    assert set(rows) == set(exact)
     for et, ex in exact.items():
-        ap = approx[et]
-        assert abs(ap["approx_users"] - ex["users"]) <= max(0.05 * ex["users"], 2)
-        assert abs(ap["value_quantiles"][0] - ex["p50"]) <= 0.1 * max(abs(ex["p50"]), 1.0)
+        assert rows[et]["exact_users"] == ex["users"]
+        assert rows[et]["hll_ok"] is True
+        assert rows[et]["q_ok"] is True
 
 
-def test_sketch_merge_accuracy(spark):
-    """Weekly uniques from merged per-day HLL sketches within 5% of the
-    exact weekly countDistinct — validates the merge is lossless relative
-    to sketching the week directly (HLL union property)."""
+def test_sketch_merge_contract(spark):
+    """Weekly uniques from merged per-day HLL sketches: exact column equals
+    the direct weekly countDistinct, and hll_ok certifies the merged
+    estimate lands within tolerance (HLL union property)."""
     from pyspark.sql import functions as F
 
     from ecommerce_analytics_platform_spark.plans.testdata_queries import _t
 
-    approx = {
-        r["week_start"]: r["approx_users"]
+    rows = {
+        r["week_start"]: r
         for r in entrymod.queries()["sketch_merge"](spark, SF_DIR).collect()
     }
     ev = _t(spark, SF_DIR, "events")
@@ -76,9 +73,10 @@ def test_sketch_merge_accuracy(spark):
         .agg(F.countDistinct("user_id").alias("users"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for wk, ex in exact.items():
-        assert abs(approx[wk] - ex) <= max(0.05 * ex, 2)
+        assert rows[wk]["exact_users"] == ex
+        assert rows[wk]["hll_ok"] is True
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
