@@ -3065,6 +3065,68 @@ FROM s GROUP BY entity, state, grp
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build (operators/scd.py): per user, every
+    event_type state run with [valid_from, valid_to) validity, version
+    number and is_current flag — the Type 2 upgrade of the reference's
+    full-rebuild Type 1 dims (dim_users.sql keeps only latest values). One
+    key shuffle; dedup window, change-detect lag and valid_to lead share
+    the same (key, ts) sort."""
+    from ecommerce_analytics_platform_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    return scd2_history(ev, "user_id", ["event_type"], "ts", tiebreak_col="event_id")
+
+
+SQL_SCD2 = """
+WITH log AS (
+    SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events) t WHERE rn = 1
+), runs AS (
+    SELECT user_id, ts, event_type FROM (
+        SELECT log.*, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM log) t WHERE prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS INTEGER) AS version,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM runs
+"""
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD Type 2 merge: build the dimension from the first
+    half of the event log, then merge the second half as a change batch
+    (operators/scd.py::scd2_merge — untouched keys anti-join through;
+    changed keys replay run-starts ∪ delta). The oracle is the FULL
+    rebuild (SQL_SCD2): the hash compare proves merge == rebuild, the
+    correctness contract that lets a 100 TB dimension absorb a daily batch
+    without rewriting itself. The split point is data-derived (midpoint of
+    the event-time range) via a broadcast 1-row scalar, not a collect."""
+    from ecommerce_analytics_platform_spark.operators.scd import (
+        scd2_history,
+        scd2_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    cut = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("long")
+        .alias("cut_us")
+    )
+    tagged = ev.crossJoin(F.broadcast(cut))
+    initial = tagged.filter(F.unix_micros(F.col("ts")) < F.col("cut_us")).drop("cut_us")
+    delta = tagged.filter(F.unix_micros(F.col("ts")) >= F.col("cut_us")).drop("cut_us")
+    dim = scd2_history(initial, "user_id", ["event_type"], "ts", tiebreak_col="event_id")
+    return scd2_merge(
+        dim, delta, "user_id", ["event_type"], "ts", tiebreak_col="event_id"
+    )
+
+
 def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-ordered funnel signup → view → purchase: stage k counts only
     strictly after the entity's stage k-1 min-qualifying timestamp. The
@@ -3944,6 +4006,10 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
     "state_transitions": (q_state_transitions, SQL_STATE_TRANSITIONS),
     "status_intervals": (q_status_intervals, SQL_STATUS_INTERVALS),
+    # both SCD2 paths share one truth: the full-rebuild SQL — the merge
+    # query's hash match IS the merge==rebuild equivalence proof
+    "scd2_history": (q_scd2_history, SQL_SCD2),
+    "scd2_merge": (q_scd2_merge, SQL_SCD2),
     "funnel_ordered": (q_funnel_ordered, SQL_FUNNEL_ORDERED),
     "kpi_unpivot": (q_kpi_unpivot, SQL_KPI_UNPIVOT),
     "window_frames": (q_window_frames, SQL_WINDOW_FRAMES),
