@@ -3919,6 +3919,39 @@ GROUP BY a.doc_id
 """
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order key (sources/layout.py::zorder_key): bit-interleave
+    of (user_id, day-of-year) buckets — the multi-column clustering key
+    behind write_zordered's data skipping (1-D range layouts prune only
+    their lead column; Z-order prunes every interleaved one). Pure int64
+    shift/and/or, bit-identical cross-engine."""
+    from ecommerce_analytics_platform_spark.sources.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(1023)).alias("x"),
+        F.dayofyear("ts").cast("long").bitwiseAND(F.lit(1023)).alias("y"),
+    )
+    return b.select("event_id", "x", "y", zorder_key(["x", "y"], bits=10).alias("z"))
+
+
+def _sql_zorder_key() -> str:
+    from ecommerce_analytics_platform_spark.sources.layout import zorder_key_sql
+
+    return f"""
+WITH b AS (
+    SELECT event_id, user_id & 1023 AS x,
+           CAST(dayofyear(ts) AS BIGINT) & 1023 AS y
+    FROM events
+)
+SELECT event_id, x, y, {zorder_key_sql(['x', 'y'], bits=10)} AS z FROM b
+"""
+
+
+SQL_ZORDER_KEY = _sql_zorder_key()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4010,6 +4043,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # query's hash match IS the merge==rebuild equivalence proof
     "scd2_history": (q_scd2_history, SQL_SCD2),
     "scd2_merge": (q_scd2_merge, SQL_SCD2),
+    "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
     "funnel_ordered": (q_funnel_ordered, SQL_FUNNEL_ORDERED),
     "kpi_unpivot": (q_kpi_unpivot, SQL_KPI_UNPIVOT),
     "window_frames": (q_window_frames, SQL_WINDOW_FRAMES),

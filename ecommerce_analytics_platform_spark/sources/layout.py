@@ -22,7 +22,8 @@ Rules of thumb encoded here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_clustered(
@@ -57,6 +58,105 @@ def write_clustered(
             out = out.repartitionByRange(num_files, *keys).sortWithinPartitions(*keys)
         else:
             out = out.repartition(num_files)
+        writer = out.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+    finally:
+        if prev_ts is None:
+            conf.unset(ts_key)
+        else:
+            conf.set(ts_key, prev_ts)
+
+
+def zorder_key(cols: list[Column | str], bits: int = 12) -> Column:
+    """Morton (Z-order) interleave of N non-negative integer columns.
+
+    Bit i of column j lands at output bit ``i*N + j``, so a sort by the
+    result clusters rows that are close in EVERY dimension — the
+    multi-column upgrade of 1-D range clustering: a range-clustered layout
+    prunes only on its leading sort column, while a Z-ordered layout
+    prunes (partially) on each interleaved column. Inputs must already be
+    quantized to ``[0, 2**bits)`` (see :func:`write_zordered` for min/max
+    scaling); ``bits * N`` must stay < 63.
+
+    Pure int64 bit ops (shift/and/or) — JVM-side, codegen-friendly, and
+    bit-identical to the same formula in any engine (the registry's
+    ``zorder_key`` query pins it against DuckDB).
+    """
+    n = len(cols)
+    if bits * n >= 63:
+        raise ValueError("bits * ncols must be < 63")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
+
+
+def zorder_key_sql(cols: list[str], bits: int = 12) -> str:
+    """DuckDB SQL twin of :func:`zorder_key` — same bit placement."""
+    n = len(cols)
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * n + j})"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return " | ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    num_files: int = 8,
+    partition_by: list[str] | None = None,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-ordered on ``zorder_by``.
+
+    Each column is min/max-scaled to ``[0, 2**bits)`` (one broadcast 1-row
+    stats join — no collect), Morton-interleaved, then range-partitioned
+    and sorted by the Z key so every output file covers a compact
+    hyper-rectangle-ish region of the key space. Box predicates over ANY
+    subset of the Z columns then skip most files/row groups from footer
+    min/max stats, where a 1-D range layout prunes only its lead column
+    (measured in tests/test_layout.py via :func:`scan_stats`).
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in zorder_by],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in zorder_by],
+    )
+    scaled = df.crossJoin(F.broadcast(stats))
+    qcols = []
+    top = (1 << bits) - 1
+    for c in zorder_by:
+        span = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
+        frac = (F.col(c).cast("double") - F.col(f"__mn_{c}")) / F.when(
+            span > 0, span
+        ).otherwise(F.lit(1.0))
+        qcols.append(
+            F.least(F.floor(frac * (1 << bits)).cast("long"), F.lit(top)).alias(
+                f"__q_{c}"
+            )
+        )
+    scaled = scaled.select(*df.columns, *qcols).withColumn(
+        "__z", zorder_key([f"__q_{c}" for c in zorder_by], bits)
+    )
+    out = (
+        scaled.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__q_{c}" for c in zorder_by])
+    )
+    conf = df.sparkSession.conf
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = conf.get(ts_key, None)
+    conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
         writer = out.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
