@@ -216,6 +216,43 @@ def cosine_topk_blas(
     return prepared.mapInPandas(score, "qid long, cid long, cosine double, rank int")
 
 
+def _train_centroids(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    n_lists: int,
+    kmeans_iters: int,
+    seed: int,
+):
+    """Deterministic spherical k-means on a seeded driver-side sample
+    (id-ordered limit ⇒ stable across partitionings; centroid count × dim
+    floats — tiny). Shared coarse quantizer for IVF search and semantic
+    dedup."""
+    import numpy as np
+
+    sample = np.array(
+        [
+            list(r[0])
+            for r in corpus.select(vec_col)
+            .orderBy(F.col(corpus_id))
+            .limit(max(n_lists * 32, 512))
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample = _safe_unit_rows(sample)
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), n_lists, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_lists):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / np.linalg.norm(v)
+    return centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -253,22 +290,9 @@ def ivf_topk(
     import numpy as np
 
     spark = queries.sparkSession
-
-    # --- train: seeded sample → lloyd iterations on the driver
-    sample = np.array(
-        [list(r[0]) for r in corpus.select(vec_col).orderBy(F.col(corpus_id)).limit(max(n_lists * 32, 512)).collect()],
-        dtype=np.float64,
+    centroids = _train_centroids(
+        corpus, corpus_id, vec_col, n_lists, kmeans_iters, seed
     )
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    rng = np.random.RandomState(seed)
-    centroids = sample[rng.choice(len(sample), n_lists, replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(sample @ centroids.T, axis=1)
-        for c in range(n_lists):
-            members = sample[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                centroids[c] = v / np.linalg.norm(v)
     bc = spark.sparkContext.broadcast(centroids)
 
     def assign_lists(n_lists_probe: int):
@@ -679,4 +703,109 @@ def lsh_neardup_pairs(
             F.round(_dot(F.col("va"), F.col("vb")), round_digits).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    tau: float = 0.95,
+    n_lists: int = 16,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    max_cluster: int = 100_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a deterministic spherical
+    k-means coarse quantizer, then inside each cluster greedily keep a
+    representative and drop any vector whose cosine to an already-kept
+    vector is >= ``tau``. Keeper policy: ascending id order (the
+    lowest-id member of a duplicate neighborhood survives) — fully
+    deterministic, like operators/dedup.py's cluster keeper.
+
+    Output: ``(id, list_id, kept, dup_of, overflow)`` — ``dup_of`` is the
+    kept id that shadowed a dropped row (null on kept rows), always a
+    ``kept=true`` id in the same cluster, with cosine(id, dup_of) >= tau
+    by construction (both invariants oracle-checked by the registry's
+    ``semantic_dedup`` contract query and pytest).
+
+    Scale shape: the cluster partition bounds the quadratic — the only
+    shuffle is the groupBy(list_id); per-cluster scoring is one BLAS
+    ``V @ V.T``. Clusters larger than ``max_cluster`` skip the quadratic
+    pass entirely (all rows kept, ``overflow=true`` — same guardrail
+    contract as the LSH ``max_bucket`` cap); at 100 TB raise ``n_lists``
+    so E[cluster] = N/n_lists stays bounded.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    centroids = _train_centroids(df, id_col, vec_col, n_lists, kmeans_iters, seed)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            V = _safe_unit_rows(np.array([list(v) for v in pdf["__vec"]], dtype=np.float64))
+            lists = np.argmax(V @ C.T, axis=1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "list_id": lists,
+                    "__nvec": [v.tolist() for v in V],
+                }
+            )
+
+    assigned = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(assign, "__id long, list_id int, __nvec array<double>")
+
+    def dedup_cluster(key, pdf):
+        import pandas as pd
+
+        ids = pdf["__id"].to_numpy()
+        n = len(ids)
+        if n > max_cluster:
+            return pd.DataFrame(
+                {
+                    "id": ids,
+                    "list_id": np.full(n, key[0], dtype="int32"),
+                    "kept": np.ones(n, dtype=bool),
+                    "dup_of": pd.array([None] * n, dtype="Int64"),
+                    "overflow": np.ones(n, dtype=bool),
+                }
+            )
+        order = np.argsort(ids, kind="stable")
+        V = np.array([list(v) for v in pdf["__nvec"]], dtype=np.float64)
+        S = np.round(V @ V.T, round_digits)
+        kept: list[int] = []
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in order:
+            if kept:
+                sims = S[i, kept]
+                j = int(np.argmax(sims))
+                if sims[j] >= tau:
+                    # best-scoring kept shadow, ties to the lowest id
+                    best = sims[j]
+                    cands = [kept[t] for t in range(len(kept)) if sims[t] == best]
+                    dup_of[i] = ids[min(cands, key=lambda t: ids[t])]
+                    continue
+            kept.append(i)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "list_id": np.full(n, key[0], dtype="int32"),
+                "kept": dup_of == -1,
+                "dup_of": pd.array(
+                    [None if d == -1 else int(d) for d in dup_of], dtype="Int64"
+                ),
+                "overflow": np.zeros(n, dtype=bool),
+            }
+        )
+
+    return assigned.groupBy("list_id").applyInPandas(
+        dedup_cluster, "id long, list_id int, kept boolean, dup_of long, overflow boolean"
     )

@@ -3919,6 +3919,75 @@ GROUP BY a.doc_id
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup contract (operators/similarity.py::
+    semantic_dedup — k-means clusters, greedy within-cluster cosine
+    pruning at τ=0.9). Float k-means boundaries are engine-specific, so
+    the checkable relation materializes the operator's INVARIANTS (ANN
+    pattern): n_docs is exact (DuckDB count), row_cover_ok pins that every
+    doc gets exactly one verdict, sound_ok that every dropped doc's
+    recomputed cosine to its keeper clears τ, keeper_ok that every
+    ``dup_of`` points at a kept row of the same cluster. Any algorithmic
+    regression flips a flag and fails the driver gate; planted-duplicate
+    recall is pytest-asserted."""
+    from ecommerce_analytics_platform_spark.operators.similarity import (
+        _dot,
+        _l2norm,
+        semantic_dedup,
+    )
+
+    tau = 0.9
+    emb = _t(spark, sf_dir, "embeddings")
+    res = semantic_dedup(emb, "vec_id", "embedding", tau=tau, n_lists=8)
+    v = emb.select("vec_id", "embedding")
+    dropped = (
+        res.filter(~F.col("kept"))
+        .join(
+            v.select(F.col("vec_id").alias("id"), F.col("embedding").alias("va")), "id"
+        )
+        .join(
+            v.select(F.col("vec_id").alias("dup_of"), F.col("embedding").alias("vb")),
+            "dup_of",
+        )
+        .join(
+            res.filter(F.col("kept")).select(
+                F.col("id").alias("dup_of"),
+                F.col("list_id"),
+                F.lit(1).alias("__keeper"),
+            ),
+            ["dup_of", "list_id"],
+            "left",
+        )
+    )
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    cos = _dot(va, vb) / (_l2norm(va) * _l2norm(vb))
+    checks = dropped.agg(
+        F.coalesce(F.bool_and(cos >= F.lit(tau - 1e-6)), F.lit(True)).alias("sound_ok"),
+        F.coalesce(F.bool_and(F.col("__keeper").isNotNull()), F.lit(True)).alias(
+            "keeper_ok"
+        ),
+    )
+    counts = res.agg(F.count(F.lit(1)).alias("__n_rows"))
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(checks))
+        .select(
+            "n_docs",
+            (F.col("__n_rows") == F.col("n_docs")).alias("row_cover_ok"),
+            "sound_ok",
+            "keeper_ok",
+        )
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+SELECT count(*) AS n_docs, true AS row_cover_ok, true AS sound_ok, true AS keeper_ok
+FROM embeddings
+"""
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order key (sources/layout.py::zorder_key): bit-interleave
     of (user_id, day-of-year) buckets — the multi-column clustering key
@@ -4044,6 +4113,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "scd2_history": (q_scd2_history, SQL_SCD2),
     "scd2_merge": (q_scd2_merge, SQL_SCD2),
     "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "funnel_ordered": (q_funnel_ordered, SQL_FUNNEL_ORDERED),
     "kpi_unpivot": (q_kpi_unpivot, SQL_KPI_UNPIVOT),
     "window_frames": (q_window_frames, SQL_WINDOW_FRAMES),

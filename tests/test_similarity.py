@@ -172,3 +172,52 @@ def test_lsh_neardup_subset_of_exact(spark, emb):
     for pair, cos in approx.items():
         assert pair in exact and exact[pair] == cos
     assert len(approx) / len(exact) >= 0.1  # collision recall at 4 planes
+
+
+def test_semantic_dedup_invariants_and_planted_dups(spark, emb):
+    """SemDeDup: planted near-identical copies are dropped against the
+    lowest-id original; every dropped row's keeper is kept, same cluster,
+    cosine >= tau; output covers every input exactly once; deterministic."""
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.operators.similarity import semantic_dedup
+
+    base = emb.limit(120).collect()
+    rows = [(r["vec_id"], list(r["embedding"])) for r in base]
+    # plant: two exact copies and one epsilon-perturbed copy of vec 0
+    v0 = np.array(rows[0][1], dtype=np.float64)
+    rows.append((900001, v0.tolist()))
+    rows.append((900002, v0.tolist()))
+    rows.append((900003, (v0 + 1e-6 * np.ones_like(v0)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    res = semantic_dedup(df, "vec_id", "embedding", tau=0.95, n_lists=4)
+    out = {r["id"]: r for r in res.collect()}
+    assert set(out) == {r[0] for r in rows}  # row cover
+    for pid in (900001, 900002, 900003):
+        assert out[pid]["kept"] is False, pid
+        assert out[pid]["dup_of"] == rows[0][0]  # lowest-id original survives
+    assert out[rows[0][0]]["kept"] is True
+    # keeper invariants over ALL rows
+    for r in out.values():
+        if r["kept"]:
+            assert r["dup_of"] is None
+        else:
+            k = out[r["dup_of"]]
+            assert k["kept"] is True and k["list_id"] == r["list_id"]
+    # determinism
+    again = {r["id"]: r for r in semantic_dedup(df, "vec_id", "embedding", tau=0.95, n_lists=4).collect()}
+    assert {i: (r["kept"], r["dup_of"], r["list_id"]) for i, r in out.items()} == {
+        i: (r["kept"], r["dup_of"], r["list_id"]) for i, r in again.items()
+    }
+
+
+def test_semantic_dedup_overflow_guard(spark, emb):
+    """Clusters above max_cluster skip the quadratic pass: all rows kept
+    and flagged instead of scored."""
+    from ecommerce_analytics_platform_spark.operators.similarity import semantic_dedup
+
+    small = emb.limit(50).cache()
+    res = semantic_dedup(small, "vec_id", "embedding", tau=0.9, n_lists=1, max_cluster=10)
+    rows = res.collect()
+    assert len(rows) == 50
+    assert all(r["kept"] and r["overflow"] and r["dup_of"] is None for r in rows)
