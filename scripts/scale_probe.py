@@ -119,6 +119,17 @@ def main() -> None:
 
         yield "triangle_count", triangles
 
+        from ecommerce_analytics_platform_spark.operators.scd import scd2_history
+        from ecommerce_analytics_platform_spark.operators.similarity import semantic_dedup
+
+        yield "scd2_history", lambda: scd2_history(
+            ev.select("user_id", "ts", "event_type", "event_id"),
+            "user_id", ["event_type"], "ts", "event_id",
+        )
+        yield "semantic_dedup", lambda: semantic_dedup(
+            em, "vec_id", "embedding", tau=0.9, n_lists=16
+        )
+
     results: dict[str, list[float]] = {}
     for scale, (ev, dc, em, lin) in {
         1: (events, docs, emb, li),
