@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ecommerce_analytics_platform_spark.functions.compat import portable_hash60
+from ecommerce_analytics_platform_spark.functions.compat import (
+    portable_hash60,
+    seeded_hash60,
+)
 from ecommerce_analytics_platform_spark.functions.text import tokens, word_shingles
 
 
@@ -340,3 +343,98 @@ def pagerank_exact(
             .localCheckpoint()
         )
     return ranks
+
+
+def dsir_sample(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_keep: int,
+    n_buckets: int = 512,
+    seed: int = 31,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): resample ``source`` documents toward the
+    ``target`` distribution using hashed-unigram importance weights and
+    the Gumbel-top-k trick.
+
+    Features: unigram tokens hashed into ``n_buckets`` buckets with the
+    portable md5 hash (bit-identical in DuckDB — the whole sampler is
+    exactly reproducible by a SQL oracle, seeded Gumbel noise included).
+    Per-bucket log-ratio ``ln p_target[b] − ln p_source[b]`` (add-1
+    smoothed), each ln rounded to ``round_digits`` and carried as DECIMAL
+    so the per-document sum is summation-order-independent cross-engine.
+    Per-document importance log-weight ``λ(x) = Σ_tok ratio[bucket(tok)]``;
+    sampling WITHOUT replacement ∝ exp(λ) is the Gumbel-top-k trick:
+    ``key = λ + Gumbel(seed, doc)`` with deterministic per-doc uniforms
+    ``u = (H(seed:id)+1) / (2^60+1)``, take the ``n_keep`` largest keys.
+
+    Output: ``(doc_id, n_tokens, logratio, sample_key, rank)`` for the
+    selected documents. Documents with no tokens are excluded (no
+    features ⇒ weight undefined), matching the oracle.
+
+    Scale shape: two token-count shuffles (source + target histograms,
+    each output ≤ n_buckets rows → broadcast), one tf shuffle on
+    (doc, bucket), and ONE global top-k — rank via one final window on a
+    singleton partition is avoided by ``orderBy().limit(n_keep)``, which
+    Spark executes as per-partition top-k + a k-row driver merge
+    (TakeOrderedAndProject), never a full sort.
+    """
+    m = n_buckets
+
+    def histo(df: DataFrame) -> DataFrame:
+        toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        return (
+            toks.select((portable_hash60(F.lower(F.col("tok"))) % F.lit(m)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    s_h = histo(source)
+    t_h = histo(target)
+    s_tot = s_h.agg(F.sum("cnt").alias("s_total"))
+    t_tot = t_h.agg(F.sum("cnt").alias("t_total"))
+    # dense bucket table with add-1 smoothing; ln rounded then DECIMAL
+    buckets = (
+        source.sparkSession.range(m).select(F.col("id").cast("long").alias("bucket"))
+        .join(s_h.withColumnRenamed("cnt", "s_cnt"), "bucket", "left")
+        .join(t_h.withColumnRenamed("cnt", "t_cnt"), "bucket", "left")
+        .crossJoin(F.broadcast(s_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            "bucket",
+            (
+                F.round(F.log((F.coalesce("t_cnt", F.lit(0)) + 1) / (F.col("t_total") + m)), round_digits).cast("decimal(18,6)")
+                - F.round(F.log((F.coalesce("s_cnt", F.lit(0)) + 1) / (F.col("s_total") + m)), round_digits).cast("decimal(18,6)")
+            ).alias("ratio_dec"),
+        )
+    )
+    tf = (
+        source.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .select("doc_id", (portable_hash60(F.lower(F.col("tok"))) % F.lit(m)).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    weighted = (
+        tf.join(F.broadcast(buckets), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("ratio_dec")).alias("lam_dec"),
+        )
+    )
+    # deterministic Gumbel: u in (0,1) from the portable hash, rounded ln's
+    # carried in DECIMAL like the ratios
+    u = (seeded_hash60(F.col("doc_id"), seed) + 1) / F.lit(float((1 << 60) + 1))
+    g_dec = F.round(-F.log(-F.log(u)), round_digits).cast("decimal(18,6)")
+    keyed = weighted.select(
+        "doc_id",
+        "n_tokens",
+        F.col("lam_dec").cast("double").alias("logratio"),
+        (F.col("lam_dec") + g_dec).cast("double").alias("sample_key"),
+    )
+    top = keyed.orderBy(F.desc("sample_key"), F.asc("doc_id")).limit(n_keep)
+    w = Window.orderBy(F.desc("sample_key"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))

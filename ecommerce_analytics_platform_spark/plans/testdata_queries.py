@@ -4025,6 +4025,256 @@ SQL_ZORDER_KEY = _sql_zorder_key()
 # Registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Membership / frequency sketches and CDC replay (round 4)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K, _BLOOM_SEED = 1 << 14, 4, 101
+_BLOOM_PRICE = 480000
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pushdown: build a filter over the
+    high-value-order customer set, probe EVERY customer map-side against
+    the broadcast bitmap (operators/membership.py — zero-shuffle probe,
+    the semi-join prefilter shape used for decontamination / runtime
+    filters at 100 TB). Every hash is the portable md5 family, so the
+    DuckDB twin reproduces the filter bit-for-bit — false positives
+    included — and the whole relation (hit flag AND ground truth)
+    hash-matches. No false negatives by construction."""
+    from ecommerce_analytics_platform_spark.operators.membership import (
+        bloom_bitmap,
+        bloom_build,
+        bloom_probe,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    members = (
+        orders.filter(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bmp = bloom_bitmap(bloom_build(members, "key", _BLOOM_M, _BLOOM_K, _BLOOM_SEED), _BLOOM_M)
+    probed = bloom_probe(
+        cust.select("c_custkey"), "c_custkey", bmp, _BLOOM_M, _BLOOM_K, _BLOOM_SEED
+    )
+    return probed.join(
+        members.withColumn("true_member", F.lit(True)),
+        probed["c_custkey"] == members["key"],
+        "left",
+    ).select(
+        "c_custkey",
+        "bloom_hit",
+        F.coalesce("true_member", F.lit(False)).alias("true_member"),
+    )
+
+
+def _bloom_filter_sql() -> str:
+    from ecommerce_analytics_platform_spark.operators.membership import bloom_position_sql
+
+    m, k, seed = _BLOOM_M, _BLOOM_K, _BLOOM_SEED
+    build_pos = "\n    UNION SELECT ".join(
+        f"{bloom_position_sql('key', m, i, seed)} AS pos FROM members" for i in range(k)
+    )
+    probe_cols = ",\n           ".join(
+        f"{bloom_position_sql('c_custkey', m, i, seed)} AS p{i}" for i in range(k)
+    )
+    hit = " AND ".join(f"(p{i} IN (SELECT pos FROM pos))" for i in range(k))
+    return f"""
+WITH members AS (
+    SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > {_BLOOM_PRICE}
+), pos AS (
+    SELECT {build_pos}
+), probe AS (
+    SELECT c_custkey,
+           {probe_cols}
+    FROM customer
+)
+SELECT c_custkey,
+       ({hit}) AS bloom_hit,
+       (c_custkey IN (SELECT key FROM members)) AS true_member
+FROM probe
+"""
+
+
+_CMS_W, _CMS_D, _CMS_SEED = 256, 3, 202
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimation over event users — the linear
+    sketch for heavy-hitter / hot-key detection before a skewed join.
+    The sketch is a ≤ d·w-row counter relation (operators/membership.py)
+    built with the portable hash family, so the DuckDB twin reproduces
+    every counter and every estimate exactly; ``over_ok`` pins the CMS
+    guarantee (estimate never under-counts) as a checkable column."""
+    from ecommerce_analytics_platform_spark.operators.membership import (
+        cms_build,
+        cms_lookup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", _CMS_W, _CMS_D, _CMS_SEED)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_lookup(exact, "user_id", sketch, _CMS_W, _CMS_D, _CMS_SEED)
+    return est.select(
+        "user_id", "exact_n", "cms_est", (F.col("cms_est") >= F.col("exact_n")).alias("over_ok")
+    )
+
+
+def _heavy_hitters_sql() -> str:
+    from ecommerce_analytics_platform_spark.operators.membership import cms_cell_sql
+
+    w, d, seed = _CMS_W, _CMS_D, _CMS_SEED
+    cells = "\n    UNION ALL ".join(
+        f"SELECT {i} AS row_idx, {cms_cell_sql('user_id', w, i, seed)} AS col_idx FROM events"
+        for i in range(d)
+    )
+    probes = "\n    UNION ALL ".join(
+        f"SELECT user_id, exact_n, {i} AS row_idx, {cms_cell_sql('user_id', w, i, seed)} AS col_idx FROM exact"
+        for i in range(d)
+    )
+    return f"""
+WITH cells AS (
+    {cells}
+), sketch AS (
+    SELECT row_idx, col_idx, count(*) AS cnt FROM cells GROUP BY 1, 2
+), exact AS (
+    SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+), probes AS (
+    {probes}
+)
+SELECT p.user_id, p.exact_n, min(s.cnt) AS cms_est,
+       (min(s.cnt) >= p.exact_n) AS over_ok
+FROM probes p JOIN sketch s USING (row_idx, col_idx)
+GROUP BY 1, 2
+"""
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log replay (operators/cdc.py): the event stream is read as a
+    Debezium-style change feed — signup ⇒ INSERT, error ⇒ DELETE,
+    anything else ⇒ UPDATE — keyed on user, ordered by (ts, event_id).
+    The Spark side deliberately replays in TWO phases (bootstrap the
+    snapshot from the first 15 days, then apply the rest on top); the
+    oracle replays the whole log in ONE window. The hash match is
+    therefore the associativity proof: apply(apply(∅,L1),L2) ==
+    apply(∅, L1∪L2) — the property that makes incremental CDC correct.
+    Beyond the reference's upsert-only dbt delete+insert
+    (dbt_project.yml:26-30): deletes are honored."""
+    from ecommerce_analytics_platform_spark.operators.cdc import apply_changes
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    cut = log.agg(F.date_add(F.min("ts").cast("date"), 15).alias("c")).collect()[0]["c"]
+    phase1 = log.filter(F.col("ts").cast("date") < F.lit(cut))
+    phase2 = log.filter(F.col("ts").cast("date") >= F.lit(cut))
+    snap = apply_changes(None, phase1, ["user_id"], ["ts"], tiebreak="event_id")
+    final = apply_changes(snap, phase2, ["user_id"], ["ts"], tiebreak="event_id")
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+SQL_CDC_APPLY = """
+WITH log AS (
+    SELECT user_id,
+           CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+           ts, event_id, value
+    FROM events
+), latest AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log
+)
+SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS last_value
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+_DSIR_M, _DSIR_SEED, _DSIR_KEEP = 512, 31, 100
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/corpus.py::dsir_sample):
+    resample the full document corpus toward the English-document target
+    distribution via hashed-unigram importance weights + deterministic
+    Gumbel-top-k. Portable hashes + DECIMAL-carried rounded logs make the
+    sampler — noise included — exactly reproducible by the DuckDB twin."""
+    from ecommerce_analytics_platform_spark.operators.corpus import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_sample(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        n_keep=_DSIR_KEEP,
+        n_buckets=_DSIR_M,
+        seed=_DSIR_SEED,
+    )
+
+
+def _dsir_sample_sql() -> str:
+    from ecommerce_analytics_platform_spark.functions.compat import (
+        portable_hash60_sql,
+        seeded_hash60_sql,
+    )
+
+    m, seed, keep = _DSIR_M, _DSIR_SEED, _DSIR_KEEP
+    tok_bucket = f"({portable_hash60_sql('term')} % {m})"
+    u = f"(({seeded_hash60_sql('doc_id', seed)}) + 1) / 1152921504606846977.0"
+    return rf"""
+WITH src_toks AS (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    FROM documents WHERE trim(text) <> ''
+), tgt_toks AS (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    FROM documents WHERE lang = 'en' AND trim(text) <> ''
+), s_h AS (
+    SELECT {tok_bucket} AS bucket, count(*) AS cnt FROM src_toks GROUP BY 1
+), t_h AS (
+    SELECT {tok_bucket} AS bucket, count(*) AS cnt FROM tgt_toks GROUP BY 1
+), s_tot AS (SELECT sum(cnt) AS s_total FROM s_h),
+t_tot AS (SELECT sum(cnt) AS t_total FROM t_h),
+buckets AS (
+    SELECT b.bucket,
+           CAST(round(ln((coalesce(t.cnt, 0) + 1) / (tt.t_total + {m})), 6) AS DECIMAL(18,6))
+           - CAST(round(ln((coalesce(s.cnt, 0) + 1) / (st.s_total + {m})), 6) AS DECIMAL(18,6)) AS ratio_dec
+    FROM (SELECT unnest(generate_series(0, {m - 1})) AS bucket) b
+    LEFT JOIN s_h s USING (bucket) LEFT JOIN t_h t USING (bucket)
+    CROSS JOIN s_tot st CROSS JOIN t_tot tt
+), tf AS (
+    SELECT doc_id, {tok_bucket} AS bucket, count(*) AS tf FROM src_toks GROUP BY 1, 2
+), weighted AS (
+    SELECT tf.doc_id, sum(tf.tf) AS n_tokens, sum(tf.tf * b.ratio_dec) AS lam_dec
+    FROM tf JOIN buckets b USING (bucket) GROUP BY 1
+), keyed AS (
+    SELECT doc_id, n_tokens,
+           CAST(lam_dec AS DOUBLE) AS logratio,
+           CAST(lam_dec + CAST(round(-ln(-ln({u})), 6) AS DECIMAL(18,6)) AS DOUBLE) AS sample_key
+    FROM weighted
+), ranked AS (
+    SELECT doc_id, n_tokens, logratio, sample_key,
+           row_number() OVER (ORDER BY sample_key DESC, doc_id ASC) AS rank
+    FROM keyed
+)
+SELECT doc_id, n_tokens, logratio, sample_key, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {keep}
+"""
+
+
 QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "daily_kpis": (q_daily_kpis, SQL_DAILY_KPIS),
@@ -4140,4 +4390,12 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "product_catalog": (q_product_catalog, _product_catalog_sql()),
+    # portable-hash sketches: the ENTIRE structure (false positives /
+    # collision overcounts included) is deterministic and reproduced
+    # bit-for-bit by the SQL twin — full hash-match, not just a contract
+    "bloom_filter": (q_bloom_filter, _bloom_filter_sql()),
+    "heavy_hitters": (q_heavy_hitters, _heavy_hitters_sql()),
+    # two-phase Spark replay vs one-window oracle = associativity proof
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "dsir_sample": (q_dsir_sample, _dsir_sample_sql()),
 }

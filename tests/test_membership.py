@@ -1,0 +1,94 @@
+"""Bloom filter and Count-Min sketch: guarantees and mergeability."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ecommerce_analytics_platform_spark.operators.membership import (
+    bloom_bitmap,
+    bloom_build,
+    bloom_probe,
+    cms_build,
+    cms_lookup,
+)
+
+M, K, SEED = 1 << 12, 4, 7
+
+
+def _members(spark, n=300):
+    return spark.range(n).select((F.col("id") * 3 + 1).alias("key"))
+
+
+def test_bloom_no_false_negatives(spark):
+    members = _members(spark)
+    bmp = bloom_bitmap(bloom_build(members, "key", M, K, SEED), M)
+    probed = bloom_probe(members, "key", bmp, M, K, SEED)
+    assert probed.filter(~F.col("bloom_hit")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    members = _members(spark)
+    bmp = bloom_bitmap(bloom_build(members, "key", M, K, SEED), M)
+    non_members = spark.range(10_000, 12_000).select(F.col("id").alias("key"))
+    probed = bloom_probe(non_members, "key", bmp, M, K, SEED)
+    fp = probed.filter("bloom_hit").count()
+    # n=300, m=4096, k=4 → fill ≈ 0.25, fp ≈ 0.4%; assert a loose 5% ceiling
+    assert fp / 2000 < 0.05
+
+
+def test_bloom_merge_union_equals_rebuild(spark):
+    a = spark.range(0, 150).select(F.col("id").alias("key"))
+    b = spark.range(150, 300).select(F.col("id").alias("key"))
+    both = a.unionByName(b)
+    merged = bloom_build(a, "key", M, K, SEED).union(bloom_build(b, "key", M, K, SEED)).distinct()
+    rebuilt = bloom_build(both, "key", M, K, SEED)
+    assert merged.subtract(rebuilt).count() == 0
+    assert rebuilt.subtract(merged).count() == 0
+
+
+def test_bloom_probe_is_map_side(spark):
+    """The probe plan must contain no Exchange — it's a broadcast-literal
+    bit test, usable as a pushed-down prefilter."""
+    members = _members(spark)
+    bmp = bloom_bitmap(bloom_build(members, "key", M, K, SEED), M)
+    probed = bloom_probe(spark.range(100).select(F.col("id").alias("key")), "key", bmp, M, K, SEED)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+W, D, S2 = 64, 3, 11
+
+
+def test_cms_never_undercounts_and_exact_when_sparse(spark):
+    df = spark.range(2_000).select((F.col("id") % 37).alias("key"))
+    sketch = cms_build(df, "key", W, D, S2)
+    exact = df.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_lookup(exact, "key", sketch, W, D, S2)
+    assert est.filter(F.col("cms_est") < F.col("exact_n")).count() == 0
+    # 37 keys in 64 columns × 3 rows: min-of-rows recovers exact counts for
+    # most keys; assert the error bound ε = e/w over N
+    import math
+
+    n_total = 2_000
+    bound = math.ceil(math.e / W * n_total)
+    assert est.filter(F.col("cms_est") > F.col("exact_n") + bound).count() == 0
+
+
+def test_cms_merge_is_counter_addition(spark):
+    a = spark.range(0, 1_000).select((F.col("id") % 17).alias("key"))
+    b = spark.range(1_000, 2_000).select((F.col("id") % 23).alias("key"))
+    merged = (
+        cms_build(a, "key", W, D, S2)
+        .unionByName(cms_build(b, "key", W, D, S2))
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    rebuilt = cms_build(a.unionByName(b), "key", W, D, S2)
+    assert merged.subtract(rebuilt).count() == 0
+    assert rebuilt.subtract(merged).count() == 0
+
+
+def test_cms_sketch_size_bounded_by_structure(spark):
+    df = spark.range(50_000).select(F.col("id").alias("key"))  # 50k distinct
+    sketch = cms_build(df, "key", W, D, S2)
+    assert sketch.count() <= W * D
