@@ -160,3 +160,117 @@ def cms_lookup(
 def cms_cell_sql(expr: str, width: int, i: int, seed: int) -> str:
     """DuckDB twin of one row's column index in :func:`cms_cell_cols`."""
     return f"({seeded_hash60_sql(expr, seed + i)} % {width})"
+
+
+def hll_rho_cols(col: Column | str, b: int, seed: int) -> tuple[Column, Column]:
+    """(bucket, rho) for one value under the portable-HLL spec: 60-bit
+    portable hash split into a ``b``-bit bucket (low bits) and a
+    ``W = 60-b``-bit word ``w``; rho = leading-zero count of ``w`` within
+    W bits, plus one (``w == 0`` ⇒ rho = W+1).
+
+    ``floor(log2(w))`` is floor-safe in IEEE double for w < 2^53 (the
+    nearest double to log2(2^k − 1) is strictly below k), so both engines
+    compute the identical integer rho without any bit-string helpers.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = seeded_hash60(c, seed)
+    m = 1 << b
+    w_bits = 60 - b
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, b)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.floor(F.log2(w)).cast("int")
+    )
+    return bucket, rho.cast("int")
+
+
+def hll_build(df: DataFrame, col: str, group_cols: list[str], b: int = 8, seed: int = 303) -> DataFrame:
+    """Portable HLL registers per group: ``(group..., bucket, rmax)`` —
+    ≤ 2^b rows per group regardless of data size. Registers from different
+    partitions/days merge with ``groupBy(group, bucket).max(rmax)`` — the
+    HLL merge IS the max, which partial aggregation already performs
+    map-side, so the shuffle carries at most one register per bucket per
+    partition. Unlike engine-native HLL sketches (opaque binary, engine-
+    specific), this register relation is reproduced bit-for-bit by a SQL
+    oracle — the estimate itself is hash-checkable cross-engine."""
+    bucket, rho = hll_rho_cols(col, b, seed)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rmax"))
+    )
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant (Flajolet et al. 2007); a shortest-repr
+    double literal, parsed to the identical double by Spark and DuckDB."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str], b: int = 8, round_digits: int = 6) -> DataFrame:
+    """Cardinality estimate per group from a register relation.
+
+    Exact-arithmetic core: Σ 2^(−rho) is carried as the INTEGER
+    Σ 2^(R−rho) (R = W+1 = max rho) in DECIMAL(38,0) — absent buckets
+    (rho=0) contribute 2^R each — so the harmonic sum is summation-order-
+    independent and bit-identical cross-engine; the raw estimate
+    α·m²·2^R / S divides exact integers in double. Small-range correction:
+    raw ≤ 2.5m with V empty buckets ⇒ linear counting m·ln(m/V) (the one
+    ln, rounded like every cross-engine ln in this repo). Output:
+    ``(group..., hll_est)``.
+    """
+    m = 1 << b
+    r_top = (60 - b) + 1
+    alpha = hll_alpha(m)
+    stats = registers.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {r_top} - rmax) AS DECIMAL(38,0))")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    v = F.lit(m) - F.col("nonzero")
+    s_total = (
+        F.col("s_present")
+        + v.cast("decimal(38,0)") * F.lit(1 << r_top).cast("decimal(38,0)")
+    )
+    raw = F.lit(alpha * m * m * float(1 << r_top)) / s_total.cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v), round_digits)
+    ).otherwise(F.round(raw, round_digits))
+    return stats.select(*group_cols, est.alias("hll_est"))
+
+
+def hll_rho_sql(expr: str, b: int, seed: int) -> tuple[str, str]:
+    """DuckDB twins of :func:`hll_rho_cols` — (bucket_sql, rho_sql)."""
+    m = 1 << b
+    w_bits = 60 - b
+    h = seeded_hash60_sql(expr, seed)
+    w = f"({h} >> {b})"
+    bucket = f"({h} & {m - 1})"
+    rho = f"(CASE WHEN {w} = 0 THEN {w_bits + 1} ELSE {w_bits} - CAST(floor(log2({w})) AS INT) END)"
+    return bucket, rho
+
+
+def hll_estimate_sql(registers_cte: str, group_cols: list[str], b: int = 8, round_digits: int = 6) -> str:
+    """DuckDB twin of :func:`hll_estimate` over a registers CTE with
+    columns ``(group..., bucket, rmax)``."""
+    m = 1 << b
+    r_top = (60 - b) + 1
+    alpha = hll_alpha(m)
+    g = ", ".join(group_cols)
+    coef = repr(alpha * m * m * float(1 << r_top))
+    return f"""
+SELECT {g},
+       CASE WHEN ({coef} / CAST(s_total AS DOUBLE)) <= {2.5 * m}
+                 AND ({m} - nonzero) > 0
+            THEN round({float(m)} * ln({float(m)} / ({m} - nonzero)), {round_digits})
+            ELSE round({coef} / CAST(s_total AS DOUBLE), {round_digits})
+       END AS hll_est
+FROM (
+    SELECT {g},
+           sum(CAST((CAST(1 AS BIGINT) << ({r_top} - rmax)) AS DECIMAL(38,0)))
+             + (({m} - count(*)) * CAST({1 << r_top} AS DECIMAL(38,0))) AS s_total,
+           count(*) AS nonzero
+    FROM {registers_cte} GROUP BY {g}
+) s
+"""

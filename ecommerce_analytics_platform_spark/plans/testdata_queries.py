@@ -4275,6 +4275,78 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+_HLL_B, _HLL_SEED = 8, 303
+
+
+def q_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-count (operators/membership.py):
+    per-event-type user cardinality estimated from md5-family registers,
+    plus a '__all__' row whose registers are the max-MERGE of the
+    per-type registers — the mergeable-rollup shape that survives 100 TB.
+    Unlike ``approx_sketches``/``sketch_merge`` (engine-native HLL,
+    contract-checked only), the register spec here is engine-neutral, so
+    the DuckDB twin reproduces buckets, registers, AND the estimate
+    bit-for-bit — the estimate itself hash-matches, false error included.
+    ``err_ok`` additionally pins the ±15% accuracy envelope."""
+    from ecommerce_analytics_platform_spark.operators.membership import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_build(ev, "user_id", ["event_type"], _HLL_B, _HLL_SEED)
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("rmax").alias("rmax"))
+        .withColumn("event_type", F.lit("__all__"))
+    )
+    est = hll_estimate(regs.unionByName(merged), ["event_type"], _HLL_B)
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    exact_all = ev.agg(F.countDistinct("user_id").alias("n_exact")).withColumn(
+        "event_type", F.lit("__all__")
+    )
+    return (
+        est.join(exact.unionByName(exact_all.select("event_type", "n_exact")), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "hll_est",
+            (F.abs((F.col("hll_est") - F.col("n_exact")) / F.col("n_exact")) <= 0.15).alias(
+                "err_ok"
+            ),
+        )
+    )
+
+
+def _portable_hll_sql() -> str:
+    from ecommerce_analytics_platform_spark.operators.membership import (
+        hll_estimate_sql,
+        hll_rho_sql,
+    )
+
+    bucket, rho = hll_rho_sql("user_id", _HLL_B, _HLL_SEED)
+    est = hll_estimate_sql("r2", ["event_type"], _HLL_B).strip()
+    return f"""
+WITH regs AS (
+    SELECT event_type, {bucket} AS bucket, max({rho}) AS rmax
+    FROM events GROUP BY 1, 2
+), all_regs AS (
+    SELECT '__all__' AS event_type, bucket, max(rmax) AS rmax FROM regs GROUP BY 2
+), r2 AS (
+    SELECT * FROM regs UNION ALL SELECT * FROM all_regs
+), est AS (
+{est}
+), exact AS (
+    SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+    UNION ALL
+    SELECT '__all__' AS event_type, count(DISTINCT user_id) AS n_exact FROM events
+)
+SELECT e.event_type, x.n_exact, e.hll_est,
+       (abs((e.hll_est - x.n_exact) / x.n_exact) <= 0.15) AS err_ok
+FROM est e JOIN exact x USING (event_type)
+"""
+
+
 QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "daily_kpis": (q_daily_kpis, SQL_DAILY_KPIS),
@@ -4398,4 +4470,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # two-phase Spark replay vs one-window oracle = associativity proof
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "dsir_sample": (q_dsir_sample, _dsir_sample_sql()),
+    "portable_hll": (q_portable_hll, _portable_hll_sql()),
 }

@@ -92,3 +92,70 @@ def test_cms_sketch_size_bounded_by_structure(spark):
     df = spark.range(50_000).select(F.col("id").alias("key"))  # 50k distinct
     sketch = cms_build(df, "key", W, D, S2)
     assert sketch.count() <= W * D
+
+
+# --- portable HLL -----------------------------------------------------------
+
+from ecommerce_analytics_platform_spark.operators.membership import (  # noqa: E402
+    hll_build,
+    hll_estimate,
+)
+
+B, HS = 8, 303
+
+
+def test_hll_accuracy_within_envelope(spark):
+    df = spark.range(5_000).select(F.col("id").alias("uid"), F.lit("g").alias("grp"))
+    regs = hll_build(df, "uid", ["grp"], B, HS)
+    est = hll_estimate(regs, ["grp"], B).collect()[0]["hll_est"]
+    # m=256 → σ ≈ 6.5%; 20% is a >3σ envelope
+    assert abs(est - 5_000) / 5_000 < 0.20
+
+
+def test_hll_registers_bounded_and_merge_is_max(spark):
+    a = spark.range(0, 3_000).select(F.col("id").alias("uid"), F.lit("g").alias("grp"))
+    b = spark.range(2_000, 6_000).select(F.col("id").alias("uid"), F.lit("g").alias("grp"))
+    ra = hll_build(a, "uid", ["grp"], B, HS)
+    rb = hll_build(b, "uid", ["grp"], B, HS)
+    assert ra.count() <= (1 << B)
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("grp", "bucket")
+        .agg(F.max("rmax").alias("rmax"))
+    )
+    rebuilt = hll_build(a.unionByName(b), "uid", ["grp"], B, HS)
+    assert merged.subtract(rebuilt).count() == 0
+    assert rebuilt.subtract(merged).count() == 0
+
+
+def test_hll_rho_matches_python_reference(spark):
+    """Pin the register spec against an independent md5 reference."""
+    import hashlib
+
+    def ref(v: int, b: int, seed: int):
+        h = int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:15], 16)
+        m = 1 << b
+        bucket = h & (m - 1)
+        w = h >> b
+        w_bits = 60 - b
+        if w == 0:
+            return bucket, w_bits + 1
+        return bucket, w_bits - w.bit_length() + 1
+
+    df = spark.createDataFrame([(v,) for v in range(50)], "uid long").withColumn(
+        "grp", F.lit("g")
+    )
+    regs = {r["bucket"]: r["rmax"] for r in hll_build(df, "uid", ["grp"], B, HS).collect()}
+    expect: dict[int, int] = {}
+    for v in range(50):
+        bucket, rho = ref(v, B, HS)
+        expect[bucket] = max(expect.get(bucket, 0), rho)
+    assert regs == expect
+
+
+def test_hll_small_range_linear_counting_exact_side(spark):
+    """With n ≪ m the linear-counting path engages and is quite sharp."""
+    df = spark.range(40).select(F.col("id").alias("uid"), F.lit("g").alias("grp"))
+    regs = hll_build(df, "uid", ["grp"], B, HS)
+    est = hll_estimate(regs, ["grp"], B).collect()[0]["hll_est"]
+    assert abs(est - 40) / 40 < 0.10
