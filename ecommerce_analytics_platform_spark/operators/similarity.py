@@ -809,3 +809,43 @@ def semantic_dedup(
     return assigned.groupBy("list_id").applyInPandas(
         dedup_cluster, "id long, list_id int, kept boolean, dup_of long, overflow boolean"
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    seed: int = 19,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce ``vec_col`` to
+    ``out_dim`` dimensions with a seeded Gaussian matrix scaled by
+    1/sqrt(out_dim) (distance-preserving in expectation — the classic
+    cheap dimensionality reduction in front of clustering / ANN over
+    billions of embeddings).
+
+    The projection matrix reuses :func:`hyperplanes` (seeded, driver-side,
+    out_dim × dim floats) embedded as literals — broadcast by
+    construction, evaluated as codegen'd array folds, ZERO shuffle: the
+    operator is a pure map over the corpus, which is the whole point at
+    100 TB. Output is exploded ``(id, dim_idx, value)`` rows (hash-stable
+    cross-engine, no array-format ambiguity); components are rounded to
+    ``round_digits`` so the fold's summation (same left-to-right order in
+    Spark ``aggregate`` and DuckDB ``list_sum``) hash-matches exactly.
+    """
+    import math
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = F.array(
+        *[
+            F.round(_dot(v, F.array(*[F.lit(x) for x in p])) * F.lit(scale), round_digits)
+            for p in planes
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(comps).alias("dim_idx", "value")
+    )

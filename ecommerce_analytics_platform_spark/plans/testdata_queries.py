@@ -4275,6 +4275,39 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+_RP_DIM, _RP_SEED = 8, 19
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64d → 8d
+    (operators/similarity.py::random_projection): seeded Gaussian matrix
+    as broadcast literals, zero-shuffle map over the corpus. The DuckDB
+    twin embeds the identical seed-19 matrix, so every projected
+    component hash-matches (same left-fold summation order both
+    engines)."""
+    from ecommerce_analytics_platform_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_projection(emb, "vec_id", "embedding", out_dim=_RP_DIM, seed=_RP_SEED)
+
+
+def _random_projection_sql() -> str:
+    import math
+
+    from ecommerce_analytics_platform_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, _RP_DIM, _RP_SEED)
+    scale = repr(1.0 / math.sqrt(_RP_DIM))
+    parts = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {j} AS dim_idx, "
+        f"round(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ([{', '.join(repr(x) for x in p)}])[i])) "
+        f"* {scale}, 4) AS value FROM embeddings"
+        for j, p in enumerate(planes)
+    )
+    return parts
+
+
 _HLL_B, _HLL_SEED = 8, 303
 
 
@@ -4471,4 +4504,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "dsir_sample": (q_dsir_sample, _dsir_sample_sql()),
     "portable_hll": (q_portable_hll, _portable_hll_sql()),
+    "random_projection": (q_random_projection, _random_projection_sql()),
 }

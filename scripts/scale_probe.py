@@ -130,6 +130,61 @@ def main() -> None:
             em, "vec_id", "embedding", tau=0.9, n_lists=16
         )
 
+        from ecommerce_analytics_platform_spark.operators.cdc import apply_changes
+        from ecommerce_analytics_platform_spark.operators.corpus import dsir_sample
+        from ecommerce_analytics_platform_spark.operators.membership import (
+            bloom_bitmap,
+            bloom_build,
+            bloom_probe,
+            cms_build,
+            cms_lookup,
+            hll_build,
+            hll_estimate,
+        )
+        from ecommerce_analytics_platform_spark.operators.similarity import (
+            random_projection,
+        )
+
+        def bloom_e2e():
+            members = ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("key")
+            ).distinct()
+            bmp = bloom_bitmap(bloom_build(members, "key", 1 << 16), 1 << 16)
+            return bloom_probe(
+                ev.select(F.col("user_id").alias("key")), "key", bmp, 1 << 16
+            )
+
+        yield "bloom_build_probe", bloom_e2e
+
+        def cms_e2e():
+            sk = cms_build(ev, "user_id", 256)
+            exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+            return cms_lookup(exact, "user_id", sk, 256)
+
+        yield "cms_build_lookup", cms_e2e
+        yield "portable_hll", lambda: hll_estimate(
+            hll_build(ev, "user_id", ["event_type"]), ["event_type"]
+        )
+        yield "cdc_apply", lambda: apply_changes(
+            None,
+            ev.select(
+                "user_id",
+                F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+                "ts",
+                "event_id",
+                "value",
+            ),
+            ["user_id"],
+            ["ts"],
+            tiebreak="event_id",
+        )
+        yield "dsir_sample", lambda: dsir_sample(
+            dc, dc.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", n_keep=100
+        )
+        yield "random_projection", lambda: random_projection(
+            em, "vec_id", "embedding", out_dim=8
+        )
+
     results: dict[str, list[float]] = {}
     for scale, (ev, dc, em, lin) in {
         1: (events, docs, emb, li),

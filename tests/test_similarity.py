@@ -221,3 +221,41 @@ def test_semantic_dedup_overflow_guard(spark, emb):
     rows = res.collect()
     assert len(rows) == 50
     assert all(r["kept"] and r["overflow"] and r["dup_of"] is None for r in rows)
+
+
+def test_random_projection_preserves_distances_on_average(spark):
+    """JL property: squared-distance ratios concentrate around 1."""
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.operators.similarity import random_projection
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(40, 64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = random_projection(df, "vec_id", "embedding", out_dim=16, seed=19)
+    rows = out.collect()
+    Y = np.zeros((40, 16))
+    for r in rows:
+        Y[r["vec_id"], r["dim_idx"]] = r["value"]
+    ratios = []
+    for i in range(0, 40, 3):
+        for j in range(i + 1, 40, 7):
+            d_hi = np.sum((X[i] - X[j]) ** 2)
+            d_lo = np.sum((Y[i] - Y[j]) ** 2)
+            ratios.append(d_lo / d_hi)
+    mean = float(np.mean(ratios))
+    assert 0.7 < mean < 1.3  # unbiased in expectation; k=16 keeps variance modest
+
+
+def test_random_projection_is_map_side(spark):
+    from ecommerce_analytics_platform_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    out = random_projection(df, "vec_id", "embedding", out_dim=4, seed=19)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
