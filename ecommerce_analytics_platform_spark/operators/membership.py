@@ -37,7 +37,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_platform_spark.functions.compat import (
@@ -274,3 +274,65 @@ FROM (
     FROM {registers_cte} GROUP BY {g}
 ) s
 """
+
+
+def dds_gamma(alpha: float) -> float:
+    """DDSketch bin base: γ = (1+α)/(1−α) gives relative error ≤ α."""
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dds_build(
+    df: DataFrame, col: str, group_cols: list[str], alpha: float = 0.02
+) -> DataFrame:
+    """DDSketch (Masson et al., VLDB 2019) bin relation per group:
+    ``(group..., bin, cnt)`` with ``bin = ceil(ln(x)/ln γ)`` — the
+    mergeable relative-error quantile sketch. Positive values only (the
+    DDSketch positive store; callers route zeros/negatives separately).
+
+    Bin count is bounded by the value RANGE, not the row count
+    (ln(max/min)/ln γ bins — a few hundred for α=2% over 6 decades), so
+    the shuffle output per group is constant-bounded and two sketches
+    merge with ``groupBy(group, bin).sum(cnt)`` — the per-day →
+    per-month quantile rollup that exact percentiles cannot do at 100 TB.
+    Deterministic: the only float op is ln, identical-input cross-engine.
+    """
+    g = dds_gamma(alpha)
+    import math
+
+    lg = math.log(g)
+    b = F.ceil(F.log(F.col(col)) / F.lit(lg)).cast("long")
+    return (
+        df.filter(F.col(col) > 0)
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dds_quantiles(
+    bins: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    alpha: float = 0.02,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Quantile estimates from a DDSketch bin relation: for each q, the
+    smallest bin whose cumulative count reaches ``ceil(q·n)``, mapped back
+    to the bin midpoint 2γ^b/(γ+1). Output ``(group..., q, n, dds_est)``.
+    One window over the (bounded) bin relation + a broadcast of the
+    quantile list — never a sort of the raw data."""
+    g = dds_gamma(alpha)
+    coef = 2.0 / (g + 1.0)
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = bins.withColumn("cum", F.sum("cnt").over(w))
+    n = bins.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    qdf = bins.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    sel = (
+        cum.join(n, group_cols)
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy(*group_cols, "q", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.round(F.lit(coef) * F.pow(F.lit(g), F.col("bin")), round_digits)
+    return sel.select(*group_cols, "q", "n", est.alias("dds_est"))

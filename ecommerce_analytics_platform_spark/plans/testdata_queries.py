@@ -4275,6 +4275,95 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+_DDS_ALPHA = 0.02
+_DDS_QS = [0.5, 0.95, 0.99]
+
+
+def q_dds_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch mergeable quantiles (operators/membership.py::dds_build/
+    dds_quantiles): p50/p95/p99 of order totals per priority from a
+    bounded log-bin relation — the quantile shape that rolls up at 100 TB
+    (exact percentiles need a full sort per group; DDSketch bins merge by
+    addition). The bin spec is engine-neutral (one ln per value), so the
+    DuckDB twin reproduces bins, ranks AND estimates exactly; ``err_ok``
+    pins the α-relative-error guarantee against the exact interpolated
+    percentile (F.percentile ≙ quantile_cont, the established pair from
+    percentile_stats)."""
+    from ecommerce_analytics_platform_spark.operators.membership import (
+        dds_build,
+        dds_quantiles,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    bins = dds_build(orders, "o_totalprice", ["o_orderpriority"], _DDS_ALPHA)
+    est = dds_quantiles(bins, ["o_orderpriority"], _DDS_QS, _DDS_ALPHA)
+    exact = orders.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.percentile(F.col("o_totalprice"), F.lit(q)), 4).alias(f"e{i}")
+            for i, q in enumerate(_DDS_QS)
+        ]
+    )
+    stack = ", ".join(f"CAST({q} AS DOUBLE), e{i}" for i, q in enumerate(_DDS_QS))
+    exact_long = exact.select(
+        "o_orderpriority",
+        F.expr(f"stack({len(_DDS_QS)}, {stack}) AS (q, exact_p)"),
+    )
+    out = est.join(exact_long, ["o_orderpriority", "q"])
+    return out.select(
+        "o_orderpriority",
+        "q",
+        "n",
+        "dds_est",
+        "exact_p",
+        (F.abs((F.col("dds_est") - F.col("exact_p")) / F.col("exact_p")) <= 0.06).alias(
+            "err_ok"
+        ),
+    )
+
+
+def _dds_quantiles_sql() -> str:
+    import math
+
+    from ecommerce_analytics_platform_spark.operators.membership import dds_gamma
+
+    g = dds_gamma(_DDS_ALPHA)
+    lg, coef = repr(math.log(g)), repr(2.0 / (g + 1.0))
+    qlist = ", ".join(repr(q) for q in _DDS_QS)
+    exact_parts = "\n    UNION ALL ".join(
+        f"SELECT o_orderpriority, CAST({q} AS DOUBLE) AS q, "
+        f"round(quantile_cont(o_totalprice, {q}), 4) AS exact_p "
+        f"FROM orders GROUP BY o_orderpriority"
+        for q in _DDS_QS
+    )
+    return f"""
+WITH bins AS (
+    SELECT o_orderpriority, CAST(ceil(ln(o_totalprice) / {lg}) AS BIGINT) AS bin,
+           count(*) AS cnt
+    FROM orders WHERE o_totalprice > 0 GROUP BY 1, 2
+), cum AS (
+    SELECT o_orderpriority, bin, cnt,
+           sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum
+    FROM bins
+), n AS (
+    SELECT o_orderpriority, sum(cnt) AS n FROM bins GROUP BY 1
+), qs AS (
+    SELECT CAST(unnest([{qlist}]) AS DOUBLE) AS q
+), sel AS (
+    SELECT c.o_orderpriority, q.q, n.n, min(c.bin) AS bin
+    FROM cum c JOIN n USING (o_orderpriority) CROSS JOIN qs q
+    WHERE c.cum >= ceil(q.q * n.n)
+    GROUP BY 1, 2, 3
+), exact AS (
+    {exact_parts}
+)
+SELECT s.o_orderpriority, s.q, s.n,
+       round({coef} * pow({g!r}, s.bin), 4) AS dds_est,
+       e.exact_p,
+       (abs((round({coef} * pow({g!r}, s.bin), 4) - e.exact_p) / e.exact_p) <= 0.06) AS err_ok
+FROM sel s JOIN exact e ON s.o_orderpriority = e.o_orderpriority AND s.q = e.q
+"""
+
+
 _RP_DIM, _RP_SEED = 8, 19
 
 
@@ -4505,4 +4594,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "dsir_sample": (q_dsir_sample, _dsir_sample_sql()),
     "portable_hll": (q_portable_hll, _portable_hll_sql()),
     "random_projection": (q_random_projection, _random_projection_sql()),
+    "dds_quantiles": (q_dds_quantiles, _dds_quantiles_sql()),
 }

@@ -159,3 +159,60 @@ def test_hll_small_range_linear_counting_exact_side(spark):
     regs = hll_build(df, "uid", ["grp"], B, HS)
     est = hll_estimate(regs, ["grp"], B).collect()[0]["hll_est"]
     assert abs(est - 40) / 40 < 0.10
+
+
+# --- DDSketch ---------------------------------------------------------------
+
+from ecommerce_analytics_platform_spark.operators.membership import (  # noqa: E402
+    dds_build,
+    dds_quantiles,
+)
+
+
+def test_dds_relative_error_guarantee(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    vals = np.exp(rng.uniform(0, 12, 4_000))  # 6 decades of positive values
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double").withColumn(
+        "g", F.lit("g")
+    )
+    alpha = 0.02
+    est = {
+        r["q"]: r["dds_est"]
+        for r in dds_quantiles(
+            dds_build(df, "x", ["g"], alpha), ["g"], [0.5, 0.9, 0.99], alpha
+        ).collect()
+    }
+    for q in (0.5, 0.9, 0.99):
+        exact = float(np.quantile(vals, q))
+        assert abs(est[q] - exact) / exact < 2.5 * alpha  # rank-vs-interp slack
+
+
+def test_dds_merge_is_counter_addition(spark):
+    a = spark.range(1, 2_000).select((F.col("id") * 1.5).alias("x"), F.lit("g").alias("g"))
+    b = spark.range(2_000, 5_000).select((F.col("id") * 1.5).alias("x"), F.lit("g").alias("g"))
+    merged = (
+        dds_build(a, "x", ["g"])
+        .unionByName(dds_build(b, "x", ["g"]))
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    rebuilt = dds_build(a.unionByName(b), "x", ["g"])
+    assert merged.subtract(rebuilt).count() == 0
+    assert rebuilt.subtract(merged).count() == 0
+
+
+def test_dds_bins_bounded_by_range_not_rows(spark):
+    df = spark.range(1, 100_000).select((F.col("id") % 1000 + 1.0).alias("x"), F.lit("g").alias("g"))
+    bins = dds_build(df, "x", ["g"], alpha=0.02)
+    # values span 3 decades → ~ln(1000)/ln(γ) ≈ 175 bins, NOT 100k rows
+    assert bins.count() < 400
+
+
+def test_dds_drops_nonpositive(spark):
+    df = spark.createDataFrame([(0.0,), (-5.0,), (10.0,)], "x double").withColumn(
+        "g", F.lit("g")
+    )
+    out = dds_quantiles(dds_build(df, "x", ["g"]), ["g"], [0.5])
+    assert out.collect()[0]["n"] == 1
