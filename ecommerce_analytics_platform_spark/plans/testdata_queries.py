@@ -4275,6 +4275,45 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing (operators/intervals.py):
+    each event opens a 30-minute [ts, ts+30m) activity interval; merge
+    overlapping intervals per user into maximal islands — sessionization
+    generalized to true intervals (variable ends), one shuffle, no
+    self-join."""
+    from ecommerce_analytics_platform_spark.operators.intervals import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+    )
+    return merge_intervals(iv, ["user_id"], "s", "e")
+
+
+SQL_INTERVAL_MERGE = """
+WITH iv AS (
+    SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+), flagged AS (
+    SELECT user_id, s, e,
+           CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_island
+    FROM iv
+), isl AS (
+    SELECT user_id, s, e,
+           sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM flagged
+)
+SELECT user_id, min(s) AS island_start, max(e) AS island_end, count(*) AS n_intervals
+FROM isl GROUP BY user_id, island
+"""
+
+
 _DDS_ALPHA = 0.02
 _DDS_QS = [0.5, 0.95, 0.99]
 
@@ -4595,4 +4634,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "portable_hll": (q_portable_hll, _portable_hll_sql()),
     "random_projection": (q_random_projection, _random_projection_sql()),
     "dds_quantiles": (q_dds_quantiles, _dds_quantiles_sql()),
+    "interval_merge": (q_interval_merge, SQL_INTERVAL_MERGE),
 }
