@@ -171,7 +171,12 @@ def hll_rho_cols(col: Column | str, b: int, seed: int) -> tuple[Column, Column]:
     ``floor(log2(w))`` is floor-safe in IEEE double for w < 2^53 (the
     nearest double to log2(2^k − 1) is strictly below k), so both engines
     compute the identical integer rho without any bit-string helpers.
+    That argument needs ``w`` exactly representable ⇒ ``60 − b ≤ 53`` —
+    enforced (b ≥ 7 also keeps the register table small enough to always
+    broadcast, so the constraint costs nothing in practice).
     """
+    if b < 7:
+        raise ValueError("portable HLL requires b >= 7 (w must fit in 53 bits)")
     c = F.col(col) if isinstance(col, str) else col
     h = seeded_hash60(c, seed)
     m = 1 << b
