@@ -341,3 +341,119 @@ def dds_quantiles(
     )
     est = F.round(F.lit(coef) * F.pow(F.lit(g), F.col("bin")), round_digits)
     return sel.select(*group_cols, "q", "n", est.alias("dds_est"))
+
+
+def kmv_build(
+    df: DataFrame, col: str, group_cols: list[str], k: int = 256, seed: int = 404
+) -> DataFrame:
+    """KMV / theta-style distinct sketch per group: the k smallest distinct
+    portable hashes — ``(group..., h)`` rows, ≤ k per group.
+
+    Unlike HLL, KMV sketches support SET OPERATIONS: union = merge + keep
+    k smallest; intersection via inclusion–exclusion (:func:`kmv_intersect`)
+    — the estimator family behind "how many users did BOTH X and Y" at
+    100 TB, where the exact answer needs a full distinct self-join.
+
+    Physical shape: one shuffle of (group, hash) rows. A 64-way shard
+    pre-cut (dense_rank ≤ k per (group, hash-shard), then final rank over
+    ≤ 64k survivors) bounds every window's sort state; the global
+    distinct-rank runs on survivors only. A bounded-state map-side partial
+    agg would need a native UDAF — the shard cut is the SQL-expressible
+    equivalent and keeps the plan whole-stage-codegen'd.
+    """
+    h = seeded_hash60(F.col(col), seed)
+    shard = (h % F.lit(64)).alias("__shard")
+    base = df.select(*group_cols, h.alias("h"), shard)
+    w1 = Window.partitionBy(*group_cols, "__shard").orderBy("h")
+    survivors = (
+        base.withColumn("__r", F.dense_rank().over(w1))
+        .filter(F.col("__r") <= k)
+        .select(*group_cols, "h")
+        .distinct()
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        survivors.withColumn("__r", F.row_number().over(w2))
+        .filter(F.col("__r") <= k)
+        .select(*group_cols, "h", F.col("__r").alias("r"))
+    )
+
+
+def _kmv_est(n_col: Column, kth: Column, k: int) -> Column:
+    """KMV estimator: exact when the sketch is not full (fewer than k
+    distinct hashes seen); else (k-1)/kth · 2^60 (hashes uniform on
+    [0, 2^60))."""
+    full = n_col >= k
+    return F.when(full, F.lit(float(k - 1)) * F.lit(float(1 << 60)) / kth.cast("double")).otherwise(
+        n_col.cast("double")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch relation."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("h").alias("__kth")
+    )
+    return agg.select(
+        *group_cols, F.round(_kmv_est(F.col("__n"), F.col("__kth"), k), 4).alias("kmv_est")
+    )
+
+
+def kmv_intersect(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 256,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Pairwise distinct-intersection estimates between every two groups'
+    KMV sketches via inclusion–exclusion: |A∩B| ≈ est(A) + est(B) −
+    est(A∪B), clamped at 0. The union sketch is the k smallest of the
+    merged hash multiset — computed per PAIR from the two k-row sketches
+    (a ≤ 2k-row window per pair, never a touch of the raw data).
+
+    Output: ``(grp_a < grp_b, est_a, est_b, est_union, inter_est)``.
+    """
+    a = sketch.select(F.col(group_col).alias("grp_a"), F.col("h").alias("ha"))
+    b = sketch.select(F.col(group_col).alias("grp_b"), F.col("h").alias("hb"))
+    pairs = (
+        a.select("grp_a").distinct()
+        .join(b.select("grp_b").distinct(), F.col("grp_a") < F.col("grp_b"))
+    )
+    merged = (
+        pairs.join(a, "grp_a")
+        .select("grp_a", "grp_b", F.col("ha").alias("h"))
+        .unionByName(
+            pairs.join(b, "grp_b").select("grp_a", "grp_b", F.col("hb").alias("h"))
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    union_stats = (
+        merged.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("un"), F.max("h").alias("uk"))
+    )
+    one = sketch.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+    ea = one.select(
+        F.col(group_col).alias("grp_a"), _kmv_est(F.col("n"), F.col("kth"), k).alias("est_a")
+    )
+    eb = one.select(
+        F.col(group_col).alias("grp_b"), _kmv_est(F.col("n"), F.col("kth"), k).alias("est_b")
+    )
+    out = (
+        union_stats.join(ea, "grp_a")
+        .join(eb, "grp_b")
+        .withColumn("est_union", _kmv_est(F.col("un"), F.col("uk"), k))
+    )
+    inter = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    return out.select(
+        "grp_a",
+        "grp_b",
+        F.round("est_a", round_digits).alias("est_a"),
+        F.round("est_b", round_digits).alias("est_b"),
+        F.round("est_union", round_digits).alias("est_union"),
+        F.round(inter, round_digits).alias("inter_est"),
+    )

@@ -4275,6 +4275,115 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+_KMV_K, _KMV_SEED = 256, 404
+
+
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta distinct sketches with SET-INTERSECTION estimates
+    (operators/membership.py::{kmv_build,kmv_intersect}): 'how many users
+    did both X and Y' for every event-type pair via inclusion-exclusion
+    over k-minimum-value sketches — the set-op capability HLL lacks, and
+    the only shape that answers pairwise audience overlap at 100 TB
+    without a distinct self-join per pair. Portable hashes ⇒ the DuckDB
+    twin reproduces sketches and estimates exactly; exact intersections
+    ride along with an err_ok envelope. At sf0.01 the sketches are not
+    full (estimates EXACT by the KMV rule); at sf0.1 they are full and
+    genuinely estimate — both paths oracle-checked."""
+    from ecommerce_analytics_platform_spark.operators.membership import (
+        kmv_build,
+        kmv_intersect,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_build(ev, "user_id", ["event_type"], _KMV_K, _KMV_SEED)
+    est = kmv_intersect(sk, "event_type", _KMV_K)
+    du = ev.select("event_type", "user_id").distinct()
+    ex = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("grp_a"), F.col("y.event_type").alias("grp_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    out = est.join(ex, ["grp_a", "grp_b"])
+    return out.select(
+        "grp_a",
+        "grp_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        "inter_est",
+        "exact_inter",
+        (
+            F.abs(F.col("inter_est") - F.col("exact_inter")) / F.col("exact_inter")
+            <= 0.35
+        ).alias("err_ok"),
+    )
+
+
+def _kmv_intersect_sql() -> str:
+    from ecommerce_analytics_platform_spark.functions.compat import seeded_hash60_sql
+
+    k = _KMV_K
+    h = seeded_hash60_sql("user_id", _KMV_SEED)
+    est = (
+        f"CASE WHEN {{n}} >= {k} THEN {float(k - 1)!r} * 1152921504606846976.0 "
+        f"/ CAST({{kth}} AS DOUBLE) ELSE CAST({{n}} AS DOUBLE) END"
+    )
+    est_a = est.format(n="oa.n", kth="oa.kth")
+    est_b = est.format(n="ob.n", kth="ob.kth")
+    est_u = est.format(n="u.un", kth="u.uk")
+    return f"""
+WITH hashes AS (
+    SELECT DISTINCT event_type, {h} AS h FROM events
+), ranked AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM hashes
+), sk AS (
+    SELECT event_type, h FROM ranked WHERE r <= {k}
+), one AS (
+    SELECT event_type, count(*) AS n, max(h) AS kth FROM sk GROUP BY 1
+), pairs AS (
+    SELECT a.event_type AS grp_a, b.event_type AS grp_b
+    FROM one a JOIN one b ON a.event_type < b.event_type
+), merged AS (
+    SELECT DISTINCT p.grp_a, p.grp_b, s.h
+    FROM pairs p JOIN sk s ON s.event_type = p.grp_a OR s.event_type = p.grp_b
+), mr AS (
+    SELECT grp_a, grp_b, h,
+           row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS r
+    FROM merged
+), un AS (
+    SELECT grp_a, grp_b, count(*) AS un, max(h) AS uk FROM mr WHERE r <= {k} GROUP BY 1, 2
+), duex AS (
+    SELECT DISTINCT event_type, user_id FROM events
+), ex AS (
+    SELECT a.event_type AS grp_a, b.event_type AS grp_b, count(*) AS exact_inter
+    FROM duex a JOIN duex b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT u.grp_a, u.grp_b,
+       round({est_a}, 4) AS est_a,
+       round({est_b}, 4) AS est_b,
+       round({est_u}, 4) AS est_union,
+       round(greatest(0.0, {est_a} + {est_b} - {est_u}), 4) AS inter_est,
+       ex.exact_inter,
+       (abs(round(greatest(0.0, {est_a} + {est_b} - {est_u}), 4) - ex.exact_inter)
+          / ex.exact_inter <= 0.35) AS err_ok
+FROM un u
+JOIN one oa ON oa.event_type = u.grp_a
+JOIN one ob ON ob.event_type = u.grp_b
+JOIN ex ON ex.grp_a = u.grp_a AND ex.grp_b = u.grp_b
+"""
+
+
 def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands interval coalescing (operators/intervals.py):
     each event opens a 30-minute [ts, ts+30m) activity interval; merge
@@ -4635,4 +4744,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "random_projection": (q_random_projection, _random_projection_sql()),
     "dds_quantiles": (q_dds_quantiles, _dds_quantiles_sql()),
     "interval_merge": (q_interval_merge, SQL_INTERVAL_MERGE),
+    "kmv_intersect": (q_kmv_intersect, _kmv_intersect_sql()),
 }

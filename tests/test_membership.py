@@ -216,3 +216,47 @@ def test_dds_drops_nonpositive(spark):
     )
     out = dds_quantiles(dds_build(df, "x", ["g"]), ["g"], [0.5])
     assert out.collect()[0]["n"] == 1
+
+
+# --- KMV / theta sketch -----------------------------------------------------
+
+from ecommerce_analytics_platform_spark.operators.membership import (  # noqa: E402
+    kmv_build,
+    kmv_estimate,
+    kmv_intersect,
+)
+
+
+def _sets_df(spark):
+    rows = []
+    rows += [("a", i) for i in range(0, 4_000)]          # |A| = 4000
+    rows += [("b", i) for i in range(2_000, 7_000)]      # |B| = 5000, |A∩B| = 2000
+    rows += [("c", i) for i in range(100_000, 100_050)]  # |C| = 50, disjoint
+    return spark.createDataFrame(rows, "g string, uid long")
+
+
+def test_kmv_distinct_estimates(spark):
+    sk = kmv_build(_sets_df(spark), "uid", ["g"], k=256)
+    est = {r["g"]: r["kmv_est"] for r in kmv_estimate(sk, ["g"], k=256).collect()}
+    assert abs(est["a"] - 4_000) / 4_000 < 0.2
+    assert abs(est["b"] - 5_000) / 5_000 < 0.2
+    assert est["c"] == 50.0  # sketch not full → exact by the KMV rule
+
+
+def test_kmv_intersection_estimates(spark):
+    out = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in kmv_intersect(kmv_build(_sets_df(spark), "uid", ["g"], k=256), "g", k=256).collect()
+    }
+    ab = out[("a", "b")]
+    # |A∩B| = 2000 of |A∪B| = 7000; inclusion–exclusion over k=256 sketches
+    assert abs(ab["inter_est"] - 2_000) / 2_000 < 0.5
+    # disjoint pairs: estimate collapses toward 0 (clamped)
+    assert out[("a", "c")]["inter_est"] < 500
+    assert out[("b", "c")]["inter_est"] < 500
+
+
+def test_kmv_sketch_bounded(spark):
+    sk = kmv_build(_sets_df(spark), "uid", ["g"], k=64)
+    sizes = {r["g"]: r["n"] for r in sk.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes["a"] == 64 and sizes["b"] == 64 and sizes["c"] == 50
