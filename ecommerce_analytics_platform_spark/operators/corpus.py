@@ -438,3 +438,51 @@ def dsir_sample(
     top = keyed.orderBy(F.desc("sample_key"), F.asc("doc_id")).limit(n_keep)
     w = Window.orderBy(F.desc("sample_key"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    Raghavan 2007 LPA) with clamped seeds: each unlabeled node adopts the
+    majority label among its labeled neighbors; ties break (count DESC,
+    label ASC) so every round is fully deterministic — the property that
+    lets a fixed-iteration run be verified by an unrolled SQL oracle.
+    Synchronous updates; seed labels never change.
+
+    Per iteration: one join (edges ⨝ current labels — at scale, bucket
+    the symmetrized edge list by src so this co-partitions) + one
+    (node, label) vote count + one window argmax on the same node
+    shuffle. Returns ``(node, label)`` for every node labeled after
+    ``iterations`` rounds (seeds included).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    base = seeds.select(F.col(node).alias("node"), F.col(label).alias("label"))
+    labels = base
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iterations):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winners = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+        labels = base.unionByName(
+            winners.join(base.select("node"), "node", "left_anti")
+        ).localCheckpoint()
+    return labels

@@ -4275,6 +4275,68 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation on the part co-purchase graph
+    (operators/corpus.py::label_propagation): parts with p_size <= 10 are
+    brand-labeled seeds; two synchronous rounds spread labels over the
+    co-order edges (same sampled edge set as pagerank/triangle_count),
+    majority vote with (count DESC, label ASC) ties — fully deterministic,
+    so the 2-round run is verified by an unrolled DuckDB twin."""
+    from ecommerce_analytics_platform_spark.operators.corpus import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("label"))
+    )
+    return label_propagation(edges, seeds, iterations=2)
+
+
+def _label_prop_round_sql(prev: str, idx: int) -> str:
+    return f"""v{idx} AS (
+    SELECT e.dst AS node, l.label, count(*) AS c
+    FROM e JOIN {prev} l ON l.node = e.src
+    GROUP BY 1, 2
+), w{idx} AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        FROM v{idx}
+    ) WHERE rn = 1
+), l{idx} AS (
+    SELECT * FROM seeds
+    UNION ALL
+    SELECT * FROM w{idx} WHERE node NOT IN (SELECT node FROM seeds)
+)"""
+
+
+SQL_LABEL_PROP = f"""
+WITH e0 AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    WHERE a.l_orderkey % 10 = 0 AND b.l_orderkey % 10 = 0
+), e AS (
+    SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+), seeds AS (
+    SELECT p_partkey AS node, p_brand AS label FROM part WHERE p_size <= 10
+), {_label_prop_round_sql('seeds', 1)}, {_label_prop_round_sql('l1', 2)}
+SELECT node, label FROM l2
+"""
+
+
 _KMV_K, _KMV_SEED = 256, 404
 
 
@@ -4745,4 +4807,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "dds_quantiles": (q_dds_quantiles, _dds_quantiles_sql()),
     "interval_merge": (q_interval_merge, SQL_INTERVAL_MERGE),
     "kmv_intersect": (q_kmv_intersect, _kmv_intersect_sql()),
+    "label_prop": (q_label_prop, SQL_LABEL_PROP),
 }
