@@ -52,6 +52,9 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # opt-in (Spark 4): predicate pushdown INTO Python DataSources —
+        # sources/pysource.py absorbs event_type filters at generation time
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # INT96 (Spark's legacy default) carries no parquet footer min/max
         # stats, silently disabling row-group pruning on timestamp cluster
         # keys (see sources/layout.py) — write annotated int64 micros

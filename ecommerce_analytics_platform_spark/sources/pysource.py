@@ -1,0 +1,133 @@
+"""Custom Spark 4 Python DataSource: a deterministic clickstream generator
+exposed as a first-class table — batch (partitioned, with FILTER PUSHDOWN)
+and streaming (replayable offsets ⇒ exactly-once under checkpointing).
+
+The reference's producers are driver scripts writing NDJSON files
+(producers/clickstream_producer.py — cited behaviorally, not copied); the
+Spark-native re-expression is a *source*: `spark.read.format(
+"clickstream_gen")` plans one task per shard and generates rows inside the
+executors — no intermediate files, no driver bottleneck, scales with the
+cluster like any scan. This is the Spark 4 Python DataSource API
+(SPARK-44076 batch / SPARK-45023-era streaming + pushFilters pushdown).
+
+Determinism contract: row content is a pure function of (seed, shard,
+index) — same options ⇒ identical table on any cluster layout, and the
+streaming reader's ``readBetweenOffsets`` replays any offset range
+bit-identically, which is exactly what Structured Streaming requires for
+exactly-once recovery.
+
+Filter pushdown: equality/IN filters on ``event_type`` are absorbed by the
+reader (``pushFilters``) and applied during generation — the source emits
+only matching rows, the Spark-side Filter disappears for those predicates,
+and the scan cost drops proportionally (the Python-source analog of
+parquet predicate pushdown; pinned in tests/test_pysource.py).
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+_SCHEMA_DDL = "event_id long, ts timestamp, user_id long, event_type string, value double"
+_BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def _gen_row(seed: int, i: int):
+    """One deterministic event — pure function of (seed, global index)."""
+    import datetime as dt
+
+    rng = random.Random((seed << 32) ^ i)
+    ts = dt.datetime.fromtimestamp(_BASE_EPOCH + i * 7 + rng.randrange(5), dt.timezone.utc)
+    return (
+        i,
+        ts.replace(tzinfo=None),
+        rng.randrange(0, 150),
+        EVENT_TYPES[rng.randrange(len(EVENT_TYPES))],
+        round(rng.uniform(0, 100), 2),
+    )
+
+
+class _Shard(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class ClickstreamBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.n_events = int(options.get("n_events", 1000))
+        self.n_shards = int(options.get("n_shards", 4))
+        self.allowed_types: set[str] | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Absorb event_type equality/IN; everything else stays Spark-side."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("event_type",):
+                self.allowed_types = {f.value}
+            elif isinstance(f, In) and f.attribute == ("event_type",):
+                self.allowed_types = set(f.values)
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        per = -(-self.n_events // self.n_shards)
+        return [
+            _Shard(lo, min(lo + per, self.n_events))
+            for lo in range(0, self.n_events, per)
+        ]
+
+    def read(self, partition: _Shard):
+        for i in range(partition.start, partition.end):
+            row = _gen_row(self.seed, i)
+            if self.allowed_types is None or row[3] in self.allowed_types:
+                yield row
+
+
+class ClickstreamStreamReader(SimpleDataSourceStreamReader):
+    """Replayable micro-batch source: offset = next global row index.
+    ``read`` emits ``rate`` rows per batch; ``readBetweenOffsets`` replays
+    any committed range identically (the exactly-once recovery path)."""
+
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.rate = int(options.get("rows_per_batch", 50))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        lo = start["idx"]
+        hi = lo + self.rate
+        return (iter([_gen_row(self.seed, i) for i in range(lo, hi)]), {"idx": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_gen_row(self.seed, i) for i in range(start["idx"], end["idx"])])
+
+
+class ClickstreamDataSource(DataSource):
+    """``spark.read.format("clickstream_gen")`` / ``spark.readStream...``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "clickstream_gen"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return ClickstreamBatchReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return ClickstreamStreamReader(self.options)
