@@ -4275,6 +4275,72 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+def q_ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event value per user over
+    the trailing 10 events — the classic decayed behavioral feature. α=1/2
+    makes every weight a dyadic rational, so the whole computation is
+    EXACT: value→DECIMAL cast, ×2^k (exact powers), DECIMAL sum
+    (order-independent), and a final double division by the integer
+    2^n − 1 (= Σ 2^k). No rounding anywhere — the doubles are
+    bit-identical cross-engine by construction. One user shuffle shared
+    by the window; the 10× posexplode is scan-local."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-9, 0)
+    )
+    vals = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.collect_list(F.col("value")).over(w).alias("vals"),
+    )
+    exploded = vals.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size("vals").alias("n"),
+        F.posexplode("vals").alias("pos", "x"),
+    )
+    # weight for the k-th oldest of n values (0-based pos) is 2^pos; the
+    # normalizer Σ_{k<n} 2^k telescopes to the integer 2^n − 1
+    term = F.col("x").cast("decimal(18,6)") * F.pow(F.lit(2.0), F.col("pos")).cast(
+        "decimal(18,0)"
+    )
+    return (
+        exploded.groupBy("event_id", "user_id", "ts", "n")
+        .agg(F.sum(term).alias("num"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (
+                F.col("num").cast("double")
+                / (F.expr("shiftleft(CAST(1 AS BIGINT), n)") - F.lit(1)).cast("double")
+            ).alias("ewma"),
+        )
+    )
+
+
+SQL_EWMA_FEATURES = """
+WITH vals AS (
+    SELECT event_id, user_id, ts,
+           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+    FROM events
+), exploded AS (
+    SELECT event_id, user_id, ts, len(vals) AS n,
+           CAST(vals[i] AS DECIMAL(18,6)) AS x, i - 1 AS pos
+    FROM (SELECT *, unnest(generate_series(1, len(vals))) AS i FROM vals)
+)
+SELECT event_id, user_id, ts,
+       CAST(sum(x * CAST(pow(2.0, pos) AS DECIMAL(18,0))) AS DOUBLE)
+         / CAST((CAST(1 AS BIGINT) << n) - 1 AS DOUBLE) AS ewma
+FROM exploded GROUP BY event_id, user_id, ts, n
+"""
+
+
 def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label propagation on the part co-purchase graph
     (operators/corpus.py::label_propagation): parts with p_size <= 10 are
@@ -4808,4 +4874,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "interval_merge": (q_interval_merge, SQL_INTERVAL_MERGE),
     "kmv_intersect": (q_kmv_intersect, _kmv_intersect_sql()),
     "label_prop": (q_label_prop, SQL_LABEL_PROP),
+    "ewma_features": (q_ewma_features, SQL_EWMA_FEATURES),
 }
