@@ -4275,6 +4275,77 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+def q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution (the companion to the last-touch
+    ``attribution`` query): every view/click in the 7 days before a
+    purchase shares the revenue equally. The touch×purchase pairing is the
+    bucketed range join (operators/rangejoin.py — (user, day-bucket)
+    equi-join, never a nested-loop range scan); credits divide exactly
+    (double/long, identical cross-engine) and aggregate in DECIMAL.
+    Purchases with no prior touches credit a 'direct' channel."""
+    from ecommerce_analytics_platform_spark.operators.rangejoin import range_join_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        (F.col("ts") - F.expr("INTERVAL 7 DAY")).alias("lo"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    m = range_join_buckets(touches, purchases, "user_id", "t_ts", "lo", "p_ts")
+    n = F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    credits = m.select("p_id", "p_value", "channel", n.alias("n"))
+    att = credits.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum((F.col("p_value") / F.col("n")).cast("decimal(18,6)")).alias("cr"),
+    )
+    direct = (
+        purchases.join(credits.select("p_id").distinct(), "p_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum(F.col("p_value").cast("decimal(18,6)")).alias("cr"),
+        )
+        .select(F.lit("direct").alias("channel"), "n_credits", "cr")
+    )
+    return att.unionByName(direct).select(
+        "channel", "n_credits", F.col("cr").cast("double").alias("credited_revenue")
+    )
+
+
+SQL_MULTI_TOUCH = """
+WITH p AS (
+    SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value,
+           ts - INTERVAL 7 DAY AS lo
+    FROM events WHERE event_type = 'purchase'
+), t AS (
+    SELECT user_id, event_type AS channel, ts AS t_ts
+    FROM events WHERE event_type IN ('view', 'click')
+), m AS (
+    SELECT p.p_id, p.p_value, t.channel
+    FROM p JOIN t ON t.user_id = p.user_id AND t.t_ts >= p.lo AND t.t_ts <= p.p_ts
+), c AS (
+    SELECT p_id, p_value, channel, count(*) OVER (PARTITION BY p_id) AS n FROM m
+), att AS (
+    SELECT channel, count(*) AS n_credits,
+           sum(CAST(p_value / n AS DECIMAL(18,6))) AS cr
+    FROM c GROUP BY 1
+), direct AS (
+    SELECT 'direct' AS channel, count(*) AS n_credits,
+           sum(CAST(p_value AS DECIMAL(18,6))) AS cr
+    FROM p WHERE p_id NOT IN (SELECT p_id FROM m)
+)
+SELECT channel, n_credits, CAST(cr AS DOUBLE) AS credited_revenue FROM att
+UNION ALL
+SELECT channel, n_credits, CAST(cr AS DOUBLE) AS credited_revenue FROM direct
+"""
+
+
 def q_ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of event value per user over
     the trailing 10 events — the classic decayed behavioral feature. α=1/2
@@ -4875,4 +4946,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "kmv_intersect": (q_kmv_intersect, _kmv_intersect_sql()),
     "label_prop": (q_label_prop, SQL_LABEL_PROP),
     "ewma_features": (q_ewma_features, SQL_EWMA_FEATURES),
+    "multi_touch": (q_multi_touch, SQL_MULTI_TOUCH),
 }
