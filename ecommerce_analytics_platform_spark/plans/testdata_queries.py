@@ -4275,6 +4275,47 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog (shipping priority): top-10 unshipped-revenue
+    orders for one market segment — the classic 3-way
+    customer⨝orders⨝lineitem with date filters on both fact sides.
+    Plan shape: segment filter pushed to the customer scan, customer side
+    broadcast, net revenue in exact DECIMAL; the top-10 runs as
+    TakeOrderedAndProject (per-partition top-k + k-row driver merge),
+    never a full sort."""
+    cutoff = "1998-06-15"
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), cust["c_custkey"] == orders["o_custkey"]),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_net_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_NET_REVENUE_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch LINEAR attribution (the companion to the last-touch
     ``attribution`` query): every view/click in the 7 days before a
@@ -4947,4 +4988,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "label_prop": (q_label_prop, SQL_LABEL_PROP),
     "ewma_features": (q_ewma_features, SQL_EWMA_FEATURES),
     "multi_touch": (q_multi_touch, SQL_MULTI_TOUCH),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
 }
