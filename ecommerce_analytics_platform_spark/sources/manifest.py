@@ -153,6 +153,29 @@ class ManifestTable:
         kept = [f for f in prev if os.path.dirname(f) not in replaced_dirs]
         return self._commit(kept + new_files, base)
 
+    def replace_files(
+        self,
+        remove: list[str],
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """File-level surgical commit: drop exactly ``remove`` (absolute or
+        table-relative paths) from the snapshot and add ``df``'s files;
+        every other file carries over BY REFERENCE. This is the erasure /
+        compaction primitive — rewrite cost is bounded by the files
+        actually touched, never table size (operators/gdpr.py)."""
+        base = self.latest_version()
+        prev = self._read_manifest(base)["files"] if base is not None else []
+        rel_remove = {
+            os.path.relpath(p, self.path) if os.path.isabs(p) else p for p in remove
+        }
+        unknown = rel_remove - set(prev)
+        if unknown:
+            raise ValueError(f"not in current snapshot: {sorted(unknown)[:3]}")
+        kept = [f for f in prev if f not in rel_remove]
+        new_files = self._write_files(df, partition_by)
+        return self._commit(kept + new_files, base)
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, read exactly its
         files. ``basePath`` makes Spark parse hive-style partition values

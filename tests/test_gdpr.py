@@ -1,0 +1,74 @@
+"""Right-to-be-forgotten: surgical file rewrite + physical removal audit."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from ecommerce_analytics_platform_spark.operators.gdpr import (
+    affected_files,
+    assert_forgotten,
+    forget,
+)
+from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+
+def _table(spark, path, n=2000):
+    df = spark.range(n).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 8).alias("bucket"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("payload"),
+    ).repartition(8, "bucket")
+    t = ManifestTable(spark, path)
+    t.overwrite(df)
+    return t
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "user_id long")
+
+
+def test_forget_removes_rows_and_preserves_rest(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    victims = [5, 17, 999]
+    report = forget(spark, t, "user_id", _keys(spark, victims))
+    assert report["rows_deleted"] == 3
+    out = t.read()
+    assert out.filter(F.col("user_id").isin(victims)).count() == 0
+    assert out.count() == 2000 - 3
+
+
+def test_forget_rewrites_only_affected_files(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    before = set(t._read_manifest(t.latest_version())["files"])
+    # all victims share one bucket → exactly the files holding that bucket
+    victims = [8, 16, 24]  # bucket 0
+    hit = affected_files(spark, t, "user_id", _keys(spark, victims))
+    report = forget(spark, t, "user_id", _keys(spark, victims), vacuum=False)
+    after = set(t._read_manifest(t.latest_version())["files"])
+    carried = before & after
+    assert report["files_rewritten"] == len(hit)
+    # untouched files carried by reference, not rewritten
+    assert len(carried) == len(before) - len(hit)
+
+
+def test_vacuum_makes_removal_physical(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _table(spark, path)
+    victims = [1, 2, 3, 4]
+    forget(spark, t, "user_id", _keys(spark, victims), vacuum=True)
+    # read every parquet file physically on disk — no victim bytes anywhere
+    assert assert_forgotten(spark, path, "user_id", victims)
+    # without vacuum the old version would still hold them: prove the
+    # audit actually detects leftovers
+    t2 = _table(spark, str(tmp_path / "t2"))
+    forget(spark, t2, "user_id", _keys(spark, [7]), vacuum=False)
+    assert not assert_forgotten(spark, str(tmp_path / "t2"), "user_id", [7])
+
+
+def test_forget_noop_when_keys_absent(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    v0 = t.latest_version()
+    report = forget(spark, t, "user_id", _keys(spark, [10**9]))
+    assert report == {"files_rewritten": 0, "rows_deleted": 0, "version": v0}

@@ -168,3 +168,46 @@ def test_warehouse_bucketed_fact_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS marts__fact_orders_b")
         spark.sql("DROP TABLE IF EXISTS marts__fact_order_items_b")
+
+
+def test_shipping_priority_broadcasts_and_takeordered(spark):
+    """Q3 analog: customer side broadcast; top-10 as TakeOrderedAndProject
+    (per-partition top-k + driver merge), never a global sort."""
+    df = QUERIES["shipping_priority"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan
+
+
+def test_dsir_topk_is_takeordered(spark):
+    """DSIR's n_keep selection must be distributed top-k, not a full sort."""
+    df = QUERIES["dsir_sample"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_lookup_broadcasts_sketch(spark):
+    """The CMS probe joins the bounded counter relation broadcast-side."""
+    df = QUERIES["heavy_hitters"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_merge_single_exchange(spark):
+    """Window island detection and the island groupBy share ONE shuffle."""
+    df = QUERIES["interval_merge"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    n_exchange = len(
+        [l for l in plan.splitlines() if l.strip().startswith("(") and ") Exchange" in l]
+    )
+    assert n_exchange == 1
+
+
+def test_multi_touch_range_join_is_equi_join(spark):
+    """The attribution touch-purchase pairing must plan as a hash/sort
+    equi-join on (user, bucket) — no BroadcastNestedLoopJoin."""
+    df = QUERIES["multi_touch"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
