@@ -97,3 +97,40 @@ def assert_forgotten(spark: SparkSession, table_path: str, key_col: str, keys: l
         return True
     df = spark.read.parquet(*data_files)
     return df.filter(F.col(key_col).isin(keys)).count() == 0
+
+
+def compact(
+    spark: SparkSession,
+    table: ManifestTable,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """OPTIMIZE-style small-file compaction on a manifest table: bin-pack
+    data files smaller than ``target_bytes`` into right-sized rewrites and
+    publish atomically via ``replace_files`` — large files carry over BY
+    REFERENCE, readers pinned to the old snapshot are untouched, and a
+    crash mid-compaction leaves the previous version live.
+
+    The small-files problem is the dominant operational tax at 100 TB
+    (every file is a task + open + footer read); streaming sinks create it
+    continuously. Compaction here is metadata-surgical: cost ∝ bytes of
+    small files, not table size. Returns {"files_in": n, "files_out": n,
+    "version": v} (no-op dict when fewer than ``min_files`` qualify).
+    """
+    v = table.latest_version()
+    if v is None:
+        return {"files_in": 0, "files_out": 0, "version": None}
+    files = table._read_manifest(v)["files"]
+    small = [
+        f
+        for f in files
+        if os.path.getsize(os.path.join(table.path, f)) < target_bytes
+    ]
+    if len(small) < min_files:
+        return {"files_in": 0, "files_out": 0, "version": v}
+    paths = [os.path.join(table.path, f) for f in small]
+    df = spark.read.option("basePath", table.path).parquet(*paths)
+    total = sum(os.path.getsize(p) for p in paths)
+    n_out = max(1, -(-total // target_bytes))
+    version = table.replace_files(small, df.coalesce(n_out))
+    return {"files_in": len(small), "files_out": n_out, "version": version}

@@ -72,3 +72,40 @@ def test_forget_noop_when_keys_absent(spark, tmp_path):
     v0 = t.latest_version()
     report = forget(spark, t, "user_id", _keys(spark, [10**9]))
     assert report == {"files_rewritten": 0, "rows_deleted": 0, "version": v0}
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    from ecommerce_analytics_platform_spark.operators.gdpr import compact
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    # 8 tiny files
+    df = spark.range(800).select(F.col("id").alias("user_id")).repartition(8)
+    t.overwrite(df)
+    before_rows = t.read().count()
+    n_before = len(t._read_manifest(t.latest_version())["files"])
+    report = compact(spark, t, target_bytes=10 * 1024 * 1024)
+    assert report["files_in"] == n_before
+    assert report["files_out"] == 1
+    after = t._read_manifest(t.latest_version())["files"]
+    assert len(after) == 1
+    assert t.read().count() == before_rows
+    assert sorted(r["user_id"] for r in t.read().collect()) == list(range(800))
+
+
+def test_compact_carries_large_files_by_reference(spark, tmp_path):
+    from ecommerce_analytics_platform_spark.operators.gdpr import compact
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(100).select(F.col("id").alias("user_id")).repartition(4))
+    files = t._read_manifest(t.latest_version())["files"]
+    # declare one file "large" by setting the threshold between sizes
+    import os as _os
+
+    sizes = sorted(_os.path.getsize(_os.path.join(t.path, f)) for f in files)
+    threshold = sizes[-1]  # strictly-smaller rule keeps the biggest file
+    report = compact(spark, t, target_bytes=threshold)
+    after = set(t._read_manifest(t.latest_version())["files"])
+    big = {f for f in files if _os.path.getsize(_os.path.join(t.path, f)) >= threshold}
+    assert big <= after  # untouched, carried by reference
+    assert report["files_in"] == len(files) - len(big)
+    assert t.read().count() == 100
