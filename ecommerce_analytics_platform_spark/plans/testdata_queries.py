@@ -4275,6 +4275,49 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust two-stage salted aggregation
+    (operators/skew.py::salted_agg): per-event-type totals computed as
+    (key, salt) partials then re-combined — a hot key spreads over 16
+    tasks instead of one straggler (AQE splits skewed JOINS at runtime
+    but not aggregations, so salting is the aggregation-side remedy).
+    The salt is execution-layout only: algebraic re-aggregation in exact
+    DECIMAL means the result is identical to the plain one-stage rollup,
+    which is exactly what the un-salted DuckDB oracle checks."""
+    from ecommerce_analytics_platform_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,4)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "total_value": ("value_dec", "sum"),
+            "min_ts": ("ts", "min"),
+            "max_ts": ("ts", "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "min_ts",
+        "max_ts",
+    )
+
+
+SQL_SALTED_ROLLUP = """
+SELECT event_type,
+       count(event_id) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts
+FROM events GROUP BY event_type
+"""
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 analog (shipping priority): top-10 unshipped-revenue
     orders for one market segment — the classic 3-way
@@ -4989,4 +5032,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "ewma_features": (q_ewma_features, SQL_EWMA_FEATURES),
     "multi_touch": (q_multi_touch, SQL_MULTI_TOUCH),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    # salt is physical-layout only: algebraic DECIMAL re-aggregation makes
+    # the salted plan's result equal the plain rollup the oracle runs
+    "salted_rollup": (q_salted_rollup, SQL_SALTED_ROLLUP),
 }
