@@ -4275,6 +4275,92 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+_STATS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style catalog statistics: per-column row count, null
+    count, exact NDV, and portable-HLL NDV estimate — the stats a
+    cost-based optimizer feeds on, maintained as a relation (the HLL
+    registers merge across partitions/days, so stats update incrementally
+    at 100 TB instead of re-scanning). The melt (one row per
+    column×value) is a scan-local explode shared by both aggregate
+    branches — two scans TOTAL (counts + registers), never one per
+    profiled column; the only shuffles are the bounded register/NDV
+    aggregations. Integer/varchar columns only: the
+    portable hash canonicalizes values via CAST AS VARCHAR, which is
+    engine-identical for those types (double→string formatting is not)."""
+    from ecommerce_analytics_platform_spark.operators.membership import (
+        hll_build,
+        hll_estimate,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    melted = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("sval"),
+                    )
+                    for c in _STATS_COLS
+                ]
+            )
+        ).alias("m")
+    ).select("m.column_name", "m.sval")
+    base = melted.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("sval").isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.countDistinct("sval").alias("ndv_exact"),
+    )
+    regs = hll_build(melted.filter(F.col("sval").isNotNull()), "sval", ["column_name"])
+    est = hll_estimate(regs, ["column_name"])
+    return base.join(est, "column_name").select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "ndv_exact",
+        F.col("hll_est").alias("ndv_hll"),
+        (
+            F.abs((F.col("hll_est") - F.col("ndv_exact")) / F.col("ndv_exact")) <= 0.15
+        ).alias("hll_ok"),
+    )
+
+
+def _table_stats_sql() -> str:
+    from ecommerce_analytics_platform_spark.operators.membership import (
+        hll_estimate_sql,
+        hll_rho_sql,
+    )
+
+    melt = "\n    UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS sval FROM orders"
+        for c in _STATS_COLS
+    )
+    bucket, rho = hll_rho_sql("sval", 8, 303)
+    est = hll_estimate_sql("regs", ["column_name"], 8).strip()
+    return f"""
+WITH melted AS (
+    {melt}
+), base AS (
+    SELECT column_name, count(*) AS n_rows,
+           sum(CASE WHEN sval IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT sval) AS ndv_exact
+    FROM melted GROUP BY 1
+), regs AS (
+    SELECT column_name, {bucket} AS bucket, max({rho}) AS rmax
+    FROM melted WHERE sval IS NOT NULL GROUP BY 1, 2
+), est AS (
+{est}
+)
+SELECT b.column_name, b.n_rows, b.n_nulls, b.ndv_exact,
+       e.hll_est AS ndv_hll,
+       (abs((e.hll_est - b.ndv_exact) / b.ndv_exact) <= 0.15) AS hll_ok
+FROM base b JOIN est e USING (column_name)
+"""
+
+
 def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-robust two-stage salted aggregation
     (operators/skew.py::salted_agg): per-event-type totals computed as
@@ -5035,4 +5121,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # salt is physical-layout only: algebraic DECIMAL re-aggregation makes
     # the salted plan's result equal the plain rollup the oracle runs
     "salted_rollup": (q_salted_rollup, SQL_SALTED_ROLLUP),
+    "table_stats": (q_table_stats, _table_stats_sql()),
 }

@@ -211,3 +211,40 @@ def test_multi_touch_range_join_is_equi_join(spark):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A partitioned fact joined to a filtered dim must plan a
+    dynamicpruning subquery on the fact scan — the fact reads only the
+    partitions the dim filter selects, decided at runtime."""
+    fact_path = str(tmp_path / "fact")
+    spark.range(10_000).select(
+        F.col("id").alias("sale_id"),
+        (F.col("id") % 20).alias("region_key"),
+        (F.col("id") % 997).alias("amount"),
+    ).write.partitionBy("region_key").parquet(fact_path)
+    dim = spark.range(20).select(
+        F.col("id").alias("region_key"),
+        F.when(F.col("id") < 3, "EU").otherwise("OTHER").alias("zone"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so DPP has to insert the runtime subquery
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        fact = spark.read.parquet(fact_path)
+        joined = fact.join(dim.filter("zone = 'EU'"), "region_key").groupBy(
+            "region_key"
+        ).agg(F.sum("amount"))
+        plan = plan_of(joined)
+        assert "dynamicpruning" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_table_stats_scans_bounded_by_branches(spark):
+    """The ANALYZE melt must read orders once per aggregate branch
+    (counts + HLL registers = 2 in-tree scans), never once per profiled
+    column (4 columns would mean 4+)."""
+    df = QUERIES["table_stats"][0](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("- Scan parquet") <= 2
