@@ -457,3 +457,51 @@ def kmv_intersect(
         F.round("est_union", round_digits).alias("est_union"),
         F.round(inter, round_digits).alias("inter_est"),
     )
+
+
+def _py_positions(value, m_bits: int, k: int, seed: int) -> list[int]:
+    """Driver-side twin of :func:`bloom_position_cols` (same md5 spec) —
+    pytest-pinned equal to the Spark/SQL hashes via the membership tests."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{seed + i}:{value}".encode()).hexdigest()[:15], 16) % m_bits
+        for i in range(k)
+    ]
+
+
+def file_bloom_index(
+    df: DataFrame, col: str, m_bits: int = 1 << 14, k: int = 4, seed: int = 101
+) -> DataFrame:
+    """Per-FILE Bloom index: ``(file, pos)`` — the set bit positions of
+    each data file's key Bloom filter, built in one scan with
+    ``input_file_name()``. This is the data-skipping index for POINT
+    lookups on non-partition, non-sort columns, where min/max row-group
+    stats and Z-order cannot prune (a needle key is inside every file's
+    min/max range). Size: ≤ min(rows·k, m) rows per file. Persist it
+    beside the table; rebuild only for new files (it unions per file).
+    """
+    pairs = df.select(
+        F.expr("input_file_name()").alias("file"),
+        F.explode(F.array(*bloom_position_cols(col, m_bits, k, seed))).alias("pos"),
+    )
+    return pairs.distinct()
+
+
+def prune_files_for_key(
+    index: DataFrame, value, m_bits: int = 1 << 14, k: int = 4, seed: int = 101
+) -> list[str]:
+    """Files that MAY contain ``value``: every one of the key's bit
+    positions is set in the file's Bloom (no false negatives — a file
+    holding the key is always returned; false positives at the classic
+    rate just cost one extra file read). The index aggregation is one
+    bounded groupBy; the lookup value hashes driver-side (same md5 spec).
+    """
+    want = sorted(set(_py_positions(value, m_bits, k, seed)))
+    hits = (
+        index.filter(F.col("pos").isin(want))
+        .groupBy("file")
+        .agg(F.countDistinct("pos").alias("n"))
+        .filter(F.col("n") == len(want))
+    )
+    return sorted(r["file"] for r in hits.collect())

@@ -70,16 +70,19 @@ class ManifestTable:
         with open(os.path.join(self.manifest_dir, f"v{version}.json")) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str], base_version: int | None) -> int:
+    def _commit(
+        self, files: list[str], base_version: int | None, txns: list[str] | None = None
+    ) -> int:
         """Atomically publish a new snapshot listing ``files``. Retries on
         version collision (another writer committed first) by re-targeting
         the next number — the loser's SNAPSHOT still wins the rename race
         only if its target name is free, so last-committer-wins per
         version slot and no torn state is ever visible."""
         os.makedirs(self.manifest_dir, exist_ok=True)
-        body = json.dumps(
-            {"files": sorted(files), "base_version": base_version}, indent=1
-        )
+        doc = {"files": sorted(files), "base_version": base_version}
+        if txns is not None:
+            doc["txns"] = sorted(txns)
+        body = json.dumps(doc, indent=1)
         tmp = os.path.join(self.manifest_dir, f"{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(body)
@@ -152,6 +155,33 @@ class ManifestTable:
         replaced_dirs = {os.path.dirname(f) for f in new_files}
         kept = [f for f in prev if os.path.dirname(f) not in replaced_dirs]
         return self._commit(kept + new_files, base)
+
+    def append_once(
+        self,
+        df: DataFrame,
+        txn_id: str,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Idempotent append: commit ``df`` tagged with ``txn_id``; if the
+        CURRENT snapshot already carries that txn id, do nothing and
+        return the current version. This is the exactly-once sink
+        contract for ``foreachBatch`` (which is at-least-once): pass the
+        batch_id and a re-delivered batch becomes a no-op — the same
+        txn-dedup Delta's ``txnAppId``/``txnVersion`` provides.
+
+        The txn set rides in the manifest JSON, so the check+commit window
+        is the atomic manifest rename itself: a racing duplicate loses the
+        version-slot race and its re-check sees the id."""
+        base = self.latest_version()
+        seen: list[str] = []
+        if base is not None:
+            m = self._read_manifest(base)
+            seen = m.get("txns", [])
+            if txn_id in seen:
+                return base
+        prev = self._read_manifest(base)["files"] if base is not None else []
+        files = self._write_files(df, partition_by)
+        return self._commit(prev + files, base, txns=[*seen, txn_id])
 
     def replace_files(
         self,

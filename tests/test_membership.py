@@ -260,3 +260,55 @@ def test_kmv_sketch_bounded(spark):
     sk = kmv_build(_sets_df(spark), "uid", ["g"], k=64)
     sizes = {r["g"]: r["n"] for r in sk.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sizes["a"] == 64 and sizes["b"] == 64 and sizes["c"] == 50
+
+
+# --- per-file Bloom index + idempotent append -------------------------------
+
+from ecommerce_analytics_platform_spark.operators.membership import (  # noqa: E402
+    _py_positions,
+    bloom_position_cols,
+    file_bloom_index,
+    prune_files_for_key,
+)
+
+
+def test_py_positions_match_spark_hashes(spark):
+    df = spark.createDataFrame([(v,) for v in [0, 7, 123456789]], "key long")
+    rows = df.select(
+        "key", F.array(*bloom_position_cols("key", 1 << 14, 4, 101)).alias("p")
+    ).collect()
+    for r in rows:
+        assert list(r["p"]) == _py_positions(r["key"], 1 << 14, 4, 101)
+
+
+def test_file_bloom_index_prunes_and_never_misses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(4_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 16).alias("b")
+    ).repartition(16, "b").write.parquet(path)
+    df = spark.read.parquet(path)
+    idx = file_bloom_index(df, "user_id").cache()
+    n_files = idx.select("file").distinct().count()
+    assert n_files >= 8
+    for key in (5, 1234, 3999):
+        files = prune_files_for_key(idx, key)
+        # no false negatives: reading only the pruned files finds the key
+        hit = spark.read.parquet(*[f.replace("file://", "") for f in files])
+        assert hit.filter(F.col("user_id") == key).count() == 1
+        # and it actually prunes (each key lives in exactly one bucket file)
+        assert len(files) < n_files
+    idx.unpersist()
+
+
+def test_manifest_append_once_is_idempotent(spark, tmp_path):
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    batch = spark.range(10).select(F.col("id").alias("user_id"))
+    v1 = t.append_once(batch, txn_id="batch-0")
+    v2 = t.append_once(batch, txn_id="batch-0")  # re-delivery: no-op
+    assert v1 == v2
+    assert t.read().count() == 10
+    v3 = t.append_once(batch, txn_id="batch-1")
+    assert v3 > v2
+    assert t.read().count() == 20
