@@ -3616,6 +3616,90 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average BIGRAM log-probability — the conditional-LM
+    upgrade of unigram_logprob (CCNet-style quality scoring uses n-gram
+    LMs; a bigram model is the largest that stays one shuffle + broadcast
+    in-engine). Add-1 smoothing over the corpus vocabulary:
+    p(cur|prev) = (c(prev,cur)+1) / (c(prev)+V). Same cross-engine float
+    recipe as unigram_logprob: each ln rounded to 6dp, carried as
+    DECIMAL, summed order-independently. Bigram extraction is a
+    scan-local zip of two array slices (no window/lag shuffle)."""
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id", F.transform(tokens(F.col("text")), lambda t: F.lower(t)).alias("t")
+    ).filter(F.size("t") >= 2)
+    n = F.size("t")
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("prev"), F.slice("t", 2, n - 1).alias("cur")
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.prev", "g.cur")
+    bg = grams.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("tf")).persist()
+    bigram_counts = bg.groupBy("prev", "cur").agg(F.sum("tf").alias("c_bg"))
+    # context counts = occurrences of `prev` AS a bigram context (n-1 per doc)
+    ctx_counts = bigram_counts.groupBy("prev").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab_size = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .select(F.lower("tok").alias("term"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    scored = (
+        bg.join(F.broadcast(bigram_counts), ["prev", "cur"])
+        .join(F.broadcast(ctx_counts), "prev")
+        .crossJoin(F.broadcast(vocab_size))
+        .withColumn(
+            "logp_dec",
+            F.col("tf")
+            * F.round(
+                F.log((F.col("c_bg") + 1) / (F.col("c_ctx") + F.col("v"))), 6
+            ).cast("decimal(18,6)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        (F.sum("logp_dec").cast("double") / F.sum("tf")).alias("avg_logp"),
+    )
+
+
+SQL_BIGRAM_LOGPROB = r"""
+WITH t AS (
+    SELECT doc_id,
+           list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS t
+    FROM documents WHERE trim(text) <> ''
+), grams AS (
+    SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t WHERE len(t) >= 2)
+), bg AS (
+    SELECT doc_id, prev, cur, count(*) AS tf FROM grams GROUP BY 1, 2, 3
+), bigram_counts AS (
+    SELECT prev, cur, CAST(sum(tf) AS BIGINT) AS c_bg FROM bg GROUP BY 1, 2
+), ctx_counts AS (
+    SELECT prev, CAST(sum(c_bg) AS BIGINT) AS c_ctx FROM bigram_counts GROUP BY 1
+), vocab AS (
+    SELECT count(DISTINCT lower(tok)) AS v FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    )
+), scored AS (
+    SELECT bg.doc_id, bg.tf,
+           bg.tf * CAST(round(ln((bc.c_bg + 1) / CAST(cc.c_ctx + vocab.v AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS logp_dec
+    FROM bg JOIN bigram_counts bc USING (prev, cur)
+    JOIN ctx_counts cc USING (prev)
+    CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       CAST(sum(logp_dec) AS DOUBLE) / sum(tf) AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time feature snapshot for purchase events — the
     feature-store join discipline: every feature is computed strictly from
@@ -5085,6 +5169,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "feature_snapshot": (q_feature_snapshot, SQL_FEATURE_SNAPSHOT),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "cluster_keepers": (q_cluster_keepers, _cluster_keepers_sql()),
