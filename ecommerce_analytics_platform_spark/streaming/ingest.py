@@ -113,6 +113,7 @@ def streaming_session_order_join(
     raw_orders_dir: str,
     watermark: str = "1 day",
     max_order_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream join: purchase events matched to the order
     that followed within ``max_order_delay`` on the same session.
@@ -155,7 +156,13 @@ def streaming_session_order_join(
         & (F.col("order_time") >= F.col("event_ts"))
         & (F.col("order_time") <= F.col("event_ts") + F.expr(f"INTERVAL {max_order_delay}"))
     )
-    return ev.join(od, cond, "inner").select(
+    # ``how='left_outer'``: events with NO order inside the delay window
+    # emit with null order columns — but only once the order-side watermark
+    # passes ``event_ts + max_order_delay`` (the engine must be certain no
+    # match can still arrive). The interval condition + both watermarks are
+    # exactly what Spark REQUIRES for outer stream-stream joins, because
+    # they bound how long an unmatched row may wait in state.
+    return ev.join(od, cond, how).select(
         "session_id", "event_id", "event_type", "event_ts", "order_id", "order_time"
     )
 

@@ -254,3 +254,70 @@ def test_live_stream_loop_idle_sentinel_resume(spark, tmp_path):
     assert res3["stopped_by"] == "idle"
     total = spark.read.parquet(landing).count()
     assert total == len(events1) + len(events2)  # exactly-once across stops
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, stream_lake, tmp_path):
+    """Outer stream-stream join: events with no order within the delay
+    window must emit with null order columns once the watermark passes —
+    and matched rows must equal the inner join exactly."""
+    from pyspark.sql import functions as F
+
+    # a far-future sentinel file on BOTH streams pushes every watermark
+    # past all real data, forcing state expiry so unmatched rows flush
+    import json as _json
+    import os as _os
+
+    late_ev = {
+        "event_id": "sentinel-ev", "event_time": "2030-01-01T00:00:00",
+        "session_id": "sentinel", "user_id": "u-sentinel", "event_type": "view",
+        "page": "/", "schema_version": 1,
+    }
+    late_od = {
+        "order_id": "sentinel-od", "order_time": "2030-01-01T00:00:00",
+        "session_id": "sentinel", "user_id": "u-sentinel", "items": [],
+    }
+    with open(_os.path.join(str(stream_lake / "raw"), "sentinel.json"), "w") as f:
+        f.write(_json.dumps(late_ev) + "\n")
+    with open(_os.path.join(str(stream_lake / "raw_orders"), "sentinel.json"), "w") as f:
+        f.write(_json.dumps(late_od) + "\n")
+
+    joined = streaming_session_order_join(
+        spark,
+        str(stream_lake / "raw"),
+        str(stream_lake / "raw_orders"),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ss_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sso"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_ss_outer").collect()
+    matched = {(r["event_id"], r["order_id"]) for r in rows if r["order_id"] is not None}
+    unmatched = {r["event_id"] for r in rows if r["order_id"] is None}
+    assert matched, "outer join must still produce the inner matches"
+    assert unmatched, "events without an in-window order must flush with nulls"
+    # an event either matches (≥1 order rows) or flushes as null — never both
+    assert not ({e for e, _o in matched} & unmatched)
+    # inner run over the same files equals the matched subset
+    inner = streaming_session_order_join(
+        spark, str(stream_lake / "raw"), str(stream_lake / "raw_orders")
+    )
+    q2 = (
+        inner.writeStream.format("memory")
+        .queryName("t_ss_inner_ref")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    inner_rows = {
+        (r["event_id"], r["order_id"])
+        for r in spark.sql("SELECT * FROM t_ss_inner_ref").collect()
+    }
+    assert matched == inner_rows
