@@ -4359,6 +4359,52 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection per event type — the
+    anomaly-detection twin of part_outlier_revenue's mean-based Q17 shape.
+    Mean/stddev break under the very outliers being hunted (one huge
+    value inflates σ and hides the rest); median ± 3·1.4826·MAD does not.
+    Two grouped exact percentiles (F.percentile ≙ quantile_cont) on one
+    key shuffle each + a broadcast joinback; the flag compare runs on
+    bit-identical doubles, so the outlier COUNT hash-matches exactly."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med_value")), F.lit(0.5)).alias(
+            "mad_value"
+        )
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_outlier",
+        F.abs(F.col("value") - F.col("med_value"))
+        > 3 * 1.4826 * F.col("mad_value"),
+    )
+    return flagged.groupBy("event_type", "med_value", "mad_value").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("n_outliers"),
+    )
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med_value
+    FROM events GROUP BY 1
+), mad AS (
+    SELECT e.event_type, quantile_cont(abs(e.value - m.med_value), 0.5) AS mad_value
+    FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_type, m.med_value, d.mad_value,
+       count(*) AS n,
+       sum(CASE WHEN abs(e.value - m.med_value) > 3 * 1.4826 * d.mad_value
+                THEN 1 ELSE 0 END) AS n_outliers
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+
 _STATS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 
 
@@ -5207,4 +5253,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # the salted plan's result equal the plain rollup the oracle runs
     "salted_rollup": (q_salted_rollup, SQL_SALTED_ROLLUP),
     "table_stats": (q_table_stats, _table_stats_sql()),
+    "robust_outliers": (q_robust_outliers, SQL_ROBUST_OUTLIERS),
 }
