@@ -4359,6 +4359,97 @@ FROM ranked WHERE rank <= {keep}
 """
 
 
+def q_sliding_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGED portable-HLL
+    registers — the sliding-window distinct count that exact DISTINCT
+    cannot do incrementally: daily register sets (≤2^b rows each) are
+    built ONCE, and every day's trailing window is a max-merge of 7
+    register sets (a bounded explode+groupBy), never a re-scan of 7 days
+    of raw events. Exact trailing uniques ride along (day×events range
+    join — the verification cost, not the production path) with the
+    ±15% envelope flag. The whole relation hash-matches: registers,
+    estimate, exact, and flag."""
+    from ecommerce_analytics_platform_spark.operators.membership import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    daily = hll_build(ev, "user_id", ["day"], _HLL_B, _HLL_SEED)
+    # replicate each day's registers to the 7 windows ending on day..day+6
+    windows = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("win_day"),
+        "bucket",
+        "rmax",
+    )
+    days = ev.select("day").distinct()
+    merged = (
+        windows.join(days, windows["win_day"] == days["day"])
+        .groupBy("win_day", "bucket")
+        .agg(F.max("rmax").alias("rmax"))
+    )
+    est = hll_estimate(merged, ["win_day"], _HLL_B)
+    exact = (
+        days.join(
+            ev.select(F.col("day").alias("ev_day"), "user_id"),
+            (F.col("ev_day") <= F.col("day"))
+            & (F.col("ev_day") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        est.join(exact, est["win_day"] == exact["day"])
+        .select(
+            F.col("day"),
+            "n_exact",
+            "hll_est",
+            (
+                F.abs((F.col("hll_est") - F.col("n_exact")) / F.col("n_exact")) <= 0.15
+            ).alias("err_ok"),
+        )
+    )
+
+
+def _sliding_uniques_sql() -> str:
+    from ecommerce_analytics_platform_spark.operators.membership import (
+        hll_estimate_sql,
+        hll_rho_sql,
+    )
+
+    bucket, rho = hll_rho_sql("user_id", _HLL_B, _HLL_SEED)
+    est = hll_estimate_sql("merged", ["win_day"], _HLL_B).strip()
+    return f"""
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, user_id FROM events
+), daily AS (
+    SELECT day, {bucket} AS bucket, max({rho}) AS rmax FROM ev GROUP BY 1, 2
+), days AS (
+    SELECT DISTINCT day FROM ev
+), windows AS (
+    SELECT CAST(unnest(generate_series(CAST(d.day AS TIMESTAMP),
+                       CAST(d.day AS TIMESTAMP) + INTERVAL 6 DAY,
+                       INTERVAL 1 DAY)) AS DATE) AS win_day,
+           d.bucket, d.rmax
+    FROM daily d
+), merged AS (
+    SELECT w.win_day, w.bucket, max(w.rmax) AS rmax
+    FROM windows w JOIN days ON days.day = w.win_day
+    GROUP BY 1, 2
+), est AS (
+{est}
+), exact AS (
+    SELECT days.day, count(DISTINCT e.user_id) AS n_exact
+    FROM days JOIN ev e
+      ON e.day <= days.day AND e.day >= days.day - INTERVAL 6 DAY
+    GROUP BY 1
+)
+SELECT x.day, x.n_exact, e.hll_est,
+       (abs((e.hll_est - x.n_exact) / x.n_exact) <= 0.15) AS err_ok
+FROM est e JOIN exact x ON e.win_day = x.day
+"""
+
+
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier detection per event type — the
     anomaly-detection twin of part_outlier_revenue's mean-based Q17 shape.
@@ -5254,4 +5345,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "salted_rollup": (q_salted_rollup, SQL_SALTED_ROLLUP),
     "table_stats": (q_table_stats, _table_stats_sql()),
     "robust_outliers": (q_robust_outliers, SQL_ROBUST_OUTLIERS),
+    "sliding_uniques": (q_sliding_uniques, _sliding_uniques_sql()),
 }
