@@ -4450,6 +4450,41 @@ FROM est e JOIN exact x ON e.win_day = x.day
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (mean pooling) — the class-prototype
+    representation used for nearest-centroid classification and cluster
+    seeding. Component sums ride as DECIMAL (exact double→decimal cast,
+    order-independent), so the centroid doubles are bit-identical
+    cross-engine with no rounding. One scan-local posexplode + one
+    (label, dim) shuffle; output exploded (label, dim_idx, centroid, n) —
+    hash-stable, no array-format ambiguity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim_idx", "x")
+    )
+    return comp.groupBy("label", "dim_idx").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH comp AS (
+    SELECT label, i - 1 AS dim_idx,
+           CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8)) AS x
+    FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+)
+SELECT label, dim_idx,
+       CAST(sum(x) AS DOUBLE) / count(*) AS centroid,
+       count(*) AS n
+FROM comp GROUP BY 1, 2
+"""
+
+
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier detection per event type — the
     anomaly-detection twin of part_outlier_revenue's mean-based Q17 shape.
@@ -5346,4 +5381,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "table_stats": (q_table_stats, _table_stats_sql()),
     "robust_outliers": (q_robust_outliers, SQL_ROBUST_OUTLIERS),
     "sliding_uniques": (q_sliding_uniques, _sliding_uniques_sql()),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
 }
