@@ -4485,6 +4485,69 @@ FROM comp GROUP BY 1, 2
 """
 
 
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion matrix: every embedding
+    is assigned to the closest per-label mean vector (squared L2,
+    deterministic (distance, label) tie order) and tallied against its
+    true label — the cheapest embedding-space classifier and the standard
+    probe of whether labels are linearly separable. Composition: the
+    exact centroids of ``embedding_centroids`` re-packed to arrays,
+    broadcast (5 × 64 doubles), distances as codegen'd array folds —
+    zero extra shuffle beyond the confusion-count groupBy."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = q_embedding_centroids(spark, sf_dir)
+    packed = cents.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim_idx", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cvec")
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(v, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    scored = emb.crossJoin(F.broadcast(packed.withColumnRenamed("label", "cand"))).select(
+        "vec_id", F.col("label").alias("true_label"), F.col("cand"), dist.alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cand"))
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return pred.groupBy(F.col("true_label"), F.col("cand").alias("pred_label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_NEAREST_CENTROID = """
+WITH comp AS (
+    SELECT label, i - 1 AS dim_idx,
+           CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8)) AS x
+    FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+), cents AS (
+    SELECT label, dim_idx, CAST(sum(x) AS DOUBLE) / count(*) AS centroid
+    FROM comp GROUP BY 1, 2
+), packed AS (
+    SELECT label AS cand, list(centroid ORDER BY dim_idx) AS cvec FROM cents GROUP BY 1
+), scored AS (
+    SELECT e.vec_id, e.label AS true_label, p.cand,
+           round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - p.cvec[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - p.cvec[i]))), 6) AS d
+    FROM embeddings e CROSS JOIN packed p
+), pred AS (
+    SELECT vec_id, true_label, cand,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cand ASC) AS rn
+    FROM scored
+)
+SELECT true_label, cand AS pred_label, count(*) AS n
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier detection per event type — the
     anomaly-detection twin of part_outlier_revenue's mean-based Q17 shape.
@@ -5382,4 +5445,5 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "robust_outliers": (q_robust_outliers, SQL_ROBUST_OUTLIERS),
     "sliding_uniques": (q_sliding_uniques, _sliding_uniques_sql()),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "nearest_centroid": (q_nearest_centroid, SQL_NEAREST_CENTROID),
 }
