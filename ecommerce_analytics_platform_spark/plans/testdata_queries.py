@@ -3638,8 +3638,8 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "g.prev", "g.cur")
-    bg = grams.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("tf")).persist()
-    bigram_counts = bg.groupBy("prev", "cur").agg(F.sum("tf").alias("c_bg"))
+    grams = grams.persist()
+    bigram_counts = grams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
     # context counts = occurrences of `prev` AS a bigram context (n-1 per doc)
     ctx_counts = bigram_counts.groupBy("prev").agg(F.sum("c_bg").alias("c_ctx"))
     vocab_size = (
@@ -3648,21 +3648,24 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count(F.lit(1)).alias("v"))
     )
+    # score per OCCURRENCE with broadcast count tables, then ONE doc_id
+    # shuffle of map-side-combined partials — the per-(doc,bigram) tf
+    # pre-aggregation was a second full-width shuffle for no gain
+    # (tf·round(ln p) == Σ_occurrences round(ln p) exactly).
     scored = (
-        bg.join(F.broadcast(bigram_counts), ["prev", "cur"])
+        grams.join(F.broadcast(bigram_counts), ["prev", "cur"])
         .join(F.broadcast(ctx_counts), "prev")
         .crossJoin(F.broadcast(vocab_size))
         .withColumn(
             "logp_dec",
-            F.col("tf")
-            * F.round(
+            F.round(
                 F.log((F.col("c_bg") + 1) / (F.col("c_ctx") + F.col("v"))), 6
             ).cast("decimal(18,6)"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_bigrams"),
-        (F.sum("logp_dec").cast("double") / F.sum("tf")).alias("avg_logp"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("logp_dec").cast("double") / F.count(F.lit(1))).alias("avg_logp"),
     )
 
 
