@@ -185,6 +185,28 @@ def main() -> None:
             em, "vec_id", "embedding", out_dim=8
         )
 
+        from ecommerce_analytics_platform_spark.operators.intervals import (
+            merge_intervals,
+        )
+        from ecommerce_analytics_platform_spark.operators.membership import (
+            kmv_build,
+            kmv_intersect,
+        )
+
+        yield "interval_merge", lambda: merge_intervals(
+            ev.select(
+                "user_id",
+                F.col("ts").alias("s"),
+                (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+            ),
+            ["user_id"],
+            "s",
+            "e",
+        )
+        yield "kmv_intersect", lambda: kmv_intersect(
+            kmv_build(ev, "user_id", ["event_type"], 256), "event_type", 256
+        )
+
     results: dict[str, list[float]] = {}
     for scale, (ev, dc, em, lin) in {
         1: (events, docs, emb, li),
