@@ -4453,6 +4453,102 @@ FROM est e JOIN exact x ON e.win_day = x.day
 """
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep FUNNEL as one relation: how many documents survive
+    each stage of the standard pretraining pipeline — raw → train split
+    (eval slice held out) → exact-dedup canonical → quality gate →
+    decontamination. One row per stage with a stable order key; each
+    stage's predicate is the SAME logic its standalone oracled query uses
+    (exact_dedup keep-first hash, quality_filter's composed gate,
+    decontaminate's 4-gram collision), so this is the end-to-end
+    composition proof on top of the per-stage proofs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    h = portable_hash60(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    canon = train.withColumn(
+        "is_canon",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(h)),
+    ).select("doc_id", "is_canon")
+    quality = q_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    contam = q_decontaminate(spark, sf_dir).select("doc_id").withColumn(
+        "is_contam", F.lit(True)
+    )
+    flags = (
+        train.select("doc_id")
+        .join(canon, "doc_id")
+        .join(quality, "doc_id")
+        .join(contam, "doc_id", "left")
+        .withColumn("is_contam", F.coalesce("is_contam", F.lit(False)))
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(F.col("is_canon"), 1).otherwise(0)).alias("n_unique"),
+        F.sum(F.when(F.col("is_canon") & F.col("keep"), 1).otherwise(0)).alias(
+            "n_quality"
+        ),
+        F.sum(
+            F.when(F.col("is_canon") & F.col("keep") & ~F.col("is_contam"), 1).otherwise(0)
+        ).alias("n_final"),
+    ).crossJoin(docs.agg(F.count(F.lit(1)).alias("n_raw")))
+    return agg.select(
+        F.expr(
+            "stack(5, 'raw', 0, n_raw, 'train_split', 1, n_train, "
+            "'exact_unique', 2, n_unique, 'quality_pass', 3, n_quality, "
+            "'decontaminated', 4, n_final) AS (stage, stage_order, n)"
+        )
+    )
+
+
+def _corpus_funnel_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in ["the", "and", "of", "to", "is"])
+    return rf"""
+WITH train AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+), canon AS (
+    SELECT doc_id,
+           doc_id = min(doc_id) OVER (
+               PARTITION BY ('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15))::BIGINT
+           ) AS is_canon
+    FROM train
+), tokd AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\s+') END AS toks,
+           ({_SHINGLES_SQL}) AS sh
+    FROM documents
+), quality AS (
+    SELECT doc_id,
+           (CASE WHEN len(toks) < 10 THEN 'too_short'
+                 WHEN len(toks) > 5000 THEN 'too_long'
+                 WHEN round((len(sh) - len(list_distinct(sh))) / greatest(len(sh), 1), 6) > 0.3 THEN 'repetitive'
+                 WHEN round(len(list_filter(toks, w -> lower(w) IN ({stop_list})))
+                      / greatest(len(toks), 1), 6) < 0.01 THEN 'low_stopword'
+                 ELSE 'pass' END) = 'pass' AS keep
+    FROM tokd
+), w AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM documents WHERE trim(text) <> ''
+), g AS (
+    SELECT doc_id, unnest({_grams_sql(4)}) AS gram FROM w
+), contam AS (
+    SELECT DISTINCT tg.doc_id
+    FROM (SELECT doc_id, gram FROM g WHERE doc_id % 13 <> 0) tg
+    JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0) eg USING (gram)
+), flags AS (
+    SELECT t.doc_id, c.is_canon, q.keep, (x.doc_id IS NOT NULL) AS is_contam
+    FROM train t
+    JOIN canon c USING (doc_id)
+    JOIN quality q USING (doc_id)
+    LEFT JOIN contam x USING (doc_id)
+)
+SELECT 'raw' AS stage, 0 AS stage_order, (SELECT count(*) FROM documents) AS n
+UNION ALL SELECT 'train_split', 1, count(*) FROM flags
+UNION ALL SELECT 'exact_unique', 2, CAST(sum(CASE WHEN is_canon THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+UNION ALL SELECT 'quality_pass', 3, CAST(sum(CASE WHEN is_canon AND keep THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+UNION ALL SELECT 'decontaminated', 4,
+          CAST(sum(CASE WHEN is_canon AND keep AND NOT is_contam THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid (mean pooling) — the class-prototype
     representation used for nearest-centroid classification and cluster
@@ -5449,4 +5545,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "sliding_uniques": (q_sliding_uniques, _sliding_uniques_sql()),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "nearest_centroid": (q_nearest_centroid, SQL_NEAREST_CENTROID),
+    # composition proof: each stage reuses the SAME predicate its
+    # standalone oracled query verifies
+    "corpus_funnel": (q_corpus_funnel, _corpus_funnel_sql()),
 }
