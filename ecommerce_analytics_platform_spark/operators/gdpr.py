@@ -75,8 +75,11 @@ def forget(
     kept = touched.join(kdf, key_col, "left_anti").drop("__file")
     n_after = kept.count()
 
-    # new version = untouched files by reference + rewritten replacements
-    version = table.replace_files(files, kept)
+    # new version = untouched files by reference + rewritten replacements;
+    # rewrites land back in their hive partition dirs (ADVICE r4: a
+    # root-level rewrite on a partitioned table corrupts partition
+    # discovery / loses pruning)
+    version = table.replace_files(files, kept, partition_by=table.partition_columns() or None)
     if vacuum:
         table.vacuum(keep_versions=1)
     return {
@@ -132,5 +135,7 @@ def compact(
     df = spark.read.option("basePath", table.path).parquet(*paths)
     total = sum(os.path.getsize(p) for p in paths)
     n_out = max(1, -(-total // target_bytes))
-    version = table.replace_files(small, df.coalesce(n_out))
+    version = table.replace_files(
+        small, df.coalesce(n_out), partition_by=table.partition_columns() or None
+    )
     return {"files_in": len(small), "files_out": n_out, "version": version}

@@ -146,15 +146,30 @@ def cms_lookup(
     One explode (d rows per key) + a broadcast join against the ≤ d·w-row
     sketch + a min re-agg on the key — never a shuffle of the sketch.
     Guarantee: est ≥ true count (never under), est ≤ true + εN with
-    ε = e/width at the usual confidence."""
+    ε = e/width at the usual confidence.
+
+    Row contract (ADVICE r4): output has one row per DISTINCT input row —
+    the probe re-agg groups by all of ``keys``' columns, so exact
+    duplicates collapse; tag rows with ``monotonically_increasing_id``
+    first if duplicate cardinality must be preserved. Internal probe
+    columns are ``__cms``-prefixed so caller columns can't collide."""
+    if any(c in keys.columns for c in ("__cms_row", "__cms_col", "__cms_cnt")):
+        raise ValueError("keys must not contain __cms_* columns")
+    sk = sketch.select(
+        F.col("row_idx").alias("__cms_row"),
+        F.col("col_idx").alias("__cms_col"),
+        F.col("cnt").alias("__cms_cnt"),
+    )
     probes = keys.select(
         "*", F.explode(F.array(*cms_cell_cols(col, width, depth, seed))).alias("__c")
-    ).select("*", "__c.row_idx", "__c.col_idx").drop("__c")
-    joined = probes.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left").withColumn(
-        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    ).select(
+        "*", F.col("__c.row_idx").alias("__cms_row"), F.col("__c.col_idx").alias("__cms_col")
+    ).drop("__c")
+    joined = probes.join(F.broadcast(sk), ["__cms_row", "__cms_col"], "left").withColumn(
+        "__cms_cnt", F.coalesce(F.col("__cms_cnt"), F.lit(0))
     )
     others = [c for c in keys.columns]
-    return joined.groupBy(*others).agg(F.min("cnt").alias(out_col))
+    return joined.groupBy(*others).agg(F.min("__cms_cnt").alias(out_col))
 
 
 def cms_cell_sql(expr: str, width: int, i: int, seed: int) -> str:

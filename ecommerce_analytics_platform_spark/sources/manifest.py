@@ -14,8 +14,17 @@ minimal transaction-log core those formats are built on:
 - A commit is ONE atomic rename: ``_manifests/<uuid>.tmp`` →
   ``_manifests/v{N}.json``. ``os.rename`` is atomic on POSIX, so a reader
   either sees v{N-1} or v{N}, never a mix. Version conflicts (two writers
-  racing to the same N) surface as rename-target-exists → retry with the
-  next version (optimistic concurrency, single-writer-wins per version).
+  racing to the same N) surface as link-target-exists, and the loser
+  REBASES: it re-reads the new latest manifest and recomputes its snapshot
+  against it (commutative commits — appends, disjoint-partition replaces —
+  land on retry; overlapping replaces raise
+  :class:`ConcurrentWriteConflict`). This is Delta/Iceberg-style optimistic
+  concurrency with commit-time conflict classes; a concurrent writer's
+  files are never silently dropped (the round-4 lost-update hazard).
+- The committed txn-id set is carried forward on EVERY commit class, so
+  ``append_once`` idempotency survives interleaved compaction / erasure /
+  merge commits (Delta keeps ``txnAppId`` versions across all commits the
+  same way).
 - Readers resolve the highest committed version once, then read ONLY the
   files it lists — concurrent commits cannot change a pinned snapshot,
   and crashed writers leave orphan data files that no manifest references
@@ -40,6 +49,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Two writers raced and their commits do NOT commute (overlapping
+    partition replaces, a file-surgical rewrite of files another commit
+    already rewrote/removed). The table state is still a valid snapshot —
+    the losing commit simply never happened; the caller re-reads and
+    re-derives."""
 
 
 class ManifestTable:
@@ -70,32 +87,64 @@ class ManifestTable:
         with open(os.path.join(self.manifest_dir, f"v{version}.json")) as f:
             return json.load(f)
 
-    def _commit(
-        self, files: list[str], base_version: int | None, txns: list[str] | None = None
-    ) -> int:
-        """Atomically publish a new snapshot listing ``files``. Retries on
-        version collision (another writer committed first) by re-targeting
-        the next number — the loser's SNAPSHOT still wins the rename race
-        only if its target name is free, so last-committer-wins per
-        version slot and no torn state is ever visible."""
+    def _publish(self, apply_fn) -> int:
+        """Optimistic-concurrency commit loop.
+
+        ``apply_fn(base_version, base_manifest | None) -> (files, txns)``
+        recomputes the new snapshot AGAINST THE CURRENT BASE on every
+        attempt (return ``None`` for an idempotent no-op). Losing the
+        version-slot race triggers a REBASE — re-read the new latest,
+        re-apply — never a blind retry of a stale snapshot, so a
+        concurrent writer's committed files survive. ``apply_fn`` raises
+        :class:`ConcurrentWriteConflict` when its preconditions no longer
+        hold on the new base (non-commuting commits abort cleanly; the
+        published chain is always a valid snapshot)."""
         os.makedirs(self.manifest_dir, exist_ok=True)
-        doc = {"files": sorted(files), "base_version": base_version}
-        if txns is not None:
-            doc["txns"] = sorted(txns)
-        body = json.dumps(doc, indent=1)
-        tmp = os.path.join(self.manifest_dir, f"{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            f.write(body)
-        version = (self.latest_version() or 0) + 1
         while True:
-            target = os.path.join(self.manifest_dir, f"v{version}.json")
+            base = self.latest_version()
+            m = self._read_manifest(base) if base is not None else None
+            res = apply_fn(base, m)
+            if res is None:
+                return base
+            files, txns = res
+            doc = {
+                "files": sorted(files),
+                "base_version": base,
+                "txns": sorted(set(txns)),
+            }
+            tmp = os.path.join(self.manifest_dir, f"{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                f.write(json.dumps(doc, indent=1))
+            target = os.path.join(self.manifest_dir, f"v{(base or 0) + 1}.json")
             try:
-                # atomic publish; fails if a concurrent writer took the slot
+                # atomic publish; fails iff a concurrent writer took the slot
                 os.link(tmp, target)
                 os.unlink(tmp)
-                return version
+                return (base or 0) + 1
             except FileExistsError:
-                version += 1
+                os.unlink(tmp)  # lost the race → rebase on the new latest
+
+    def _touched_since(self, since: int | None, until: int | None) -> set[str]:
+        """Partition dirs (or '' for root files) added/removed by commits
+        in ``(since, until]`` — the concurrency footprint used to decide
+        whether a partition-replace commutes with intervening commits. A
+        vacuumed (missing) intervening manifest is reported as touching
+        everything (conservative abort)."""
+        if until is None or since == until:
+            return set()
+        touched: set[str] = set()
+        try:
+            prev = set(self._read_manifest(since)["files"]) if since is not None else set()
+        except FileNotFoundError:
+            return {"*"}
+        for v in range((since or 0) + 1, until + 1):
+            try:
+                cur = set(self._read_manifest(v)["files"])
+            except FileNotFoundError:
+                return {"*"}
+            touched |= {os.path.dirname(f) for f in cur ^ prev}
+            prev = cur
+        return touched
 
     # -- data files --------------------------------------------------------
 
@@ -128,33 +177,70 @@ class ManifestTable:
 
     # -- public API --------------------------------------------------------
 
+    @staticmethod
+    def _base_txns(m: dict | None) -> list[str]:
+        return list(m.get("txns", [])) if m else []
+
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Full snapshot replace: new files + manifest listing only them.
-        Old files stay on disk for readers pinned to old versions
-        (time travel) until ``vacuum``."""
+        Last-writer-wins BY DEFINITION (an overwrite means "the table is
+        now exactly this"); the txn-id set still carries forward so
+        ``append_once`` idempotency survives. Old files stay on disk for
+        readers pinned to old versions (time travel) until ``vacuum``."""
         files = self._write_files(df, partition_by)
-        return self._commit(files, self.latest_version())
+        return self._publish(lambda _base, m: (files, self._base_txns(m)))
 
     def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        base = self.latest_version()
-        prev = self._read_manifest(base)["files"] if base else []
+        """Blind append — commutes with every other commit class: a lost
+        version race rebases onto the winner's file list."""
         files = self._write_files(df, partition_by)
-        return self._commit(prev + files, base)
+        return self._publish(
+            lambda _base, m: ((m["files"] if m else []) + files, self._base_txns(m))
+        )
 
     def replace_partitions(
-        self, df: DataFrame, partition_by: list[str]
+        self, df: DataFrame, partition_by: list[str], txn_id: str | None = None
     ) -> int:
         """replaceWhere-style commit: partitions present in ``df`` are
         replaced, all other files carry over UNTOUCHED — and because the
         swap is a manifest pointer flip, a concurrent reader of the old
         snapshot keeps a complete consistent table throughout (the gap the
-        dir-swap merge in operators/incremental.py cannot close)."""
-        base = self.latest_version()
-        prev = self._read_manifest(base)["files"] if base else []
-        new_files = self._write_files(df, partition_by)
-        replaced_dirs = {os.path.dirname(f) for f in new_files}
-        kept = [f for f in prev if os.path.dirname(f) not in replaced_dirs]
-        return self._commit(kept + new_files, base)
+        dir-swap merge in operators/incremental.py cannot close).
+
+        Concurrency class: commutes with intervening commits iff they did
+        not touch the replaced partition dirs (disjoint-partition writers
+        both land, in either order); an overlap raises
+        :class:`ConcurrentWriteConflict` — the df was derived from a
+        snapshot another writer has since replaced.
+
+        ``txn_id`` (optional) makes the replace exactly-once like
+        :meth:`append_once` — a re-delivered foreachBatch re-replace of
+        the same partitions is a no-op (Delta's ``txnAppId`` generalizes
+        across commit classes the same way)."""
+        expected_base = self.latest_version()
+        staged: list[list[str]] = []
+
+        def apply(base, m):
+            if txn_id is not None and m and txn_id in m.get("txns", []):
+                return None  # duplicate delivery → idempotent no-op
+            if not staged:  # write data files once, on first need
+                staged.append(self._write_files(df, partition_by))
+            new_files = staged[0]
+            replaced_dirs = {os.path.dirname(f) for f in new_files}
+            touched = self._touched_since(expected_base, base)
+            if "*" in touched or touched & replaced_dirs:
+                raise ConcurrentWriteConflict(
+                    f"partitions {sorted(touched & replaced_dirs) or '(unknown)'} "
+                    f"were modified by a concurrent commit "
+                    f"(base v{expected_base} -> v{base})"
+                )
+            kept = [f for f in (m["files"] if m else []) if os.path.dirname(f) not in replaced_dirs]
+            txns = self._base_txns(m)
+            if txn_id is not None:
+                txns.append(txn_id)
+            return kept + new_files, txns
+
+        return self._publish(apply)
 
     def append_once(
         self,
@@ -169,19 +255,21 @@ class ManifestTable:
         batch_id and a re-delivered batch becomes a no-op — the same
         txn-dedup Delta's ``txnAppId``/``txnVersion`` provides.
 
-        The txn set rides in the manifest JSON, so the check+commit window
-        is the atomic manifest rename itself: a racing duplicate loses the
-        version-slot race and its re-check sees the id."""
-        base = self.latest_version()
-        seen: list[str] = []
-        if base is not None:
-            m = self._read_manifest(base)
-            seen = m.get("txns", [])
-            if txn_id in seen:
-                return base
-        prev = self._read_manifest(base)["files"] if base is not None else []
-        files = self._write_files(df, partition_by)
-        return self._commit(prev + files, base, txns=[*seen, txn_id])
+        The txn check runs INSIDE the publish loop, against whatever base
+        each attempt sees: a racing duplicate loses the version-slot race,
+        rebases, re-checks, and finds the id already committed → no-op.
+        (The files it staged become unreferenced orphans; ``vacuum``
+        reclaims them.)"""
+        staged: list[list[str]] = []
+
+        def apply(base, m):
+            if m and txn_id in m.get("txns", []):
+                return None  # duplicate delivery → idempotent no-op
+            if not staged:  # write data files once, on first need
+                staged.append(self._write_files(df, partition_by))
+            return (m["files"] if m else []) + staged[0], [*self._base_txns(m), txn_id]
+
+        return self._publish(apply)
 
     def replace_files(
         self,
@@ -193,18 +281,48 @@ class ManifestTable:
         table-relative paths) from the snapshot and add ``df``'s files;
         every other file carries over BY REFERENCE. This is the erasure /
         compaction primitive — rewrite cost is bounded by the files
-        actually touched, never table size (operators/gdpr.py)."""
-        base = self.latest_version()
-        prev = self._read_manifest(base)["files"] if base is not None else []
+        actually touched, never table size (operators/gdpr.py).
+
+        Concurrency class: commutes with commits that leave ``remove``
+        alone (appends, other-file rewrites); if a concurrent commit
+        already removed/rewrote any of them, this rewrite's input was
+        stale → :class:`ConcurrentWriteConflict`."""
         rel_remove = {
             os.path.relpath(p, self.path) if os.path.isabs(p) else p for p in remove
         }
-        unknown = rel_remove - set(prev)
-        if unknown:
-            raise ValueError(f"not in current snapshot: {sorted(unknown)[:3]}")
-        kept = [f for f in prev if f not in rel_remove]
         new_files = self._write_files(df, partition_by)
-        return self._commit(kept + new_files, base)
+
+        def apply(base, m):
+            prev = m["files"] if m else []
+            unknown = rel_remove - set(prev)
+            if unknown:
+                raise ConcurrentWriteConflict(
+                    f"not in current snapshot (rewritten or removed by a "
+                    f"concurrent commit?): {sorted(unknown)[:3]}"
+                )
+            kept = [f for f in prev if f not in rel_remove]
+            return kept + new_files, self._base_txns(m)
+
+        return self._publish(apply)
+
+    def partition_columns(self, version: int | None = None) -> list[str]:
+        """Partition columns inferred from the hive-style ``col=value/``
+        components of the snapshot's file paths (the manifest stores
+        relative paths, so layout is self-describing). Used by erasure /
+        compaction (operators/gdpr.py) to rewrite files back INTO their
+        partition dirs instead of dumping them at the table root."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            return []
+        for f in self._read_manifest(v)["files"]:
+            parts = [
+                c.split("=", 1)[0]
+                for c in f.split(os.sep)[:-1]
+                if "=" in c and not c.startswith("_")
+            ]
+            if parts:
+                return parts
+        return []
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, read exactly its
@@ -226,15 +344,26 @@ class ManifestTable:
         new_batch: DataFrame,
         unique_key: list[str],
         partition_by: list[str],
+        txn_id: str | None = None,
     ) -> int:
         """The incremental contract on the manifest log: read ONLY the
         affected partitions of the current snapshot, anti-join on the key,
         union the batch, commit via :meth:`replace_partitions`. Readers of
         the pre-merge snapshot are never disturbed; the partition-stable
-        key contract matches operators/incremental.py."""
+        key contract matches operators/incremental.py. ``txn_id`` gives
+        foreachBatch exactly-once (duplicate delivery → no-op)."""
+        if txn_id is not None:
+            base = self.latest_version()
+            if base is not None and txn_id in self._read_manifest(base).get("txns", []):
+                return base
         if self.latest_version() is None:
             files = self._write_files(new_batch, partition_by)
-            return self._commit(files, None)
+            return self._publish(
+                lambda _base, m: (
+                    (m["files"] if m else []) + files,
+                    self._base_txns(m) + ([txn_id] if txn_id else []),
+                )
+            )
         part_vals = new_batch.select(*partition_by).distinct().collect()
         if not part_vals:
             return self.latest_version()
@@ -255,7 +384,7 @@ class ManifestTable:
         keys = new_batch.select(*unique_key).distinct()
         kept = affected.join(F.broadcast(keys), on=unique_key, how="left_anti")
         merged = kept.select(*new_batch.columns).unionByName(new_batch)
-        return self.replace_partitions(merged, partition_by)
+        return self.replace_partitions(merged, partition_by, txn_id=txn_id)
 
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data files unreferenced by the newest ``keep_versions``

@@ -72,14 +72,22 @@ class ClickstreamBatchReader(DataSourceReader):
         self.allowed_types: set[str] | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Absorb event_type equality/IN; everything else stays Spark-side."""
+        """Absorb event_type equality/IN; everything else stays Spark-side.
+
+        Multiple absorbed conjuncts INTERSECT (ADVICE r4: overwriting
+        ``allowed_types`` on the second conjunct of
+        ``event_type = 'a' AND event_type IN ('a','b')`` would drop the
+        first constraint while Spark removes its own Filter — wrongly
+        returning rows matching only the last predicate)."""
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("event_type",):
-                self.allowed_types = {f.value}
+                s = {f.value}
             elif isinstance(f, In) and f.attribute == ("event_type",):
-                self.allowed_types = set(f.values)
+                s = set(f.values)
             else:
                 yield f
+                continue
+            self.allowed_types = s if self.allowed_types is None else self.allowed_types & s
 
     def partitions(self) -> Sequence[InputPartition]:
         per = -(-self.n_events // self.n_shards)

@@ -109,3 +109,46 @@ def test_compact_carries_large_files_by_reference(spark, tmp_path):
     assert big <= after  # untouched, carried by reference
     assert report["files_in"] == len(files) - len(big)
     assert t.read().count() == 100
+
+
+def test_forget_preserves_hive_partition_layout(spark, tmp_path):
+    """ADVICE r4: on a hive-partitioned manifest table, forget() must
+    rewrite files back INTO their col=value/ dirs — not dump them at the
+    table root (which corrupts partition discovery and loses pruning)."""
+    df = spark.range(300).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 3).alias("day"),
+        F.concat(F.lit("p-"), F.col("id")).alias("payload"),
+    )
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(df, partition_by=["day"])
+    assert t.partition_columns() == ["day"]
+
+    report = forget(spark, t, "user_id", _keys(spark, [7, 8, 9]), vacuum=False)
+    assert report["rows_deleted"] == 3
+    files = t._read_manifest(t.latest_version())["files"]
+    # every snapshot file (carried + rewritten) still lives under day=N/
+    assert all(f.split(os.sep)[0].startswith("day=") for f in files), files
+    out = t.read()
+    # partition column still parsed + prunable; data intact minus victims
+    assert out.filter("day = 1").count() == 100 - 1  # victim 7 ≡ 1 (mod 3)
+    assert out.count() == 297
+    assert set(out.columns) == {"user_id", "day", "payload"}
+
+
+def test_compact_preserves_hive_partition_layout(spark, tmp_path):
+    from ecommerce_analytics_platform_spark.operators.gdpr import compact
+
+    df = spark.range(400).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 2).alias("day"),
+        F.concat(F.lit("p-"), F.col("id")).alias("payload"),
+    ).repartition(6)
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(df, partition_by=["day"])
+    report = compact(spark, t)
+    assert report["files_in"] >= 2
+    files = t._read_manifest(t.latest_version())["files"]
+    assert all(f.split(os.sep)[0].startswith("day=") for f in files), files
+    assert t.read().count() == 400
+    assert t.read().filter("day = 0").count() == 200

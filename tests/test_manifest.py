@@ -73,21 +73,136 @@ def test_merge_replaces_only_touched_partitions(spark, tmp_path):
     assert t.read().count() == 31
 
 
-def test_commit_collision_retries_to_next_version(spark, tmp_path, monkeypatch):
-    """Two writers race: one holds a stale view of the log and targets a
-    version another writer already committed — the atomic link fails and
-    the commit retries into the next free slot, never overwriting."""
-    t = ManifestTable(spark, str(tmp_path / "t"))
-    t.overwrite(spark.createDataFrame([(1, "a")], ["k", "v"]))
-    # a concurrent writer commits v2 while our writer still believes v1
-    other = json.load(open(os.path.join(t.manifest_dir, "v1.json")))
-    with open(os.path.join(t.manifest_dir, "v2.json"), "w") as f:
-        json.dump({"files": other["files"], "base_version": 1}, f)
-    monkeypatch.setattr(t, "latest_version", lambda: 1)  # stale log view
-    v = t._commit(other["files"], 1)
-    assert v == 3  # v2 was taken; retried forward
-    assert json.load(open(os.path.join(t.manifest_dir, "v2.json")))["files"] == other["files"]
-    assert _rows(t.read(version=3)) == {("1", "a")}
+class _RacyTable(ManifestTable):
+    """Deterministic race harness: fires ``rival()`` (a commit through a
+    SEPARATE ManifestTable on the same path) immediately after this
+    writer reads its base version inside ``_publish`` — so this writer's
+    first link attempt targets a version slot the rival just took,
+    exercising the collision → rebase path."""
+
+    def __init__(self, spark, path, rival):
+        super().__init__(spark, path)
+        self._rival = rival
+        self._fired = False
+
+    def latest_version(self):
+        v = super().latest_version()
+        if not self._fired and self._rival is not None:
+            self._fired = True
+            self._rival()
+        return v  # stale: the rival has committed past this
+
+
+def test_concurrent_append_rebase_keeps_both(spark, tmp_path):
+    """VERDICT r5 directive + ADVICE r4 (lost update): a writer that
+    loses the version race must REBASE onto the winner's snapshot — both
+    appends' files land, nobody's rows are dropped."""
+    path = str(tmp_path / "t")
+    ManifestTable(spark, path).overwrite(spark.createDataFrame([(0, "base")], ["k", "v"]))
+    rival = ManifestTable(spark, path)
+    t = _RacyTable(
+        spark, path, lambda: rival.append(spark.createDataFrame([(1, "rival")], ["k", "v"]))
+    )
+    v = t.append(spark.createDataFrame([(2, "loser")], ["k", "v"]))
+    assert v == 3  # rebased past the rival's v2
+    assert _rows(ManifestTable(spark, path).read()) == {
+        ("0", "base"), ("1", "rival"), ("2", "loser"),
+    }
+
+
+def test_concurrent_disjoint_partition_replaces_commute(spark, tmp_path):
+    """Two writers replacing DIFFERENT partitions both land (commuting
+    commit classes, Delta-style)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "d1", "old"), (2, "d2", "old"), (3, "d3", "old")], ["k", "d", "v"]
+    )
+    ManifestTable(spark, path).overwrite(base, partition_by=["d"])
+    rival = ManifestTable(spark, path)
+    t = _RacyTable(
+        spark, path,
+        lambda: rival.replace_partitions(
+            spark.createDataFrame([(2, "d2", "RIVAL")], ["k", "d", "v"]), ["d"]
+        ),
+    )
+    t.replace_partitions(spark.createDataFrame([(3, "d3", "LOSER")], ["k", "d", "v"]), ["d"])
+    got = _rows(ManifestTable(spark, path).read().select("k", "d", "v"))
+    assert got == {("1", "d1", "old"), ("2", "d2", "RIVAL"), ("3", "d3", "LOSER")}
+
+
+def test_concurrent_overlapping_replace_aborts_cleanly(spark, tmp_path):
+    """Two writers replacing the SAME partition: the loser aborts with
+    ConcurrentWriteConflict and the table remains the winner's valid
+    snapshot (no torn state, no silent last-write-wins)."""
+    from ecommerce_analytics_platform_spark.sources.manifest import ConcurrentWriteConflict
+
+    path = str(tmp_path / "t")
+    ManifestTable(spark, path).overwrite(
+        spark.createDataFrame([(1, "d1", "old"), (2, "d2", "old")], ["k", "d", "v"]),
+        partition_by=["d"],
+    )
+    rival = ManifestTable(spark, path)
+    t = _RacyTable(
+        spark, path,
+        lambda: rival.replace_partitions(
+            spark.createDataFrame([(2, "d2", "RIVAL")], ["k", "d", "v"]), ["d"]
+        ),
+    )
+    with pytest.raises(ConcurrentWriteConflict):
+        t.replace_partitions(spark.createDataFrame([(9, "d2", "LOSER")], ["k", "d", "v"]), ["d"])
+    got = _rows(ManifestTable(spark, path).read().select("k", "d", "v"))
+    assert got == {("1", "d1", "old"), ("2", "d2", "RIVAL")}
+
+
+def test_append_once_duplicate_race_noops(spark, tmp_path):
+    """A racing duplicate of the same txn_id loses the version slot,
+    rebases, re-checks the txn set on the NEW base, and no-ops — the
+    exactly-once guarantee the r4 docstring claimed but didn't implement."""
+    path = str(tmp_path / "t")
+    ManifestTable(spark, path).overwrite(spark.createDataFrame([(0, "base")], ["k", "v"]))
+    batch = spark.createDataFrame([(1, "batch7")], ["k", "v"])
+    rival = ManifestTable(spark, path)
+    t = _RacyTable(spark, path, lambda: rival.append_once(batch, txn_id="batch-7"))
+    v = t.append_once(batch, txn_id="batch-7")
+    assert v == 2  # the rival's commit; ours became a no-op
+    assert ManifestTable(spark, path).read().filter("v = 'batch7'").count() == 1
+
+
+def test_append_once_idempotency_survives_maintenance_commits(spark, tmp_path):
+    """ADVICE r4: the txn set must ride through EVERY commit class —
+    after a compaction-style replace_files and an overwrite, a
+    re-delivered txn_id is still deduped."""
+    path = str(tmp_path / "t")
+    t = ManifestTable(spark, path)
+    t.overwrite(spark.createDataFrame([(0, "base")], ["k", "v"]))
+    batch = spark.createDataFrame([(1, "batch7")], ["k", "v"])
+    t.append_once(batch, txn_id="batch-7")
+    # maintenance: rewrite every current file (compaction)
+    files = t._read_manifest(t.latest_version())["files"]
+    t.replace_files(files, t.read())
+    v = t.append_once(batch, txn_id="batch-7")  # re-delivery
+    assert v == t.latest_version()
+    assert t.read().filter("v = 'batch7'").count() == 1
+    # and through a full overwrite too
+    t.overwrite(t.read())
+    t.append_once(batch, txn_id="batch-7")
+    assert t.read().filter("v = 'batch7'").count() == 1
+
+
+def test_replace_files_conflict_when_input_rewritten(spark, tmp_path):
+    """File-surgical rewrite whose input files were concurrently
+    rewritten must abort (its filtered output was derived from stale
+    bytes), not resurrect them."""
+    from ecommerce_analytics_platform_spark.sources.manifest import ConcurrentWriteConflict
+
+    path = str(tmp_path / "t")
+    t0 = ManifestTable(spark, path)
+    t0.overwrite(spark.createDataFrame([(i, "x") for i in range(4)], ["k", "v"]))
+    files = t0._read_manifest(t0.latest_version())["files"]
+    rival = ManifestTable(spark, path)
+    t = _RacyTable(spark, path, lambda: rival.replace_files(files, rival.read().filter("k < 2")))
+    with pytest.raises(ConcurrentWriteConflict):
+        t.replace_files(files, t0.read(version=1).filter("k >= 2"))
 
 
 def test_vacuum_keeps_live_versions(spark, tmp_path):
