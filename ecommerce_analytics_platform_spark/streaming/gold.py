@@ -1,0 +1,243 @@
+"""Streaming gold: one micro-batch loop drives the four metrics marts.
+
+Extends ``continuous_pipeline.start_continuous_silver`` (bronze append +
+silver merge) all the way to the reference's gold layer (SURVEY §3.3:
+metrics_daily_kpis / metrics_daily_funnel / metrics_user_lifecycle /
+metrics_product_performance_daily — dbt_project/models/marts/metrics/*.sql)
+— maintained continuously, exactly-once, on :class:`ManifestTable` commits.
+
+Design (the 100 TB shape):
+
+- **Partition-pruned recompute, not full rebuild.** A micro-batch touches
+  a bounded set of sessions → a bounded set of event dates and users. Each
+  date-keyed metric is recomputed ONLY for those dates from the merged
+  silver state (filters reach the scans) and swapped in with
+  ``replace_partitions`` — cost ∝ batch footprint, never table size.
+- **Affected-date closure**: late events can move a session's start date
+  earlier, so the recompute set is every event date of every TOUCHED
+  session's full history (old date ⊆ that set because delete+insert by
+  event_id never removes a session's other events), plus any
+  never-materialized candidate dates (calendar gap rows for daily_kpis,
+  order dates for product performance) so zero-activity rows converge too.
+- **Key-partitioned user metric**: metrics_user_lifecycle is user-keyed —
+  rows land via ``merge_delete_insert`` on a hash-bucket partition
+  (``pmod(hash(user_id), n)``; partition-stable per key, so the merge
+  rewrites only buckets containing touched users).
+- **Exactly-once**: every gold commit carries ``txn_id=f"{table}-{batch_id}"``
+  — the ManifestTable txn set (carried across ALL commit classes) makes a
+  re-delivered foreachBatch a no-op, the same guarantee Delta's
+  ``txnAppId``/``txnVersion`` provides. The silver merge underneath is
+  idempotent by unique key, so replayed batches converge state-identically.
+- **Orders are batch-side**: the reference ingests orders in batch
+  (batch_ingest.py) while clickstream streams; gold joins the CURRENT
+  ``staging.stg_orders`` each micro-batch. Re-running the loop after an
+  orders reload brings order-derived columns current.
+
+One code path: the gold builders ARE ``plans/models.py``'s — streaming vs
+batch differ only in the slice of input they see, so convergence to the
+batch truth is by construction (asserted in tests/test_gold_stream.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ecommerce_analytics_platform_spark.operators.incremental import merge_delete_insert
+from ecommerce_analytics_platform_spark.plans import models as M
+from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+from ecommerce_analytics_platform_spark.sources.ndjson import enrich_clickstream
+from ecommerce_analytics_platform_spark.sources.warehouse import Warehouse
+from ecommerce_analytics_platform_spark.streaming.ingest import read_clickstream_stream
+
+GOLD_TABLES = (
+    "metrics_daily_kpis",
+    "metrics_daily_funnel",
+    "metrics_user_lifecycle",
+    "metrics_product_performance_daily",
+)
+
+
+def _existing_dates(t: ManifestTable) -> DataFrame | None:
+    """Distinct materialized dates of a date-partitioned gold table, or
+    None when the table has no snapshot yet. Reads partition values only
+    (manifest-listed paths → partition-column scan, no data IO)."""
+    if t.latest_version() is None:
+        return None
+    return t.read().select("date").distinct()
+
+
+def _never_materialized(candidates: DataFrame, t: ManifestTable) -> DataFrame:
+    """candidate ``date`` rows absent from the gold table — the
+    zero-activity rows (calendar gaps / event-less order dates) that an
+    affected-dates-only recompute would otherwise never create."""
+    existing = _existing_dates(t)
+    if existing is None:
+        return candidates
+    return candidates.join(existing, "date", "left_anti")
+
+
+def start_continuous_gold(
+    spark: SparkSession,
+    raw_dir: str,
+    warehouse_root: str,
+    gold_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    n_user_buckets: int = 16,
+) -> StreamingQuery:
+    """Clickstream NDJSON stream → per micro-batch: bronze append, silver
+    merges (events + sessions), then partition-pruned recompute + commit
+    of the four metrics marts under ``gold_root``.
+
+    Requires ``staging.stg_orders`` to exist in the warehouse when
+    order-derived metrics should be non-zero (load it with the batch
+    pipeline first); a missing orders staging yields order-less gold.
+    """
+    wh = Warehouse(spark, warehouse_root)
+
+    def gold(name: str) -> ManifestTable:
+        return ManifestTable(spark, os.path.join(gold_root, name))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # -- bronze + silver events (same contract as start_continuous_silver)
+        landed = enrich_clickstream(batch_df, batch_id=batch_id)
+        wh.append(landed, "bronze.clickstream", partition_by=["ingest_date"])
+        silver_batch = M.stg_clickstream_events(landed)
+        merge_delete_insert(
+            spark,
+            wh.path("staging.stg_clickstream_events"),
+            silver_batch,
+            unique_key=["event_id"],
+            partition_by=["event_date"],
+        )
+        touched_sessions = silver_batch.select("session_id").distinct()
+        if touched_sessions.limit(1).count() == 0:
+            return  # nothing parseable in this batch
+
+        ev = wh.read("staging.stg_clickstream_events")
+
+        # -- silver sessions: full-history rollup of touched sessions,
+        # merged by session_id into a hash-bucketed table (bucket is
+        # partition-stable per key; late events can't migrate a session)
+        touched_ev = ev.join(F.broadcast(touched_sessions), "session_id")
+        sess_batch = M.stg_clickstream_sessions(touched_ev).withColumn(
+            "s_bucket", F.pmod(F.hash("session_id"), F.lit(n_user_buckets))
+        )
+        merge_delete_insert(
+            spark,
+            wh.path("staging.stg_clickstream_sessions"),
+            sess_batch,
+            unique_key=["session_id"],
+            partition_by=["s_bucket"],
+        )
+        sessions = wh.read("staging.stg_clickstream_sessions").drop("s_bucket")
+
+        # -- static-side inputs
+        if wh.exists("staging.stg_orders"):
+            stg_orders = wh.read("staging.stg_orders")
+            stg_items = M.stg_order_items(stg_orders)
+        else:
+            stg_orders = stg_items = None
+
+        # -- affected-date closure (bounded: dates, not rows)
+        affected = touched_ev.select("event_date").distinct().withColumnRenamed(
+            "event_date", "date"
+        )
+
+        fe = M.fact_events(ev)
+        fo = M.fact_orders(stg_orders) if stg_orders is not None else _empty_orders_fact(spark)
+        fs = M.fact_sessions(
+            sessions, stg_orders if stg_orders is not None else _empty_orders(spark)
+        )
+
+        def pred(col, dates):
+            return F.col(col).cast("date").isin(dates)
+
+        # ---- metrics_daily_kpis: affected ∪ calendar-gap dates
+        cal = M.dim_date(fe)
+        kpi_t = gold("metrics_daily_kpis")
+        kpi_dates = [
+            r["date"]
+            for r in affected.unionByName(_never_materialized(cal.select("date"), kpi_t))
+            .distinct()
+            .collect()
+        ]
+        if kpi_dates:
+            kpis = M.metrics_daily_kpis(
+                cal.filter(F.col("date").isin(kpi_dates)),
+                fs.filter(pred("session_start_ts", kpi_dates)),
+                fo.filter(pred("order_ts", kpi_dates)),
+            )
+            kpi_t.replace_partitions(kpis, ["date"], txn_id=f"kpis-{batch_id}")
+
+        # ---- metrics_daily_funnel: event dates only (rows exist iff events)
+        ev_dates = [r["date"] for r in affected.collect()]
+        if ev_dates:
+            funnel = M.metrics_daily_funnel(
+                fe.filter(pred("event_ts", ev_dates)),
+                fo.filter(pred("order_ts", ev_dates)),
+            )
+            gold("metrics_daily_funnel").replace_partitions(
+                funnel, ["date"], txn_id=f"funnel-{batch_id}"
+            )
+
+        # ---- metrics_product_performance_daily: affected ∪ unseen order dates
+        if stg_items is not None:
+            foi = M.fact_order_items(stg_items)
+            pp_t = gold("metrics_product_performance_daily")
+            order_dates = foi.select(F.col("order_date").alias("date")).distinct()
+            pp_dates = [
+                r["date"]
+                for r in affected.unionByName(_never_materialized(order_dates, pp_t))
+                .distinct()
+                .collect()
+            ]
+            if pp_dates:
+                pp = M.metrics_product_performance_daily(
+                    foi.filter(pred("order_ts", pp_dates)),
+                    fo.filter(pred("order_ts", pp_dates)),
+                    fe.filter(pred("event_ts", pp_dates)),
+                )
+                pp_t.replace_partitions(pp, ["date"], txn_id=f"pp-{batch_id}")
+
+        # ---- metrics_user_lifecycle: recompute touched users' full rows
+        users = touched_ev.select("user_id").distinct()
+        ul = M.metrics_user_lifecycle(
+            fs.join(F.broadcast(users), "user_id"),
+            fo.join(F.broadcast(users), "user_id"),
+        ).withColumn("u_bucket", F.pmod(F.hash("user_id"), F.lit(n_user_buckets)))
+        gold("metrics_user_lifecycle").merge_delete_insert(
+            ul, unique_key=["user_id"], partition_by=["u_bucket"],
+            txn_id=f"ul-{batch_id}",
+        )
+
+    stream = read_clickstream_stream(spark, raw_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _empty_orders(spark: SparkSession) -> DataFrame:
+    """Typed empty stand-in for ``staging.stg_orders`` (clickstream-only
+    deployments): the columns the fact/metric builders touch."""
+    return spark.createDataFrame(
+        [],
+        "order_id string, user_id string, session_id string, "
+        "items array<struct<product_id:string,quantity:bigint,price:double>>, "
+        "order_status string, order_ts timestamp, item_count bigint, "
+        "order_total_amount double, source_system string, "
+        "pipeline_ingested_at timestamp",
+    )
+
+
+def _empty_orders_fact(spark: SparkSession) -> DataFrame:
+    return M.fact_orders(_empty_orders(spark))
