@@ -29,22 +29,38 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    cluster: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's tuned defaults.
 
     ``shuffle_partitions`` defaults to 2× cores locally; on a real cluster
     set it to ~2-3× total executor cores (AQE coalesces the excess), or
     rely on ``spark.sql.adaptive.coalescePartitions`` entirely.
+
+    ``cluster=True`` = running under spark-submit with
+    ``conf/spark-scale.conf``: master, memory and shuffle sizing come from
+    the submit environment (never overridden here); only the semantic
+    configs the engine REQUIRES (UTC, timestamp type, overwrite mode,
+    Arrow) are pinned, and only the cluster-agnostic optimizer defaults
+    are applied.
     """
     cores = _default_parallelism()
-    master = master or f"local[{cores}]"
-    shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
-
+    if cluster:
+        builder = SparkSession.builder.appName(app_name)
+    else:
+        builder = (
+            SparkSession.builder.appName(app_name)
+            .master(master or f"local[{cores}]")
+            .config(
+                "spark.sql.shuffle.partitions",
+                str(shuffle_partitions or max(2 * cores, 32)),
+            )
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+            .config("spark.ui.enabled", "false")
+        )
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -61,8 +77,6 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
