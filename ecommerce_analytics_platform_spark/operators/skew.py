@@ -52,6 +52,28 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*final_exprs)
 
 
+def skewed_count_distinct(
+    df: DataFrame, keys: list[str], col: str, out_col: str = "n_distinct"
+) -> DataFrame:
+    """Skew-robust exact COUNT(DISTINCT col) GROUP BY keys.
+
+    Plain ``countDistinct`` shuffles every (key, value) pair to the KEY's
+    reducer — a hot key's millions of distinct values land in one
+    straggler partition (partial aggregation cannot collapse distincts,
+    unlike sum/count/min/max where map-side combine already absorbs the
+    skew). The canonical rewrite: stage 1 dedups on (keys + value) — the
+    shuffle spreads over the full composite key, no hot partition — then
+    stage 2 counts per key, where map-side combine collapses each task's
+    rows to one partial per key before the (now tiny) key shuffle.
+    """
+    return (
+        df.select(*keys, col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

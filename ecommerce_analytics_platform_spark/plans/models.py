@@ -11,7 +11,7 @@ Documented deviations from the reference (SURVEY §2.9 — intended semantics
 built, bug preserved nowhere):
 
 1. stg_clickstream_events incremental predicate: reference has a ``select
-   select`` typo (stg_clickstream_events.sql:20) that breaks真 incremental
+   select`` typo (stg_clickstream_events.sql:20) that breaks incremental
    runs; we implement the evident intent (1-day sliding lookback).
 2. stg_clickstream_sessions incremental subquery is malformed
    (stg_clickstream_sessions.sql:15-18); same intent implemented.

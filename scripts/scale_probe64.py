@@ -1,0 +1,333 @@
+#!/usr/bin/env python3
+"""Disk-backed 64× scale + skew probe (VERDICT r4 directive #6).
+
+The 8× probes in ``scale_probe.py`` amplify in memory; this probe writes a
+real sf0.1×64 parquet dataset ONCE (so scans, shuffles and spills hit
+disk like production) and times the top shuffle-heavy operators at 1× vs
+64×, plus a power-law-skewed variant exercising:
+
+- ``salted_agg`` vs a plain groupBy on a hot-key aggregation (AQE does
+  NOT split skewed aggregations — salting is the fix), and
+- AQE skew-join splitting on a hot-key shuffle join (on vs off).
+
+Amplified tables land under ``.scale64/`` (gitignored; ~1 GB; reused on
+re-runs, ``--rebuild`` to regenerate). Results go into PERF.md.
+
+Usage: python scripts/scale_probe64.py [sf_dir] [--rebuild] [--skew-only]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.plans.testdata_queries import _t
+from ecommerce_analytics_platform_spark.session import fan_out, get_spark
+
+COPIES = 64
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale64")
+
+
+def amplify(df: DataFrame, key_cols: list[str], text_col: str | None = None) -> DataFrame:
+    """64 replicas with remapped keys (same scheme as scale_probe.py: int
+    keys shifted per replica, string keys suffixed, text perturbed so
+    near-dup structure is preserved rather than collapsing)."""
+    rep = df.select("*", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("__r"))
+    for k in key_cols:
+        dt = dict(df.dtypes)[k]
+        if dt in ("bigint", "int"):
+            rep = rep.withColumn(
+                k, F.col(k) + F.col("__r").cast("long") * F.lit(100_000_000).cast("long")
+            )
+        else:
+            rep = rep.withColumn(k, F.concat_ws("_", F.col(k), F.col("__r")))
+    if text_col:
+        rep = rep.withColumn(
+            text_col, F.concat_ws(" ", F.col(text_col), F.concat(F.lit("rep"), F.col("__r")))
+        )
+    return rep.drop("__r")
+
+
+def build_dataset(spark, sf_dir: str) -> None:
+    """Materialize the ×64 tables + the skewed events variant to parquet.
+    Multi-file output (repartition) so 64× reads arrive as real splits."""
+    specs = {
+        "events": (_t(spark, sf_dir, "events"), ["event_id", "user_id"], None, 32),
+        "documents": (
+            _t(spark, sf_dir, "documents"), ["doc_id"], "text", 32,
+        ),
+        "embeddings": (_t(spark, sf_dir, "embeddings"), ["vec_id"], None, 32),
+        "lineitem": (
+            _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            ["l_orderkey", "l_partkey"], None, 32,
+        ),
+    }
+    for name, (df, keys, text, n_files) in specs.items():
+        path = os.path.join(OUT_DIR, f"{name}.parquet")
+        amplify(df, keys, text).repartition(n_files).write.mode("overwrite").parquet(path)
+        print(f"built {path}", flush=True)
+    # power-law skew: ~30% of all event rows collapse onto ONE user —
+    # the viral-user shape that turns a user_id shuffle into a straggler
+    ev64 = spark.read.parquet(os.path.join(OUT_DIR, "events.parquet"))
+    skew = ev64.withColumn(
+        "user_id",
+        F.when(F.pmod(F.hash("event_id"), F.lit(10)) < 3, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    skew.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT_DIR, "events_skew.parquet")
+    )
+    print("built events_skew", flush=True)
+
+
+def timed(build, runs: int = 1) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def probes(spark, sf_dir: str):
+    """Top shuffle-heavy operators, loaded per scale from parquet."""
+    ev = fan_out(_t(spark, sf_dir, "events"))
+    dc = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    em = fan_out(_t(spark, sf_dir, "embeddings"))
+
+    from ecommerce_analytics_platform_spark.operators.cdc import apply_changes
+    from ecommerce_analytics_platform_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from ecommerce_analytics_platform_spark.operators.intervals import merge_intervals
+    from ecommerce_analytics_platform_spark.operators.scd import scd2_history
+    from ecommerce_analytics_platform_spark.operators.sessionize import sessionize_by_gap
+    from ecommerce_analytics_platform_spark.operators.similarity import (
+        cosine_topk_blas,
+        ivf_topk,
+    )
+    from ecommerce_analytics_platform_spark.plans.testdata_queries import (
+        q_unigram_logprob,
+    )
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    yield "hash_agg_daily", lambda: ev.groupBy(F.col("ts").cast("date")).agg(
+        F.count(F.lit(1)), F.countDistinct("user_id"), F.sum("value")
+    )
+    yield "window_dedup", lambda: ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    yield "gap_sessionize", lambda: sessionize_by_gap(ev, "user_id", "ts", gap_seconds=1800)
+    yield "minhash_lsh_pairs", lambda: minhash_lsh_pairs(dc, "doc_id", "text", 16, 4)
+    yield "neardup_components", lambda: connected_components(
+        minhash_lsh_pairs(dc, "doc_id", "text", 16, 4), "id_a", "id_b"
+    )
+    yield "ivf_topk", lambda: ivf_topk(em, em, "vec_id", "vec_id", "embedding", k=3)
+    # exact path with a FIXED 1k query set: corpus grows 64×, query side is
+    # pinned — the realistic ANN-oracle shape (all-pairs exact at 64× is
+    # deliberately quadratic and excluded; scale_probe.py documents it at 8×)
+    yield "sharded_topk_1kq", lambda: cosine_topk_blas(
+        em.filter(F.pmod(F.hash("vec_id"), F.lit(1000)) == 0).limit(1000),
+        em, "vec_id", "vec_id", "embedding", k=3,
+        exclude_self=False, broadcast_threshold=0, shard_rows=8192,
+    )
+    yield "scd2_history", lambda: scd2_history(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        "user_id", ["event_type"], "ts", "event_id",
+    )
+    yield "cdc_apply", lambda: apply_changes(
+        None,
+        ev.select(
+            "user_id",
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            "ts", "event_id", "value",
+        ),
+        ["user_id"], ["ts"], tiebreak="event_id",
+    )
+    yield "unigram_logprob", lambda: q_unigram_logprob(spark, sf_dir)
+    yield "interval_merge", lambda: merge_intervals(
+        ev.select("user_id", F.col("ts").alias("s"),
+                  (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e")),
+        ["user_id"], "s", "e",
+    )
+
+
+def vocab_growth_probe(spark) -> dict[str, float]:
+    """VERDICT r5 directive #1 'Done' criterion: a probe where the VOCAB
+    grows with the corpus (not just the token count). Each amplified
+    replica's tokens are suffixed with its replica id (recovered from the
+    doc_id key shift), so vocab is 64× the base — past the LM broadcast
+    cap territory. Timed on the forced-shuffle path (broadcast cap 0, the
+    plan every 100 TB run would take) vs the broadcast path."""
+    from ecommerce_analytics_platform_spark.functions.text import tokens as tok_f
+
+    docs = spark.read.parquet(os.path.join(OUT_DIR, "documents.parquet"))
+    rep = F.pmod((F.col("doc_id") / F.lit(100_000_000)).cast("long"), F.lit(COPIES))
+    suffixed = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(tok_f(F.col("text")), lambda t: F.concat(t, F.lit("_"), rep)),
+            " ",
+        ).alias("text"),
+    )
+    toks = suffixed.select(
+        "doc_id", F.explode(tok_f(F.col("text"))).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("term"))
+    n_vocab = toks.select("term").distinct().count()
+    print(f"vocab-growth probe: {n_vocab} distinct terms", flush=True)
+
+    def unigram(cap):
+        from ecommerce_analytics_platform_spark.plans.testdata_queries import (
+            _bounded_broadcast,
+        )
+
+        vocab = _bounded_broadcast(
+            toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")), cap
+        )
+        total = vocab.select(F.sum("cnt").alias("total"))
+        scored = (
+            toks.join(vocab, "term")
+            .crossJoin(F.broadcast(total))
+            .withColumn(
+                "logp",
+                F.round(F.log(F.col("cnt") / F.col("total")), 6).cast("decimal(18,6)"),
+            )
+        )
+        return scored.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("logp").alias("s")
+        )
+
+    out = {"vocab_rows": float(n_vocab)}
+    out["unigram_shuffle_join"] = timed(lambda: unigram(0))
+    spark.catalog.clearCache()
+    out["unigram_broadcast_join"] = timed(lambda: unigram(50_000_000))
+    spark.catalog.clearCache()
+    return out
+
+
+def skew_probes(spark) -> dict[str, float]:
+    from ecommerce_analytics_platform_spark.operators.skew import (
+        salted_agg,
+        skewed_count_distinct,
+    )
+
+    skew = spark.read.parquet(os.path.join(OUT_DIR, "events_skew.parquet"))
+    out: dict[str, float] = {}
+
+    # algebraic agg: map-side combine already collapses the hot key — the
+    # salted variant documents ITS overhead (second shuffle) as the honest
+    # baseline for when salting is NOT needed
+    out["skew_agg_unsalted"] = timed(
+        lambda: skew.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"),
+            F.min("ts").alias("lo"), F.max("ts").alias("hi"),
+        ),
+        runs=2,
+    )
+    out["skew_agg_salted"] = timed(
+        runs=2,
+        build=lambda: salted_agg(
+            skew,
+            ["user_id"],
+            {"n": ("value", "count"), "v": ("value", "sum"),
+             "lo": ("ts", "min"), "hi": ("ts", "max")},
+            n_salts=32,
+        )
+    )
+
+    # count-distinct: partials CANNOT collapse — the hot user's ~11M
+    # distinct event_ids all land on one reducer; the two-stage rewrite
+    # spreads the dedup shuffle over (user_id, event_id)
+    out["skew_distinct_plain"] = timed(
+        lambda: skew.groupBy("user_id").agg(
+            F.countDistinct("event_id").alias("n_distinct")
+        ),
+        runs=2,
+    )
+    out["skew_distinct_two_stage"] = timed(
+        lambda: skewed_count_distinct(skew, ["user_id"], "event_id"), runs=2
+    )
+
+    # hot-key shuffle join: per-event join to a per-user rollup (too big to
+    # broadcast when forced) — AQE skew split carves the hot partition
+    users = skew.groupBy("user_id").agg(F.sum("value").alias("user_total")).hint("merge")
+
+    def skew_join():
+        return skew.join(users, "user_id").groupBy("event_type").agg(
+            F.sum(F.col("value") / F.col("user_total")).alias("share")
+        )
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    # local[32] partitions are small; lower the split thresholds so AQE
+    # treats the hot partition as skewed at this data size
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    out["skew_join_aqe_off"] = timed(skew_join, runs=2)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    out["skew_join_aqe_on"] = timed(skew_join, runs=2)
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    return out
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe-64", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--rebuild" in sys.argv or not os.path.isdir(os.path.join(OUT_DIR, "events_skew.parquet")):
+        build_dataset(spark, sf_dir)
+
+    if "--vocab-only" in sys.argv:
+        vg = vocab_growth_probe(spark)
+        print(
+            f"\nvocab growth (64x corpus, 64x vocab = {int(vg['vocab_rows'])} terms): "
+            f"unigram logprob shuffle-join {vg['unigram_shuffle_join']:.2f}s vs "
+            f"broadcast-join {vg['unigram_broadcast_join']:.2f}s"
+        )
+        spark.stop()
+        return
+
+    results: dict[str, list[float]] = {}
+    if "--skew-only" not in sys.argv:
+        for scale, d in ((1, sf_dir), (COPIES, OUT_DIR)):
+            runs = 2 if scale == 1 else 1
+            for name, build in probes(spark, d):
+                dt = timed(build, runs=runs)
+                results.setdefault(name, []).append(dt)
+                print(f"{scale}x {name}: {dt:.2f}s", flush=True)
+                spark.catalog.clearCache()
+                for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    rdd.unpersist(False)
+
+    sk = skew_probes(spark)
+    for k, v in sk.items():
+        print(f"skew {k}: {v:.2f}s", flush=True)
+
+    print(f"\n| operator | 1x | {COPIES}x (disk) | ratio |")
+    print("| --- | --- | --- | --- |")
+    for name, ts in results.items():
+        if len(ts) == 2:
+            print(f"| {name} | {ts[0]:.2f} s | {ts[1]:.2f} s | {ts[1] / ts[0]:.1f}x |")
+    print(
+        f"\nskew (64x events, 30% of rows on one user): algebraic agg "
+        f"unsalted {sk['skew_agg_unsalted']:.2f}s vs salted "
+        f"{sk['skew_agg_salted']:.2f}s; count-distinct plain "
+        f"{sk['skew_distinct_plain']:.2f}s vs two-stage "
+        f"{sk['skew_distinct_two_stage']:.2f}s; hot-key join AQE-off "
+        f"{sk['skew_join_aqe_off']:.2f}s vs AQE-on {sk['skew_join_aqe_on']:.2f}s"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

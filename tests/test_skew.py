@@ -84,3 +84,24 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_skewed_count_distinct_matches_plain(spark):
+    """The two-stage skewed-distinct rewrite is value-identical to plain
+    countDistinct (the shuffles differ, the relation doesn't)."""
+    from ecommerce_analytics_platform_spark.operators.skew import skewed_count_distinct
+
+    df = spark.range(5000).select(
+        # hot key: 40% of rows on key 1; duplicates of the value column
+        F.when(F.col("id") % 5 < 2, F.lit(1)).otherwise(F.col("id") % 37).alias("k"),
+        (F.col("id") % 997).alias("v"),
+    )
+    got = {
+        (r["k"], r["n_distinct"])
+        for r in skewed_count_distinct(df, ["k"], "v").collect()
+    }
+    want = {
+        (r["k"], r["n"])
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want
