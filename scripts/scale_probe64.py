@@ -48,8 +48,27 @@ def amplify(df: DataFrame, key_cols: list[str], text_col: str | None = None) -> 
         else:
             rep = rep.withColumn(k, F.concat_ws("_", F.col(k), F.col("__r")))
     if text_col:
+        # suffix every SECOND token with the replica id: cross-replica
+        # Jaccard drops to ~1/3 (below LSH thresholds), so replicas of one
+        # base doc do NOT form 64-cliques of near-dup candidate pairs —
+        # that artifact made pair count (hence LSH work) grow ~64x
+        # super-linear in the first probe run. Within a replica, base
+        # near-dup pairs share the same suffix pattern, so the intended
+        # near-dup structure is preserved and output grows linearly.
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        idx = F.sequence(F.lit(0), F.size(toks) - 1)
         rep = rep.withColumn(
-            text_col, F.concat_ws(" ", F.col(text_col), F.concat(F.lit("rep"), F.col("__r")))
+            text_col,
+            F.array_join(
+                F.zip_with(
+                    toks,
+                    idx,
+                    lambda t, i: F.when(
+                        i % 2 == 0, F.concat(t, F.lit("_"), F.col("__r"))
+                    ).otherwise(t),
+                ),
+                " ",
+            ),
         )
     return rep.drop("__r")
 
@@ -72,12 +91,23 @@ def build_dataset(spark, sf_dir: str) -> None:
         path = os.path.join(OUT_DIR, f"{name}.parquet")
         amplify(df, keys, text).repartition(n_files).write.mode("overwrite").parquet(path)
         print(f"built {path}", flush=True)
-    # power-law skew: ~30% of all event rows collapse onto ONE user —
-    # the viral-user shape that turns a user_id shuffle into a straggler
+    # power-law skew: ~80% of all event rows collapse onto ONE user — the
+    # viral-user shape that turns a user_id shuffle into a straggler. (At
+    # 30% the hot partition still fit one local[32] task comfortably and
+    # every mitigation measured as a wash; 80% makes the straggler the
+    # critical path, which is the regime the mitigations exist for.)
+    # 4 extra replicas (256x total rows) — at 64x the hot partition still
+    # clears one local task in ~1s and every mitigation measures as a
+    # wash; the straggler has to be the critical path to measure anything
     ev64 = spark.read.parquet(os.path.join(OUT_DIR, "events.parquet"))
-    skew = ev64.withColumn(
+    ev256 = ev64.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__r2")
+    ).withColumn(
+        "event_id", F.col("event_id") + F.col("__r2").cast("long") * F.lit(10_000_000_000)
+    ).drop("__r2")
+    skew = ev256.withColumn(
         "user_id",
-        F.when(F.pmod(F.hash("event_id"), F.lit(10)) < 3, F.lit(1)).otherwise(
+        F.when(F.pmod(F.hash("event_id"), F.lit(10)) < 8, F.lit(1)).otherwise(
             F.col("user_id")
         ),
     )
@@ -128,7 +158,17 @@ def probes(spark, sf_dir: str):
     yield "neardup_components", lambda: connected_components(
         minhash_lsh_pairs(dc, "doc_id", "text", 16, 4), "id_a", "id_b"
     )
-    yield "ivf_topk", lambda: ivf_topk(em, em, "vec_id", "vec_id", "embedding", k=3)
+    # IVF with CONSTANT list size (n_lists scales with the corpus — the
+    # production tuning; a fixed n_lists makes every list 64x longer and
+    # the self-query probe quadratic, which run 1 of this probe measured
+    # at 271x) and a pinned 1k query set: per-query probed volume is then
+    # scale-invariant, so the ratio isolates index build + assignment.
+    scale_f = max(1, round((_t(spark, sf_dir, "embeddings").count()) / 5000))
+    q1k = em.filter(F.pmod(F.hash("vec_id"), F.lit(1000)) == 0).limit(1000)
+    yield "ivf_build_1kq", lambda: ivf_topk(
+        q1k, em, "vec_id", "vec_id", "embedding", k=3,
+        n_lists=16 * scale_f, n_probe=4, kmeans_iters=3,
+    )
     # exact path with a FIXED 1k query set: corpus grows 64×, query side is
     # pinned — the realistic ANN-oracle shape (all-pairs exact at 64× is
     # deliberately quadratic and excluded; scale_probe.py documents it at 8×)
@@ -319,7 +359,7 @@ def main() -> None:
         if len(ts) == 2:
             print(f"| {name} | {ts[0]:.2f} s | {ts[1]:.2f} s | {ts[1] / ts[0]:.1f}x |")
     print(
-        f"\nskew (64x events, 30% of rows on one user): algebraic agg "
+        f"\nskew (64x events, 80% of rows on one user): algebraic agg "
         f"unsalted {sk['skew_agg_unsalted']:.2f}s vs salted "
         f"{sk['skew_agg_salted']:.2f}s; count-distinct plain "
         f"{sk['skew_distinct_plain']:.2f}s vs two-stage "
