@@ -9,12 +9,15 @@ a row-at-a-time Python UDF.
 
 Decode kernels come in two tiers:
 
-- **real** — uncompressed formats parsed with pure numpy
-  (functions/codecs.py): PPM (P6) and 24-bit BMP images, PCM16 WAV audio,
-  plus nearest-neighbor resize. ``kernel="real"`` on the operators below
-  runs these against actual media bytes (tested on encoded fixtures with
-  exact expected features).
-- **stub/fake** — compressed formats (JPEG/MP3/H.264) need
+- **real** — formats parsed with pure numpy + stdlib
+  (functions/codecs.py): PPM (P6) and 24-bit BMP images, **PNG** (8-bit
+  gray/GA/RGB/RGBA, all 5 scanline filters — zlib DEFLATE is the
+  stdlib's, so this compressed format needs no external dep), PCM16 WAV
+  audio, plus nearest-neighbor resize. ``kernel="real"`` on the operators
+  below runs these against actual media bytes (tested on encoded fixtures
+  with exact expected features; PNG unfilter verified against
+  forward-filtered vectors built independently in the test).
+- **stub/fake** — the remaining compressed formats (JPEG/MP3/H.264) need
   Pillow/ffmpeg/torchvision, absent in this container; those kernel bodies
   are deterministic fakes / NotImplementedError stubs — clearly marked.
 
@@ -97,7 +100,7 @@ def _fake_decode_image(buf: bytes) -> tuple[int, int, float]:
 
 
 def _real_decode_image(buf: bytes) -> tuple[int | None, int | None, float | None]:
-    """REAL decode kernel for uncompressed formats (PPM/BMP — pure numpy,
+    """REAL decode kernel (PPM/BMP/PNG — pure numpy + stdlib zlib,
     functions/codecs.py). Returns (width, height, mean brightness in
     [0, 1] rounded 6dp); nulls for empty/undecodable bytes so a mixed
     corpus degrades row-wise instead of failing the batch."""
@@ -123,9 +126,9 @@ def decode_image_features(
 
     Batch contract: each pandas batch holds whole rows of (id, bytes);
     output schema is fixed and blob-free (drop bytes before any shuffle).
-    ``kernel="real"`` decodes PPM/BMP bytes with the pure-numpy codecs
-    (exact, tested); ``"fake"`` is the deterministic stand-in for
-    compressed formats (see :func:`_fake_decode_image`).
+    ``kernel="real"`` decodes PPM/BMP/PNG bytes with the pure-numpy
+    codecs (exact, tested); ``"fake"`` is the deterministic stand-in for
+    the remaining compressed formats (see :func:`_fake_decode_image`).
     """
     schema = "media_id long, width int, height int, mean_brightness double"
     decode = {"fake": lambda b: _fake_decode_image(b), "real": _real_decode_image}[kernel]

@@ -142,11 +142,12 @@ def test_real_image_features_exact(spark):
         (1, bytearray(codecs.encode_ppm(img))),
         (2, bytearray(codecs.encode_bmp24(img))),
         (3, bytearray(b"\xff\xd8garbage-jpeg")),  # undecodable → nulls
+        (4, bytearray(codecs.encode_png(img))),  # real compressed-format path
     ]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r["media_id"]: r for r in
            decode_image_features(df, kernel="real").collect()}
-    for mid in (1, 2):
+    for mid in (1, 2, 4):
         assert got[mid]["width"] == 2 and got[mid]["height"] == 2
         assert got[mid]["mean_brightness"] == expected_mean
     assert got[3]["width"] is None and got[3]["mean_brightness"] is None
@@ -185,3 +186,107 @@ def test_real_wav_features_exact(spark):
     assert got[1]["duration_sec"] == 1.0
     assert got[1]["energy"] == 0.5
     assert got[2]["duration_sec"] is None
+
+
+def test_png_roundtrip_all_color_types():
+    """Round-trip through the pure-numpy PNG codec (zlib DEFLATE is the
+    stdlib's) for gray / gray+alpha / RGB / RGBA."""
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import codecs
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+        out = codecs.decode_png(codecs.encode_png(img))
+        assert out.shape == (13, 9, c)
+        assert (out == img).all(), f"channels={c}"
+    gray2d = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    assert (codecs.decode_png(codecs.encode_png(gray2d))[:, :, 0] == gray2d).all()
+    assert codecs.sniff_format(codecs.encode_png(gray2d)) == "png"
+    assert (codecs.decode_image(codecs.encode_png(gray2d))[:, :, 0] == gray2d).all()
+
+
+def test_png_unfilter_all_filter_types():
+    """Independence check for the decoder's unfilter: FORWARD-filter known
+    scanlines per the RFC 2083 definitions in the test itself (Sub, Up,
+    Average, Paeth), build the PNG by hand, and assert the decoder
+    recovers the original pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import codecs
+
+    rng = np.random.default_rng(11)
+    h, w, c = 5, 6, 3
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    flat = img.reshape(h, w * c).astype(np.int32)
+    bpp, stride = c, w * c
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+    filters = [0, 1, 2, 3, 4]
+    raw = bytearray()
+    for y, ftype in enumerate(filters):
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        line = flat[y]
+        enc = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            left = line[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1, 4: paeth(left, up, ul)}[ftype]
+            enc[x] = (line[x] - pred) & 0xFF
+        raw.append(ftype)
+        raw += enc.astype(np.uint8).tobytes()
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (codecs.decode_png(png) == img).all()
+
+
+def test_png_rejects_unsupported_cleanly():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ecommerce_analytics_platform_spark.functions import codecs
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = codecs.encode_png(img)
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    interlaced = (
+        good[:8]
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + good[8 + 25 :]
+    )
+    with _pytest.raises(ValueError, match="interlaced"):
+        codecs.decode_png(interlaced)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        codecs.decode_png(b"JUNK" * 4)
+    # corrupt CRC must be detected, not silently decoded
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # IEND CRC byte
+    with _pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(bad))
