@@ -289,6 +289,8 @@ def sniff_format(buf: bytes) -> str | None:
         return "wav"
     if buf[:8] == _PNG_MAGIC:
         return "png"
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -313,3 +315,225 @@ def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
     xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
     return arr[ys[:, None], xs[None, :]]
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a): palette-indexed frames, LZW-compressed — the second
+# real compressed format (no external dep: LZW is ~40 lines), and the
+# first MULTI-FRAME one, giving video-frame sampling a real wire format.
+# Decoder: global/local palettes, sub-rect frames composited onto the
+# canvas, disposal methods 0/1 (draw over) and 2 (restore background),
+# transparency, interlaced row order, 89a extensions (skipped), frame
+# delays from Graphic Control blocks. Encoder: full-frame GIF89a with a
+# shared ≤256-color palette and fixed-width LZW (periodic CLEAR codes —
+# the standard "uncompressed GIF" stream every decoder accepts).
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, npixels: int) -> np.ndarray:
+    """GIF-flavor LZW: little-endian bit-packed variable-width codes,
+    CLEAR resets the table, EOI ends the stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(npixels, dtype=np.uint8)
+    n_out = 0
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while n_out < npixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        take = min(len(entry), npixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def _lzw_encode_fixed(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Valid LZW stream with a CLEAR before every (2^mcs − 2) literals so
+    the code width never grows — simple, spec-correct, decodes everywhere."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    budget = clear - 2  # codes until the table would force a width bump
+    for v in indices:
+        if budget == 0:
+            emit(clear)
+            budget = clear - 2
+        emit(int(v))
+        budget -= 1
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(frames: np.ndarray, delay_cs: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 frames (≤256 distinct colors ACROSS all frames)
+    → animated GIF89a with a shared global palette."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim == 3:
+        f = f[None]
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError("encode_gif expects (n, h, w, 3) uint8")
+    n, h, w, _ = f.shape
+    flat = f.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"encode_gif: {len(palette)} colors > 256 (quantize first)")
+    pal_bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    pal_size = 1 << pal_bits
+    pal_bytes = np.zeros((pal_size, 3), dtype=np.uint8)
+    pal_bytes[: len(palette)] = palette
+    mcs = max(2, pal_bits)  # LZW minimum code size (spec floor 2)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF0 | (pal_bits - 1), 0, 0)
+    out += pal_bytes.tobytes()
+    # loop forever (Netscape 2.0 application extension)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    idx = inverse.astype(np.uint8).reshape(n, h * w)
+    for i in range(n):
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(mcs)
+        stream = _lzw_encode_fixed(idx[i], mcs)
+        for off in range(0, len(stream), 255):
+            block = stream[off : off + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(buf: bytes) -> tuple[np.ndarray, list[float]]:
+    """GIF → ((n, h, w, 3) uint8 composited frames, per-frame delay sec)."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, bg_index, _ar = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        gsize = 2 << (flags & 0x07)
+        gpal = np.frombuffer(buf, dtype=np.uint8, count=gsize * 3, offset=pos).reshape(-1, 3)
+        pos += gsize * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gpal is not None and bg_index < len(gpal):
+        canvas[:] = gpal[bg_index]
+    background = canvas.copy()
+    frames: list[np.ndarray] = []
+    delays: list[float] = []
+    transparent: int | None = None
+    disposal = 0
+    delay_cs = 0
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = buf[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                blen = buf[pos]
+                gc = buf[pos + 1 : pos + 1 + blen]
+                disposal = (gc[0] >> 2) & 0x07
+                delay_cs = struct.unpack("<H", gc[1:3])[0]
+                transparent = gc[3] if gc[0] & 0x01 else None
+                pos += 1 + blen
+            # skip remaining sub-blocks (and the whole body of other exts)
+            while buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, fw, fh, iflags = struct.unpack("<HHHHB", buf[pos : pos + 9])
+        pos += 9
+        pal = gpal
+        if iflags & 0x80:
+            lsize = 2 << (iflags & 0x07)
+            pal = np.frombuffer(buf, dtype=np.uint8, count=lsize * 3, offset=pos).reshape(-1, 3)
+            pos += lsize * 3
+        if pal is None:
+            raise ValueError("GIF frame without any color table")
+        mcs = buf[pos]
+        pos += 1
+        stream = bytearray()
+        while buf[pos] != 0:
+            blen = buf[pos]
+            stream += buf[pos + 1 : pos + 1 + blen]
+            pos += 1 + blen
+        pos += 1
+        idx = _lzw_decode(bytes(stream), mcs, fw * fh).reshape(fh, fw)
+        if iflags & 0x40:  # deinterlace (4 passes)
+            order = np.concatenate(
+                [np.arange(0, fh, 8), np.arange(4, fh, 8),
+                 np.arange(2, fh, 4), np.arange(1, fh, 2)]
+            )
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        region = canvas[top : top + fh, left : left + fw]
+        rgb = pal[np.minimum(idx, len(pal) - 1)]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            region[:] = np.where(mask, rgb, region)
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        delays.append(delay_cs / 100.0)
+        if disposal == 2:  # restore background in the frame's rect
+            canvas[top : top + fh, left : left + fw] = background[
+                top : top + fh, left : left + fw
+            ]
+        disposal, transparent, delay_cs = 0, None, 0
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return np.stack(frames), delays

@@ -12,11 +12,14 @@ Decode kernels come in two tiers:
 - **real** — formats parsed with pure numpy + stdlib
   (functions/codecs.py): PPM (P6) and 24-bit BMP images, **PNG** (8-bit
   gray/GA/RGB/RGBA, all 5 scanline filters — zlib DEFLATE is the
-  stdlib's, so this compressed format needs no external dep), PCM16 WAV
-  audio, plus nearest-neighbor resize. ``kernel="real"`` on the operators
-  below runs these against actual media bytes (tested on encoded fixtures
-  with exact expected features; PNG unfilter verified against
-  forward-filtered vectors built independently in the test).
+  stdlib's, so this compressed format needs no external dep), **animated
+  GIF** (real LZW, global/local palettes, sub-rect compositing,
+  transparency, disposal, interlace — the real multi-frame format behind
+  ``sample_video_frames(kernel="real")``), PCM16 WAV audio, plus
+  nearest-neighbor resize. ``kernel="real"`` on the operators below runs
+  these against actual media bytes (tested on encoded fixtures with exact
+  expected features; PNG unfilter and GIF compositing verified against
+  hand-built spec vectors independent of the encoders).
 - **stub/fake** — the remaining compressed formats (JPEG/MP3/H.264) need
   Pillow/ffmpeg/torchvision, absent in this container; those kernel bodies
   are deterministic fakes / NotImplementedError stubs — clearly marked.
@@ -212,8 +215,13 @@ def sample_video_frames(
     """Video → frame rows plumbing (one output row per sampled frame).
     Output grain: (media_id, frame_idx, frame_ts_sec, content).
 
-    ``kernel="stub"`` raises NotImplementedError from the executor (real
-    decode needs ffmpeg/av, absent here) — the returned DataFrame's
+    ``kernel="real"`` decodes animated GIF (functions/codecs.py — real
+    LZW + palette + compositing, no external dep), samples frames whose
+    timestamp (cumulative Graphic Control delays) crosses each
+    ``every_n_seconds`` threshold, and emits each sampled frame re-encoded
+    as PPM bytes; undecodable rows emit nothing (row-wise degradation).
+    ``kernel="stub"`` raises NotImplementedError from the executor (other
+    containers: av/ffmpeg for MP4/H.264) — the returned DataFrame's
     schema/partitioning is still real for plan inspection.
     ``kernel="fake"`` is a deterministic stand-in (duration inferred from
     byte length at a nominal bitrate; frame bytes = a slice at the frame
@@ -248,7 +256,31 @@ def sample_video_frames(
                     out["content"].append(b[off : off + 64])
             yield pd.DataFrame(out)
 
-    fn = {"stub": stub, "fake": fake}[kernel]
+    def real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        from ecommerce_analytics_platform_spark.functions import codecs
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ts_sec": [], "content": []}
+            for mid, b in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames, delays = codecs.decode_gif(bytes(b or b""))
+                except ValueError:
+                    continue
+                t = 0.0
+                next_sample = 0.0
+                for i in range(len(frames)):
+                    if t + 1e-9 >= next_sample:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(i)
+                        out["frame_ts_sec"].append(round(t, 6))
+                        out["content"].append(codecs.encode_ppm(frames[i]))
+                        next_sample += every_n_seconds
+                    t += delays[i]
+            yield pd.DataFrame(out)
+
+    fn = {"stub": stub, "fake": fake, "real": real}[kernel]
     return df.select(id_col, content_col).mapInPandas(fn, schema)
 
 

@@ -290,3 +290,122 @@ def test_png_rejects_unsupported_cleanly():
     bad[-5] ^= 0xFF  # IEND CRC byte
     with _pytest.raises(ValueError, match="CRC"):
         codecs.decode_png(bytes(bad))
+
+
+def test_gif_roundtrip_animation():
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import codecs
+
+    rng = np.random.default_rng(5)
+    # ≤256 colors across all frames: small value alphabet
+    frames = (rng.integers(0, 5, size=(4, 9, 6, 3), dtype=np.uint8) * 50)
+    gif = codecs.encode_gif(frames, delay_cs=20)
+    dec, delays = codecs.decode_gif(gif)
+    assert dec.shape == frames.shape
+    assert (dec == frames).all()
+    assert delays == [0.2] * 4
+    assert codecs.sniff_format(gif) == "gif"
+
+
+def test_gif_subrect_transparency_disposal():
+    """Hand-built 2-frame GIF exercising paths the encoder never emits:
+    a sub-rect second frame at (1,1), a transparent index (underlying
+    canvas must show through), and disposal=2 (restore background) after
+    frame 1 — built byte-by-byte from the GIF89a spec."""
+    import struct
+
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import codecs
+    from ecommerce_analytics_platform_spark.functions.codecs import _lzw_encode_fixed
+
+    # global palette: 0=black(bg), 1=red, 2=green, 3=blue
+    pal = b"\x00\x00\x00" + b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff"
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 3, 3, 0x80 | 0x01, 0, 0) + pal
+
+    def frame(left, top, w, h, indices, gce=None):
+        out = b""
+        if gce is not None:
+            out += b"\x21\xf9\x04" + gce + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0) + b"\x02"
+        stream = _lzw_encode_fixed(np.array(indices, dtype=np.uint8), 2)
+        out += bytes([len(stream)]) + stream + b"\x00"
+        return out
+
+    # frame 1: full 3x3 all red, disposal=2 (restore bg after), delay 10cs
+    f1 = frame(0, 0, 3, 3, [1] * 9, gce=bytes([0x08]) + struct.pack("<H", 10) + b"\x00")
+    # frame 2: 2x2 at (1,1): [green, transparent(0); blue, green]
+    f2 = frame(
+        1, 1, 2, 2, [2, 0, 3, 2],
+        gce=bytes([0x01]) + struct.pack("<H", 5) + b"\x00",
+    )
+    gif = hdr + f1 + f2 + b"\x3b"
+    dec, delays = codecs.decode_gif(gif)
+    assert dec.shape == (2, 3, 3, 3)
+    assert (dec[0] == [255, 0, 0]).all()  # frame 1 all red
+    # frame 2: bg restored (black) everywhere except the sub-rect;
+    # transparent cell shows the restored background
+    exp = np.zeros((3, 3, 3), dtype=np.uint8)
+    exp[1, 1] = [0, 255, 0]
+    exp[1, 2] = [0, 0, 0]      # transparent -> background (black)
+    exp[2, 1] = [0, 0, 255]
+    exp[2, 2] = [0, 255, 0]
+    assert (dec[1] == exp).all()
+    assert delays == [0.1, 0.05]
+
+
+def test_gif_interlaced_frame():
+    """Interlaced flag: rows arrive in 8/8-4/4-2/1-2 pass order; the
+    decoder must undo the permutation."""
+    import struct
+
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import codecs
+    from ecommerce_analytics_platform_spark.functions.codecs import _lzw_encode_fixed
+
+    h, w = 9, 2
+    img_rows = np.arange(h, dtype=np.uint8) % 4  # row y has index y%4
+    pass_order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    interlaced = np.repeat(img_rows[pass_order], w)  # rows in pass order
+    pal = b"\x00\x00\x00\x55\x55\x55\xaa\xaa\xaa\xff\xff\xff"
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0) + pal
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40) + b"\x02"
+    )
+    stream = _lzw_encode_fixed(interlaced, 2)
+    gif += bytes([len(stream)]) + stream + b"\x00" + b"\x3b"
+    dec, _ = codecs.decode_gif(gif)
+    expected = (img_rows * 0x55)[:, None, None].repeat(w, axis=1).repeat(3, axis=2)
+    assert (dec[0] == expected).all()
+
+
+def test_real_video_frame_sampling_gif(spark):
+    """Spark-side real kernel: animated GIF in, sampled frames out as PPM
+    bytes that decode back to the exact source frames."""
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import codecs
+    from ecommerce_analytics_platform_spark.functions.multimodal import (
+        sample_video_frames,
+    )
+
+    frames = np.zeros((5, 4, 4, 3), dtype=np.uint8)
+    for i in range(5):
+        frames[i] = (i * 40) % 256
+    gif = codecs.encode_gif(frames, delay_cs=25)  # 0.25s per frame
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"not-a-gif"))],
+        "media_id long, content binary",
+    )
+    got = sample_video_frames(df, every_n_seconds=0.5, kernel="real").collect()
+    by_idx = {r["frame_idx"]: r for r in got}
+    # frames at t=0.0, 0.5, 1.0 → indices 0, 2, 4; undecodable row 2 → nothing
+    assert sorted(by_idx) == [0, 2, 4]
+    assert all(r["media_id"] == 1 for r in got)
+    assert by_idx[2]["frame_ts_sec"] == 0.5
+    dec = codecs.decode_ppm(bytes(by_idx[4]["content"]))
+    assert (dec == frames[4]).all()
