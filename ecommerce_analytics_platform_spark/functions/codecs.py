@@ -152,12 +152,13 @@ def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray, int]:
 # #2) — feasible without Pillow because DEFLATE ships in the stdlib
 # (zlib) and the rest of the format is chunk framing + 5 per-scanline
 # byte filters. Supported: 8-bit depth, color types 0 (gray), 2 (RGB),
-# 4 (gray+alpha), 6 (RGBA), non-interlaced. Rejected with clear errors:
-# 1/2/4/16-bit depths, palette (type 3), Adam7 interlace.
+# 3 (palette via PLTE, +tRNS alpha), 4 (gray+alpha), 6 (RGBA),
+# non-interlaced. Rejected with clear errors: 1/2/4/16-bit depths,
+# Adam7 interlace.
 # ---------------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def encode_png(arr: np.ndarray) -> bytes:
@@ -239,7 +240,7 @@ def decode_png(buf: bytes) -> np.ndarray:
 
     if buf[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(buf):
         (length,) = struct.unpack(">I", buf[pos : pos + 4])
         tag = buf[pos + 4 : pos + 8]
@@ -249,6 +250,10 @@ def decode_png(buf: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -260,7 +265,9 @@ def decode_png(buf: bytes) -> np.ndarray:
     if depth != 8:
         raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
     if color_type not in _PNG_CHANNELS:
-        raise ValueError(f"PNG color type {color_type} not supported (palette needs PLTE)")
+        raise ValueError(f"PNG color type {color_type} not supported")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if interlace != 0:
         raise ValueError("Adam7 interlaced PNG not supported")
     if comp != 0 or filt != 0:
@@ -270,8 +277,16 @@ def decode_png(buf: bytes) -> np.ndarray:
     stride = w * c
     if raw.size != h * (stride + 1):
         raise ValueError("PNG payload size mismatch")
-    out = _png_unfilter(raw, h, stride, c)
-    return out.reshape(h, w, c).copy()
+    out = _png_unfilter(raw, h, stride, c).reshape(h, w, c)
+    if color_type == 3:
+        idx = np.minimum(out[:, :, 0], len(plte) - 1)
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2).copy()
+        return rgb.copy()
+    return out.copy()
 
 
 # ---------------------------------------------------------------------------

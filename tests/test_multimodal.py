@@ -409,3 +409,43 @@ def test_real_video_frame_sampling_gif(spark):
     assert by_idx[2]["frame_ts_sec"] == 0.5
     dec = codecs.decode_ppm(bytes(by_idx[4]["content"]))
     assert (dec == frames[4]).all()
+
+
+def test_png_palette_decode():
+    """Hand-built color-type-3 PNG: PLTE lookup, tRNS alpha expansion."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import codecs
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    # 2x2 indices [[0,1],[2,1]]; palette red/green/blue; index 0 transparent
+    raw = b"\x00\x00\x01" + b"\x00\x02\x01"
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", b"\xff\x00\x00\x00\xff\x00\x00\x00\xff")
+        + chunk(b"tRNS", b"\x00")
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(png)
+    assert out.shape == (2, 2, 4)
+    assert (out[0, 0] == [255, 0, 0, 0]).all()      # transparent red
+    assert (out[0, 1] == [0, 255, 0, 255]).all()
+    assert (out[1, 0] == [0, 0, 255, 255]).all()
+    # without tRNS: plain RGB
+    png_rgb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", b"\xff\x00\x00\x00\xff\x00\x00\x00\xff")
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert codecs.decode_png(png_rgb).shape == (2, 2, 3)
