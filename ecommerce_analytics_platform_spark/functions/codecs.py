@@ -1,11 +1,15 @@
-"""Pure-numpy media codecs for UNCOMPRESSED formats: PPM (P6), BMP
-(24-bit BI_RGB), WAV (PCM16).
+"""Pure-numpy media codecs: PPM (P6), BMP (24-bit BI_RGB), WAV (PCM16),
+PNG (zlib-compressed, all filters), animated GIF (LZW) — plus baseline
+JPEG in the sibling module functions/jpeg.py.
 
-These are the REAL decode kernels behind functions/multimodal.py — chosen
-because their wire formats are trivial enough to parse with numpy alone
-(the container has no Pillow/ffmpeg; compressed formats stay stubbed and
-clearly marked there). Each decoder is exact: tests encode known arrays
-and assert bit-identical round-trips.
+These are the REAL decode kernels behind functions/multimodal.py — built
+with numpy + the stdlib only (the container has no Pillow/ffmpeg; only
+MP3/H.264-class formats remain stubbed there). Uncompressed decoders are
+exact (bit-identical round-trips); PNG/GIF are exact too (DEFLATE/LZW are
+lossless); JPEG is lossy with quantization-bounded round-trip error.
+Decoder paths the encoders never emit (PNG Sub/Up/Average/Paeth filters,
+GIF sub-rects/transparency/disposal/interlace) are verified against
+spec-built byte vectors in tests.
 
 Everything here is executor-side library code (no Spark imports) — the
 multimodal kernels call it inside Arrow-batched ``mapInPandas``.
@@ -306,12 +310,14 @@ def sniff_format(buf: bytes) -> str | None:
         return "png"
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if buf[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Decode any supported image format by magic (PPM/BMP uncompressed,
-    PNG zlib-compressed)."""
+    """Decode any supported image format by magic: PPM/BMP (uncompressed),
+    PNG (zlib), baseline JPEG (functions/jpeg.py), GIF (first frame)."""
     fmt = sniff_format(buf)
     if fmt == "ppm":
         return decode_ppm(buf)
@@ -319,6 +325,12 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_bmp24(buf)
     if fmt == "png":
         return decode_png(buf)
+    if fmt == "jpeg":
+        from ecommerce_analytics_platform_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
+    if fmt == "gif":
+        return decode_gif(buf)[0][0]
     raise ValueError(f"unsupported image format: {buf[:4]!r}")
 
 

@@ -16,13 +16,16 @@ Decode kernels come in two tiers:
   GIF** (real LZW, global/local palettes, sub-rect compositing,
   transparency, disposal, interlace — the real multi-frame format behind
   ``sample_video_frames(kernel="real")``), PCM16 WAV audio, plus
-  nearest-neighbor resize. ``kernel="real"`` on the operators below runs
-  these against actual media bytes (tested on encoded fixtures with exact
-  expected features; PNG unfilter and GIF compositing verified against
-  hand-built spec vectors independent of the encoders).
-- **stub/fake** — the remaining compressed formats (JPEG/MP3/H.264) need
-  Pillow/ffmpeg/torchvision, absent in this container; those kernel bodies
-  are deterministic fakes / NotImplementedError stubs — clearly marked.
+  nearest-neighbor resize — and **baseline JPEG** (functions/jpeg.py:
+  real DCT/Huffman sequential codec, 4:4:4 + 4:2:0, grayscale, restart
+  markers; progressive/12-bit rejected with clear errors).
+  ``kernel="real"`` on the operators below runs these against actual
+  media bytes (tested on encoded fixtures with exact expected features;
+  PNG unfilter and GIF compositing verified against hand-built spec
+  vectors independent of the encoders).
+- **stub/fake** — MP3/H.264-class formats need ffmpeg/torchvision,
+  absent in this container; those kernel bodies are deterministic fakes /
+  NotImplementedError stubs — clearly marked.
 
 Everything Spark-side is real and tested either way: schemas, the
 mapInPandas batch contract, partition sizing, metadata pushdown.
@@ -113,7 +116,7 @@ def _real_decode_image(buf: bytes) -> tuple[int | None, int | None, float | None
         return None, None, None
     try:
         arr = codecs.decode_image(buf)
-    except ValueError:
+    except Exception:  # corrupt media degrades row-wise, never batch-wise
         return None, None, None
     h, w = arr.shape[:2]
     return w, h, round(float(arr.mean()) / 255.0, 6)

@@ -449,3 +449,103 @@ def test_png_palette_decode():
         + chunk(b"IEND", b"")
     )
     assert codecs.decode_png(png_rgb).shape == (2, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_dct_pair_exact():
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import jpeg
+
+    rng = np.random.default_rng(1)
+    b = rng.uniform(-128, 127, (8, 8))
+    assert np.allclose(jpeg.idct2(jpeg.dct2(b)), b, atol=1e-9)
+    # Parseval: orthonormal transform preserves energy
+    assert np.isclose((jpeg.dct2(b) ** 2).sum(), (b**2).sum())
+
+
+def test_jpeg_roundtrip_tolerances():
+    """JPEG is lossy — assert quantization-bounded errors per content
+    class: constant blocks near-exact, smooth gradients ≤2, 4:2:0 on
+    smooth chroma ≤8, noise bounded by the q90 quantization step."""
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import jpeg
+
+    const = np.full((16, 24, 3), [200, 30, 90], dtype=np.uint8)
+    assert np.abs(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(const, quality=90)).astype(int) - const
+    ).max() <= 1
+
+    gy, gx = np.meshgrid(np.linspace(0, 255, 32), np.linspace(0, 255, 40), indexing="ij")
+    smooth = np.stack([gx, gy, (gx + gy) / 2], axis=-1).astype(np.uint8)
+    assert np.abs(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, quality=95)).astype(int) - smooth
+    ).max() <= 3
+    assert np.abs(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, quality=95, subsample=True)).astype(int)
+        - smooth
+    ).max() <= 10
+
+    rng = np.random.default_rng(2)
+    noise = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    assert np.abs(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(noise, quality=90)).astype(int) - noise
+    ).max() <= 60
+
+    gray = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, quality=92))
+    assert dec.shape == (12, 12, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - gray).max() <= 40
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    a = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85))
+    b = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85, restart_interval=3))
+    assert (a == b).all()
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import pytest as _pytest
+
+    from ecommerce_analytics_platform_spark.functions import jpeg
+
+    import numpy as np
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = bytearray(jpeg.encode_jpeg(img))
+    sof = good.index(b"\xff\xc0")
+    good[sof + 1] = 0xC2  # pretend progressive
+    with _pytest.raises(ValueError, match="non-baseline"):
+        jpeg.decode_jpeg(bytes(good))
+    with _pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"nope")
+
+
+def test_jpeg_through_spark_real_kernel(spark):
+    """decode_image_features routes JPEG by magic; brightness within the
+    lossy tolerance of the source mean."""
+    import numpy as np
+
+    from ecommerce_analytics_platform_spark.functions import jpeg
+    from ecommerce_analytics_platform_spark.functions.multimodal import (
+        decode_image_features,
+    )
+
+    img = np.full((16, 16, 3), 120, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg.encode_jpeg(img, quality=90)))],
+        "media_id long, content binary",
+    )
+    row = decode_image_features(df, kernel="real").collect()[0]
+    assert (row["width"], row["height"]) == (16, 16)
+    assert abs(row["mean_brightness"] - 120 / 255.0) < 0.01
