@@ -4489,6 +4489,64 @@ FROM est e JOIN exact x ON e.win_day = x.day
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge TRAINING (operators/bpe.py — Sennrich 2016):
+    learn the top-3 merges from the documents corpus. One corpus-sized
+    word-count shuffle, then vocab-local rounds (pair stats + greedy
+    fold); the oracle unrolls the identical loop in DuckDB (list_reduce
+    fold, same count-desc/lexicographic tie-break), so the learned merge
+    table hash-matches cross-engine — the pagerank iterative-twin
+    pattern. k=3 keeps the SQL unroll readable; the operator takes any k."""
+    from ecommerce_analytics_platform_spark.operators.bpe import bpe_train
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("text"))
+    merges_df, _ = bpe_train(docs, "text", k_merges=3)
+    return merges_df
+
+
+def _bpe_round_sql(n: int) -> str:
+    """One unrolled training round: pair stats over r{n-1}, top-1 pick,
+    greedy fold producing r{n}."""
+    sep = "chr(31)"
+    last = f"string_split(acc, {sep})[-1]"
+    return f"""
+p{n} AS (
+    SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+    FROM (SELECT string_split(state, {sep}) AS s, cnt,
+                 unnest(generate_series(1, len(string_split(state, {sep})) - 1)) AS i
+          FROM r{n - 1})
+    GROUP BY 1, 2
+), b{n} AS (
+    SELECT l, r, c FROM p{n} ORDER BY c DESC, l, r LIMIT 1
+), r{n} AS (
+    SELECT w, cnt,
+           list_reduce(string_split(state, {sep}), (acc, x) ->
+               CASE WHEN {last} = b{n}.l AND x = b{n}.r
+                    THEN substr(acc, 1, length(acc) - length({last})) || b{n}.l || b{n}.r
+                    ELSE acc || {sep} || x END) AS state
+    FROM r{n - 1} CROSS JOIN b{n}
+)"""
+
+
+SQL_BPE_MERGES = r"""
+WITH toks AS (
+    SELECT lower(unnest(string_split_regex(trim(text), '\s+'))) AS w
+    FROM documents WHERE trim(text) <> ''
+), words AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+), r0 AS (
+    SELECT w, cnt,
+           rtrim(regexp_replace(w, '(.)', '\1' || chr(31), 'g'), chr(31)) AS state
+    FROM words
+),""" + ",".join(_bpe_round_sql(n) for n in (1, 2, 3)) + r"""
+SELECT merge_rank, left_sym, right_sym, pair_cnt FROM (
+    SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym, c AS pair_cnt FROM b1
+    UNION ALL SELECT 2, l, r, c FROM b2
+    UNION ALL SELECT 3, l, r, c FROM b3
+)
+"""
+
+
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-prep FUNNEL as one relation: how many documents survive
     each stage of the standard pretraining pipeline — raw → train split
@@ -5584,6 +5642,8 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # composition proof: each stage reuses the SAME predicate its
     # standalone oracled query verifies
     "corpus_funnel": (q_corpus_funnel, _corpus_funnel_sql()),
+    # iterative trainer: oracle unrolls the same 3 rounds (pagerank pattern)
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
 }
 
 # ---------------------------------------------------------------------------
