@@ -64,20 +64,36 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    doc = json.dumps(
+    sf_val = float(sf) if sf != "?" else sf
+    # Full per-query detail goes to BENCH_LOCAL.json only. The driver
+    # captures a bounded TAIL of stdout — r4 and r5 both recorded
+    # "parsed": null because the 126-entry per-query map pushed the line
+    # past that window (the captured tail started mid-word). The stdout
+    # line must stay compact: total + sf + count, nothing per-query.
+    full = json.dumps(
         {
             "metric": "total_query_wall_clock",
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "sf": float(sf) if sf != "?" else sf,
+            "sf": sf_val,
         }
     )
-    # JSON first (before spark.stop() can emit shutdown noise), flushed,
-    # and mirrored to a file next to this script.
-    print(doc, flush=True)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
-        f.write(doc + "\n")
+        f.write(full + "\n")
+    compact = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "queries": {"total": total},
+        }
+    )
+    # JSON last thing on stdout (before spark.stop() can emit shutdown
+    # noise), flushed.
+    print(compact, flush=True)
     spark.stop()
 
 

@@ -338,9 +338,17 @@ def dds_quantiles(
 ) -> DataFrame:
     """Quantile estimates from a DDSketch bin relation: for each q, the
     smallest bin whose cumulative count reaches ``ceil(q·n)``, mapped back
-    to the bin midpoint 2γ^b/(γ+1). Output ``(group..., q, n, dds_est)``.
+    to the bin midpoint 2γ^b/(γ+1). Output ``(group..., q, n, bin,
+    dds_est)`` — ``bin`` is the exact integer the estimate derives from.
     One window over the (bounded) bin relation + a broadcast of the
-    quantile list — never a sort of the raw data."""
+    quantile list — never a sort of the raw data.
+
+    ``dds_est`` is rounded via the decimal domain (round 6dp →
+    DECIMAL(18,6) → round ``round_digits`` → double): a double rounded
+    directly at 4dp can land on a shortest-repr half boundary where
+    Spark's HALF_UP-on-repr and a C-round engine disagree; the two-stage
+    decimal path makes the final double an exact 4-digit value both
+    engines produce bit-identically."""
     g = dds_gamma(alpha)
     coef = 2.0 / (g + 1.0)
     w = Window.partitionBy(*group_cols).orderBy("bin")
@@ -354,8 +362,9 @@ def dds_quantiles(
         .groupBy(*group_cols, "q", "n")
         .agg(F.min("bin").alias("bin"))
     )
-    est = F.round(F.lit(coef) * F.pow(F.lit(g), F.col("bin")), round_digits)
-    return sel.select(*group_cols, "q", "n", est.alias("dds_est"))
+    est6 = F.round(F.lit(coef) * F.pow(F.lit(g), F.col("bin")), 6).cast("decimal(18,6)")
+    est = F.round(est6, round_digits).cast("double")
+    return sel.select(*group_cols, "q", "n", "bin", est.alias("dds_est"))
 
 
 def kmv_build(

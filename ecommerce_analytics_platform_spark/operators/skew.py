@@ -65,12 +65,17 @@ def skewed_count_distinct(
     shuffle spreads over the full composite key, no hot partition — then
     stage 2 counts per key, where map-side combine collapses each task's
     rows to one partial per key before the (now tiny) key shuffle.
+
+    Stage 2 counts ``F.count(col)`` — NOT ``count(*)`` — because the
+    distinct keeps a (key, NULL) row that countDistinct would ignore;
+    counting the column itself skips it, matching countDistinct exactly
+    (including 0 for an all-NULL key).
     """
     return (
         df.select(*keys, col)
         .distinct()
         .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias(out_col))
+        .agg(F.count(F.col(col)).alias(out_col))
     )
 
 

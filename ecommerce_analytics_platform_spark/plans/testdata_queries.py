@@ -3577,14 +3577,34 @@ FROM q
 LM_BROADCAST_MAX_ROWS = 2_000_000
 
 
+_LM_PINNED: list[DataFrame] = []
+
+
+def _release_lm_pinned() -> None:
+    """Unpersist count tables pinned by the PREVIOUS LM-query invocation.
+
+    ``_bounded_broadcast`` persists so its sizing count doubles as cache
+    materialization for the join — but the consuming action is the
+    caller's, so the function itself can never unpersist. Query functions
+    call this on entry: the previous invocation's tables are released
+    (its action long finished) while the current one's stay live for the
+    caller, bounding pinned executor storage to ≤ 3 count tables instead
+    of growing across registry sweeps / bench repetitions."""
+    while _LM_PINNED:
+        _LM_PINNED.pop().unpersist(False)
+
+
 def _bounded_broadcast(df: DataFrame, max_rows: int | None = None) -> DataFrame:
     """Broadcast ``df`` only if its (materialized) row count is under the
     cap; above it, pin a sort-merge hint — the counted size is ground
     truth, so the hint also overrides Catalyst's estimate-based
     auto-broadcast (which would happily broadcast a "small-looking"
-    multi-GB count table built from a mis-estimated aggregate)."""
+    multi-GB count table built from a mis-estimated aggregate). The
+    persisted df is tracked in ``_LM_PINNED`` and released by the next
+    ``_release_lm_pinned()`` call."""
     cap = LM_BROADCAST_MAX_ROWS if max_rows is None else max_rows
     df = df.persist()
+    _LM_PINNED.append(df)
     return F.broadcast(df) if df.count() <= cap else df.hint("merge")
 
 
@@ -3604,6 +3624,7 @@ def q_unigram_logprob(
     of map-side-combined partials. Per-token ln is rounded to 6dp then
     decimal-summed so the per-doc aggregate is summation-order-independent
     cross-engine (same recipe as tfidf_topk's idf)."""
+    _release_lm_pinned()
     docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).select(
         "doc_id", F.lower("tok").alias("term")
@@ -3661,6 +3682,7 @@ def q_bigram_logprob(
     scan-local zip of two array slices (no window/lag shuffle). Both
     count-table joins are size-guarded (``_bounded_broadcast``) — bigram
     cardinality grows ~vocab², so the broadcast path is never assumed."""
+    _release_lm_pinned()
     docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select(
         "doc_id", F.transform(tokens(F.col("text")), lambda t: F.lower(t)).alias("t")
@@ -5317,7 +5339,13 @@ def q_dds_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin reproduces bins, ranks AND estimates exactly; ``err_ok``
     pins the α-relative-error guarantee against the exact interpolated
     percentile (F.percentile ≙ quantile_cont, the established pair from
-    percentile_stats)."""
+    percentile_stats).
+
+    Hash-robustness (the r5 red row): the exact integer ``bin`` is
+    emitted, and both ``dds_est`` and ``exact_p`` go through the
+    two-stage decimal round (round 6dp → DECIMAL(18,6) → round 4dp →
+    double) so the hashed doubles are exact 4-digit values with a unique
+    shortest repr — no HALF_UP-on-repr vs C-round boundary can exist."""
     from ecommerce_analytics_platform_spark.operators.membership import (
         dds_build,
         dds_quantiles,
@@ -5328,7 +5356,14 @@ def q_dds_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = dds_quantiles(bins, ["o_orderpriority"], _DDS_QS, _DDS_ALPHA)
     exact = orders.groupBy("o_orderpriority").agg(
         *[
-            F.round(F.percentile(F.col("o_totalprice"), F.lit(q)), 4).alias(f"e{i}")
+            F.round(
+                F.round(F.percentile(F.col("o_totalprice"), F.lit(q)), 6).cast(
+                    "decimal(18,6)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias(f"e{i}")
             for i, q in enumerate(_DDS_QS)
         ]
     )
@@ -5342,6 +5377,7 @@ def q_dds_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "q",
         "n",
+        "bin",
         "dds_est",
         "exact_p",
         (F.abs((F.col("dds_est") - F.col("exact_p")) / F.col("exact_p")) <= 0.06).alias(
@@ -5360,7 +5396,8 @@ def _dds_quantiles_sql() -> str:
     qlist = ", ".join(repr(q) for q in _DDS_QS)
     exact_parts = "\n    UNION ALL ".join(
         f"SELECT o_orderpriority, CAST({q} AS DOUBLE) AS q, "
-        f"round(quantile_cont(o_totalprice, {q}), 4) AS exact_p "
+        f"CAST(round(CAST(round(quantile_cont(o_totalprice, {q}), 6) "
+        f"AS DECIMAL(18,6)), 4) AS DOUBLE) AS exact_p "
         f"FROM orders GROUP BY o_orderpriority"
         for q in _DDS_QS
     )
@@ -5385,10 +5422,12 @@ WITH bins AS (
 ), exact AS (
     {exact_parts}
 )
-SELECT s.o_orderpriority, s.q, s.n,
-       round({coef} * pow({g!r}, s.bin), 4) AS dds_est,
+SELECT s.o_orderpriority, s.q, s.n, s.bin,
+       CAST(round(CAST(round({coef} * pow({g!r}, s.bin), 6) AS DECIMAL(18,6)), 4)
+            AS DOUBLE) AS dds_est,
        e.exact_p,
-       (abs((round({coef} * pow({g!r}, s.bin), 4) - e.exact_p) / e.exact_p) <= 0.06) AS err_ok
+       (abs((CAST(round(CAST(round({coef} * pow({g!r}, s.bin), 6) AS DECIMAL(18,6)), 4)
+                  AS DOUBLE) - e.exact_p) / e.exact_p) <= 0.06) AS err_ok
 FROM sel s JOIN exact e ON s.o_orderpriority = e.o_orderpriority AND s.q = e.q
 """
 

@@ -198,8 +198,14 @@ class ManifestTable:
             lambda _base, m: ((m["files"] if m else []) + files, self._base_txns(m))
         )
 
+    _UNSET = object()
+
     def replace_partitions(
-        self, df: DataFrame, partition_by: list[str], txn_id: str | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        txn_id: str | None = None,
+        expected_base=_UNSET,
     ) -> int:
         """replaceWhere-style commit: partitions present in ``df`` are
         replaced, all other files carry over UNTOUCHED — and because the
@@ -216,8 +222,18 @@ class ManifestTable:
         ``txn_id`` (optional) makes the replace exactly-once like
         :meth:`append_once` — a re-delivered foreachBatch re-replace of
         the same partitions is a no-op (Delta's ``txnAppId`` generalizes
-        across commit classes the same way)."""
-        expected_base = self.latest_version()
+        across commit classes the same way).
+
+        ``expected_base`` (optional) is the version ``df`` was DERIVED
+        from: conflict detection covers every commit in (expected_base,
+        commit_base]. When the caller read a snapshot earlier (e.g.
+        :meth:`merge_delete_insert`'s anti-join input), it MUST pass the
+        version it read — re-resolving ``latest_version()`` here would
+        leave commits landing between that read and this call invisible
+        to ``_touched_since`` (a TOCTOU lost-update window). Defaults to
+        the current latest for callers whose ``df`` is snapshot-free."""
+        if expected_base is self._UNSET:
+            expected_base = self.latest_version()
         staged: list[list[str]] = []
 
         def apply(base, m):
@@ -351,44 +367,92 @@ class ManifestTable:
         union the batch, commit via :meth:`replace_partitions`. Readers of
         the pre-merge snapshot are never disturbed; the partition-stable
         key contract matches operators/incremental.py. ``txn_id`` gives
-        foreachBatch exactly-once (duplicate delivery → no-op)."""
-        if txn_id is not None:
-            base = self.latest_version()
-            if base is not None and txn_id in self._read_manifest(base).get("txns", []):
-                return base
-        if self.latest_version() is None:
-            files = self._write_files(new_batch, partition_by)
-            return self._publish(
-                lambda _base, m: (
-                    (m["files"] if m else []) + files,
-                    self._base_txns(m) + ([txn_id] if txn_id else []),
-                )
+        foreachBatch exactly-once (duplicate delivery → no-op).
+
+        The version the anti-join READ is pinned and handed to
+        :meth:`replace_partitions` as ``expected_base``, so a commit
+        landing between the read and the publish is inside the conflict
+        window (not silently overwritten) — on conflict the merge
+        RE-DERIVES against the new snapshot and retries (bounded), the
+        standard OCC MERGE loop. The empty-table init path checks
+        ``txn_id`` INSIDE the publish loop and falls through to the
+        normal merge path if a concurrent first-commit wins the race (so
+        overlapping keys from two racing initial batches still anti-join
+        instead of double-appending)."""
+
+        class _InitRace(Exception):
+            pass
+
+        last_conflict: ConcurrentWriteConflict | None = None
+        for _attempt in range(5):
+            read_version = self.latest_version()
+            if read_version is None:
+                staged: list[list[str]] = []
+
+                def apply(base, m):
+                    if base is not None:
+                        raise _InitRace()  # lost the init race → merge path
+                    if not staged:
+                        staged.append(self._write_files(new_batch, partition_by))
+                    return staged[0], ([txn_id] if txn_id else [])
+
+                try:
+                    return self._publish(apply)
+                except _InitRace:
+                    continue
+            if txn_id is not None and txn_id in self._read_manifest(read_version).get(
+                "txns", []
+            ):
+                return read_version
+            part_vals = new_batch.select(*partition_by).distinct().collect()
+            if not part_vals:
+                return read_version
+            import functools
+
+            pred = functools.reduce(
+                lambda a, b: a | b,
+                [
+                    functools.reduce(
+                        lambda a, b: a & b,
+                        [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+                    )
+                    for r in part_vals
+                ],
             )
-        part_vals = new_batch.select(*partition_by).distinct().collect()
-        if not part_vals:
-            return self.latest_version()
-        import functools
-
-        pred = functools.reduce(
-            lambda a, b: a | b,
-            [
-                functools.reduce(
-                    lambda a, b: a & b,
-                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+            target = self.read(read_version)
+            affected = target.filter(pred)
+            keys = new_batch.select(*unique_key).distinct()
+            kept = affected.join(F.broadcast(keys), on=unique_key, how="left_anti")
+            merged = kept.select(*new_batch.columns).unionByName(new_batch)
+            try:
+                return self.replace_partitions(
+                    merged, partition_by, txn_id=txn_id, expected_base=read_version
                 )
-                for r in part_vals
-            ],
-        )
-        target = self.read()
-        affected = target.filter(pred)
-        keys = new_batch.select(*unique_key).distinct()
-        kept = affected.join(F.broadcast(keys), on=unique_key, how="left_anti")
-        merged = kept.select(*new_batch.columns).unionByName(new_batch)
-        return self.replace_partitions(merged, partition_by, txn_id=txn_id)
+            except ConcurrentWriteConflict as e:
+                last_conflict = e  # stale read → re-derive on the new snapshot
+        raise last_conflict or ConcurrentWriteConflict("merge retries exhausted")
 
-    def vacuum(self, keep_versions: int = 1) -> int:
+    def vacuum(self, keep_versions: int = 1, tmp_grace_sec: float = 3600.0) -> int:
         """Delete data files unreferenced by the newest ``keep_versions``
-        manifests (and drop older manifests). Returns files removed."""
+        manifests (and drop older manifests). Returns files removed.
+
+        Also reclaims ``*.tmp`` manifest files older than
+        ``tmp_grace_sec``: a writer crashing between ``os.link`` and
+        ``os.unlink(tmp)`` (or before the link) strands its tmp file, and
+        nothing else references it. The grace period keeps vacuum from
+        yanking a tmp an in-flight commit is about to link."""
+        import time
+
+        if os.path.isdir(self.manifest_dir):
+            now = time.time()
+            for fn in os.listdir(self.manifest_dir):
+                if fn.endswith(".tmp"):
+                    p = os.path.join(self.manifest_dir, fn)
+                    try:
+                        if now - os.path.getmtime(p) > tmp_grace_sec:
+                            os.unlink(p)
+                    except FileNotFoundError:
+                        pass  # the owning writer just cleaned it up
         vs = self._versions()
         if not vs:
             return 0

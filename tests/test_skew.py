@@ -92,9 +92,16 @@ def test_skewed_count_distinct_matches_plain(spark):
     from ecommerce_analytics_platform_spark.operators.skew import skewed_count_distinct
 
     df = spark.range(5000).select(
-        # hot key: 40% of rows on key 1; duplicates of the value column
-        F.when(F.col("id") % 5 < 2, F.lit(1)).otherwise(F.col("id") % 37).alias("k"),
-        (F.col("id") % 997).alias("v"),
+        # hot key: 40% of rows on key 1; duplicates of the value column;
+        # NULLs sprinkled in (countDistinct ignores them) plus an all-NULL
+        # key 999 (countDistinct reports 0, not 1)
+        F.when(F.col("id") % 5 < 2, F.lit(1))
+        .when(F.col("id") % 11 == 0, F.lit(999))
+        .otherwise(F.col("id") % 37)
+        .alias("k"),
+        F.when((F.col("id") % 7 == 0) | (F.col("id") % 11 == 0), F.lit(None))
+        .otherwise(F.col("id") % 997)
+        .alias("v"),
     )
     got = {
         (r["k"], r["n_distinct"])
