@@ -1509,6 +1509,154 @@ FROM f, unnest(generate_series(0, n_frames - 1)) AS t(i)
 """
 
 
+def q_video_frames_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, oracle-checked end to end (the r5 GIF codec
+    under the driver's hash for the first time): per doc a multi-frame
+    animated GIF is ENCODED (frame count/dims/solid colors from doc_id
+    arithmetic, 0.25 s per frame) with the pure-numpy LZW codec
+    (functions/codecs.py::encode_gif), then the REAL sampling kernel
+    (functions/multimodal.py::sample_video_frames, kernel="real")
+    decodes it — LZW decode, palette lookup, compositing, Graphic
+    Control delay accumulation — and samples every 0.5 s, i.e. every
+    second frame. DuckDB predicts sampled indices, timestamps, PPM
+    re-encode sizes AND per-frame mean brightness purely arithmetically,
+    so a hash match proves the whole encode→decode→sample→re-encode
+    chain bit-exact. Colors are multiples of 51 so mean/255 lands on
+    exact fifths (no cross-engine round ambiguity); timestamps are exact
+    binary fractions (i/4)."""
+    from ecommerce_analytics_platform_spark.functions.multimodal import (
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ecommerce_analytics_platform_spark.functions import codecs
+
+        for pdf in batches:
+            content = []
+            for did in pdf["doc_id"]:
+                n, w, h = 1 + did % 4, 2 + did % 3, 2 + did % 2
+                frames = np.stack(
+                    [
+                        np.full((h, w, 3), 51 * ((did + i) % 6), dtype=np.uint8)
+                        for i in range(n)
+                    ]
+                )
+                content.append(codecs.encode_gif(frames, delay_cs=25))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": content})
+
+    media = docs.mapInPandas(gen, "media_id long, content binary")
+    frames = sample_video_frames(media, every_n_seconds=0.5, kernel="real")
+
+    def feat(batches):
+        import pandas as pd
+
+        from ecommerce_analytics_platform_spark.functions import codecs
+
+        for pdf in batches:
+            sizes, means = [], []
+            for b in pdf["content"]:
+                arr = codecs.decode_ppm(bytes(b))
+                sizes.append(len(b))
+                means.append(round(float(arr.mean()) / 255.0, 6))
+            out = pdf[["media_id", "frame_idx", "frame_ts_sec"]].copy()
+            out["frame_bytes"] = sizes
+            out["mean_brightness"] = means
+            yield out
+
+    return frames.mapInPandas(
+        feat,
+        "media_id long, frame_idx int, frame_ts_sec double, "
+        "frame_bytes int, mean_brightness double",
+    )
+
+
+SQL_VIDEO_FRAMES_GIF = """
+WITH d AS (
+    SELECT doc_id AS media_id,
+           1 + doc_id % 4 AS n_frames,
+           CAST(2 + doc_id % 3 AS BIGINT) AS w,
+           CAST(2 + doc_id % 2 AS BIGINT) AS h
+    FROM documents
+), f AS (
+    SELECT media_id, w, h, unnest(generate_series(0, n_frames - 1)) AS i
+    FROM d
+)
+SELECT media_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i AS DOUBLE) * 0.25 AS frame_ts_sec,
+       CAST(11 + 3 * w * h AS INT) AS frame_bytes,
+       round(51 * ((media_id + i) % 6) / 255.0, 6) AS mean_brightness
+FROM f WHERE i % 2 = 0
+"""
+
+
+def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG round trip, oracle-checked (functions/jpeg.py —
+    573 LoC of pure-numpy DCT/quantization/Huffman that no oracle query
+    exercised in r5): per doc a two-band grayscale image (8×8-block-
+    aligned bands, gray levels from doc_id arithmetic) is encoded at
+    quality 90 and decoded back. Dims and source grays are exact
+    integers DuckDB predicts arithmetically; lossiness is pinned by the
+    quantization-bounded contract ``max_err_ok`` (block-constant content
+    round-trips within ±3 of the DC quantization step; measured 0 —
+    tests/test_multimodal.py::test_jpeg_roundtrip_tolerances bounds the
+    same at ≤1 for constant RGB). A codec regression flips the booleans
+    and fails the hash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def rt(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ecommerce_analytics_platform_spark.functions import jpeg
+
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "orig_gray": [],
+                "jpeg_ok": [],
+                "max_err_ok": [],
+            }
+            for did in pdf["doc_id"]:
+                w, h = 16 + 8 * (did % 3), 8 * (1 + did % 2)
+                g = 16 + 8 * (did % 25)
+                img = np.full((h, w), g, dtype=np.uint8)
+                img[:, 8:] = g + 32  # band edge on a block boundary
+                dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+                max_err = int(np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max())
+                rows["media_id"].append(did)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["orig_gray"].append(int(g))
+                rows["jpeg_ok"].append(dec.shape == (h, w, 1))
+                rows["max_err_ok"].append(max_err <= 3)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        rt,
+        "media_id long, width int, height int, orig_gray int, "
+        "jpeg_ok boolean, max_err_ok boolean",
+    )
+
+
+SQL_JPEG_ROUNDTRIP = """
+SELECT doc_id AS media_id,
+       CAST(16 + 8 * (doc_id % 3) AS INT) AS width,
+       CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+       CAST(16 + 8 * (doc_id % 25) AS INT) AS orig_gray,
+       true AS jpeg_ok,
+       true AS max_err_ok
+FROM documents
+"""
+
+
 def q_product_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static product catalog (reference producers/product_list.py:15-39,
     seed=894 — behavioral port in fixtures/catalog.py) rolled up per
@@ -5652,6 +5800,11 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
+    # r6: the REAL GIF decode/sample path and the baseline JPEG codec,
+    # both with fully arithmetic oracles (r5 shipped the codecs but no
+    # oracle query reached them)
+    "video_frames_gif": (q_video_frames_gif, SQL_VIDEO_FRAMES_GIF),
+    "jpeg_roundtrip": (q_jpeg_roundtrip, SQL_JPEG_ROUNDTRIP),
     "product_catalog": (q_product_catalog, _product_catalog_sql()),
     # portable-hash sketches: the ENTIRE structure (false positives /
     # collision overcounts included) is deterministic and reproduced
@@ -5694,6 +5847,15 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 # order. check_parity.py still verifies ALL entries regardless of order.
 # ---------------------------------------------------------------------------
 
+# r6 rotation (VERDICT r5 #5): families that never appeared in the
+# driver's 50-row hard signal — BPE, simhash, span-dedup, incremental
+# near-dup, analytics (cohort_retention), window frames, and the two new
+# codec queries — swapped in for redundant near-family rows (pairs vs
+# clusters, ivf vs lsh, history vs merge, centroids vs ncc, two of six
+# sketch rows, running_total vs window_frames, image_features vs the GIF
+# path that re-encodes/decodes PPM anyway). Every registry query is
+# still parity-verified by scripts/check_parity.py regardless of window
+# membership.
 _DRIVER_WINDOW = [
     # reference core models
     "pricing_summary", "daily_kpis", "daily_funnel", "session_rollup",
@@ -5702,24 +5864,23 @@ _DRIVER_WINDOW = [
     # text analysis
     "token_stats", "language_id", "quality_filter",
     # dedup family
-    "exact_dedup", "minhash_signatures", "neardup_pairs",
-    "neardup_clusters", "semantic_dedup",
+    "exact_dedup", "minhash_signatures", "neardup_clusters",
+    "semantic_dedup", "simhash", "span_dedup", "incremental_neardup",
     # embeddings / ANN / centroids
-    "cosine_topk", "embedding_neardup", "ann_lsh", "ann_ivf",
-    "embedding_centroids", "nearest_centroid",
+    "cosine_topk", "embedding_neardup", "ann_lsh", "nearest_centroid",
     # temporal joins + windows
-    "asof_join", "range_join", "running_total",
-    # OLAP shapes
-    "sales_cube", "event_pivot",
+    "asof_join", "range_join", "window_frames",
+    # OLAP shapes + analytics
+    "sales_cube", "event_pivot", "cohort_retention",
     # SCD2 / CDC
-    "scd2_history", "scd2_merge", "cdc_apply",
+    "scd2_merge", "cdc_apply",
     # graph
     "pagerank", "label_prop", "triangle_count",
     # sketches
-    "bloom_filter", "heavy_hitters", "portable_hll", "dds_quantiles",
-    "kmv_intersect", "approx_sketches",
-    # attribution / LM / multimodal
-    "attribution", "unigram_logprob", "image_features", "audio_features",
+    "portable_hll", "dds_quantiles", "kmv_intersect", "approx_sketches",
+    # attribution / LM / BPE / multimodal
+    "attribution", "unigram_logprob", "bpe_merges", "audio_features",
+    "video_frames_gif", "jpeg_roundtrip",
     # corpus prep / layout / skew / fixtures
     "sequence_pack", "corpus_funnel", "zorder_key", "salted_rollup",
     "product_catalog",
