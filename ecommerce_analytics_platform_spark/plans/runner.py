@@ -220,6 +220,65 @@ def assert_expression(df: DataFrame, sql_expr: str) -> int:
     return df.filter(~F.expr(sql_expr)).count()
 
 
+def assert_source_freshness(
+    df: DataFrame,
+    loaded_at_col: str,
+    warn_after_sec: float,
+    error_after_sec: float,
+    now=None,
+) -> str:
+    """dbt ``source freshness`` — lag of ``max(loaded_at)`` against now,
+    classified pass/warn/error. One max-aggregate per source (no full
+    scan beyond the column; parquet column stats make this cheap).
+    ``now`` is injectable for tests; defaults to the current UTC time.
+    An EMPTY source is 'error' (nothing ever loaded — infinitely stale),
+    matching dbt's treatment of a NULL max loaded_at."""
+    import datetime
+
+    row = df.agg(F.max(F.col(loaded_at_col)).alias("m")).collect()[0]
+    if row["m"] is None:
+        return "error"
+    if now is None:
+        now = datetime.datetime.now(datetime.timezone.utc)
+    loaded = row["m"]
+    if loaded.tzinfo is None:
+        loaded = loaded.replace(tzinfo=datetime.timezone.utc)
+    lag = (now - loaded).total_seconds()
+    if lag > error_after_sec:
+        return "error"
+    if lag > warn_after_sec:
+        return "warn"
+    return "pass"
+
+
+_DAY = 86400.0
+
+# (table, loaded_at, warn_after_sec, error_after_sec) — the reference's
+# drafted-but-disabled source freshness contract, schema.yml:3-111 (every
+# source: loaded_at=pipeline_ingested_at, warn 1 day, error 2 days).
+# stg_clickstream_sessions is omitted: it is a pure rollup of stg_events
+# with no lineage column of its own (its freshness IS the events table's).
+FRESHNESS_CONTRACT = [
+    ("bronze.clickstream", "pipeline_ingested_at", 1 * _DAY, 2 * _DAY),
+    ("bronze.orders", "pipeline_ingested_at", 1 * _DAY, 2 * _DAY),
+    ("staging.stg_clickstream_events", "pipeline_ingested_at", 1 * _DAY, 2 * _DAY),
+    ("staging.stg_orders", "pipeline_ingested_at", 1 * _DAY, 2 * _DAY),
+]
+
+
+def run_freshness(wh: Warehouse, now=None) -> dict[str, str]:
+    """Evaluate :data:`FRESHNESS_CONTRACT` against the warehouse —
+    ``dbt source freshness`` for the lakehouse. Missing tables report
+    'error' (a source that was never loaded is the stalest possible)."""
+    out: dict[str, str] = {}
+    for table, col, warn_s, err_s in FRESHNESS_CONTRACT:
+        if not wh.exists(table):
+            out[table] = "error"
+            continue
+        out[table] = assert_source_freshness(wh.read(table), col, warn_s, err_s, now=now)
+    return out
+
+
 def run_tests(wh: Warehouse) -> dict[str, int]:
     """Port of the schema.yml test contract; returns failures per test id
     (all zeros = green). Mirrors ``dbt test`` at dbt_runner.py:66-69,88-91."""

@@ -87,6 +87,14 @@ class ManifestTable:
         with open(os.path.join(self.manifest_dir, f"v{version}.json")) as f:
             return json.load(f)
 
+    def has_txn(self, txn_id: str) -> bool:
+        """Whether the CURRENT snapshot already carries ``txn_id`` — the
+        cheap pre-check that lets a caller skip recomputing an expensive
+        input entirely (the in-loop txn checks still guarantee
+        exactly-once if the caller commits anyway)."""
+        v = self.latest_version()
+        return v is not None and txn_id in self._read_manifest(v).get("txns", [])
+
     def _publish(self, apply_fn) -> int:
         """Optimistic-concurrency commit loop.
 

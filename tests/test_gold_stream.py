@@ -86,6 +86,12 @@ def gold_env(spark, tmp_path_factory):
         "metrics_product_performance_daily": M.metrics_product_performance_daily(
             foi, fo, fe
         ),
+        # r6: the gold dims (same adversarial fixture — late events can
+        # retake a session's first row / extend the calendar spine)
+        "dim_date": cal,
+        "dim_users": M.dim_users(fe, fo),
+        "dim_products": M.dim_products(foi),
+        "dim_session_context": M.dim_session_context(fe),
     }
     return {"gold_root": gold_root, "truth": truth, "raw": str(raw),
             "wh_root": wh_root, "ckpt": ckpt}
@@ -98,6 +104,10 @@ def gold_env(spark, tmp_path_factory):
         ("metrics_daily_funnel", ()),
         ("metrics_user_lifecycle", ("u_bucket",)),
         ("metrics_product_performance_daily", ()),
+        ("dim_date", ()),
+        ("dim_users", ("u_bucket",)),
+        ("dim_products", ("p_bucket",)),
+        ("dim_session_context", ("s_bucket",)),
     ],
 )
 def test_streaming_gold_converges_to_batch(spark, gold_env, table, drop):

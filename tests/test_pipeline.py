@@ -143,3 +143,28 @@ def test_corrupt_ndjson_lines_do_not_poison_ingest(spark, tmp_path):
     assert df.count() == 4                      # no rows error out the job
     # the garbage line AND the truncated e2 line parse to all-null rows
     assert {r["event_id"] for r in ok.collect()} == {"e1", "e3"}
+
+
+def test_source_freshness_contract(spark, data_lake, result):
+    """dbt source-freshness analog (reference schema.yml:3-111, drafted
+    but disabled there): fresh loads pass, and a stale clock trips
+    warn then error at the contract thresholds."""
+    import datetime
+
+    from ecommerce_analytics_platform_spark.plans.runner import run_freshness
+    from ecommerce_analytics_platform_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(data_lake / "warehouse"))
+    now = datetime.datetime.now(datetime.timezone.utc)
+
+    # just-loaded warehouse: everything fresh
+    assert set(run_freshness(wh, now=now).values()) == {"pass"}
+
+    # 1-2 days later: warn on every source; past 2 days: error
+    day = datetime.timedelta(days=1)
+    assert set(run_freshness(wh, now=now + day + day / 2).values()) == {"warn"}
+    assert set(run_freshness(wh, now=now + 3 * day).values()) == {"error"}
+
+    # a source that was never loaded is infinitely stale
+    empty_wh = Warehouse(spark, str(data_lake / "warehouse_missing"))
+    assert set(run_freshness(empty_wh, now=now).values()) == {"error"}
