@@ -48,15 +48,30 @@ def get_spark(
     if cluster:
         builder = SparkSession.builder.appName(app_name)
     else:
+        # SPARK_GRAFT_MASTER lets the test/parity harness run the SAME
+        # code under local-cluster[n,c,mem] — real executor processes
+        # (serialization, broadcast transport, shuffle fetch) that
+        # single-JVM local mode hides.
         builder = (
             SparkSession.builder.appName(app_name)
-            .master(master or f"local[{cores}]")
+            .master(master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]"))
             .config(
                 "spark.sql.shuffle.partitions",
                 str(shuffle_partitions or max(2 * cores, 32)),
             )
             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
             .config("spark.ui.enabled", "false")
+            # Executor Python workers must import this package. Single-JVM
+            # local mode hides the need (workers inherit the driver's cwd);
+            # local-cluster / standalone executors launch elsewhere and
+            # every mapInPandas UDF dies with ModuleNotFoundError (found by
+            # the r6 local-cluster parity run). Real clusters ship a zip
+            # via --py-files (deploy.py); for local modes the repo root on
+            # the executors' PYTHONPATH is the equivalent.
+            .config(
+                "spark.executorEnv.PYTHONPATH",
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
         )
     builder = (
         builder

@@ -196,6 +196,14 @@ def probes(spark, sf_dir: str):
                   (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e")),
         ["user_id"], "s", "e",
     )
+    # r6 (VERDICT r5 #8): BPE training — one corpus-wide word-count
+    # shuffle, then k vocab-local pair-count rounds whose input is the
+    # (bounded) distinct-word relation, NOT the corpus. Expected shape:
+    # the word-count shuffle scales ~linearly; the rounds scale with
+    # VOCAB growth (sub-linear in corpus rows).
+    from ecommerce_analytics_platform_spark.operators.bpe import bpe_train
+
+    yield "bpe_train_3rounds", lambda: bpe_train(dc, "text", 3)[0]
 
 
 def vocab_growth_probe(spark) -> dict[str, float]:
@@ -248,6 +256,72 @@ def vocab_growth_probe(spark) -> dict[str, float]:
     spark.catalog.clearCache()
     out["unigram_broadcast_join"] = timed(lambda: unigram(50_000_000))
     spark.catalog.clearCache()
+    return out
+
+
+def gold_cadence_probe(spark) -> dict[str, float]:
+    """r6 (VERDICT r5 #8): streaming gold per-micro-batch cost must scale
+    with the BATCH footprint, not warehouse history size — that is the
+    whole point of the affected-date / touched-key replay design.
+
+    Method: prime two warehouses — 1× (100 sessions, ~3 event dates) and
+    64× (6400 sessions spread over ~128 days of starts, so date
+    partitions actually prune) — then stream the SAME fixed 40-session
+    batch (fresh dates, fresh sessions) through ``start_continuous_gold``
+    against each and time that second run only. Flat ratio = the pruned
+    replay contract holds; a ratio tracking 64× = a full-table recompute
+    hiding somewhere."""
+    import shutil
+    from datetime import datetime, timedelta
+
+    from ecommerce_analytics_platform_spark.fixtures.generator import generate_fixture
+    from ecommerce_analytics_platform_spark.plans import models as M
+    from ecommerce_analytics_platform_spark.sources.ndjson import (
+        enrich_orders,
+        read_orders_raw,
+        write_ndjson_fixture,
+    )
+    from ecommerce_analytics_platform_spark.sources.warehouse import Warehouse
+    from ecommerce_analytics_platform_spark.streaming.gold import start_continuous_gold
+
+    out: dict[str, float] = {}
+    for label, n_tranches in (("1x", 1), ("64x", 64)):
+        root = os.path.join(OUT_DIR, f"gold_cadence_{label}")
+        shutil.rmtree(root, ignore_errors=True)
+        raw = os.path.join(root, "raw")
+        wh_root = os.path.join(root, "wh")
+        gold_root = os.path.join(root, "gold")
+        ckpt = os.path.join(root, "ckpt")
+
+        all_orders: list[dict] = []
+        for tr in range(n_tranches):
+            ev_tr, ord_tr = generate_fixture(
+                seed=700 + tr, n_sessions=100, dup_rate=0.1, late_rate=0.2,
+                start=datetime(2025, 1, 1) + timedelta(days=2 * tr),
+            )
+            write_ndjson_fixture(ev_tr, os.path.join(raw, f"prime_{tr}.json"))
+            all_orders.extend(ord_tr)
+        write_ndjson_fixture(all_orders, os.path.join(root, "orders", "o.json"))
+        wh = Warehouse(spark, wh_root)
+        wh.overwrite(
+            M.stg_orders(enrich_orders(read_orders_raw(spark, os.path.join(root, "orders")))),
+            "staging.stg_orders",
+        )
+        q = start_continuous_gold(spark, raw, wh_root, gold_root, ckpt)
+        assert q.awaitTermination(1200), f"priming {label} timed out"
+
+        # the timed, FIXED batch: fresh sessions on fresh dates
+        ev_new, _ = generate_fixture(
+            seed=901, n_sessions=40, dup_rate=0.1, late_rate=0.2,
+            start=datetime(2026, 3, 1),
+        )
+        write_ndjson_fixture(ev_new, os.path.join(raw, "batch_fixed.json"))
+        t0 = time.perf_counter()
+        q2 = start_continuous_gold(spark, raw, wh_root, gold_root, ckpt)
+        assert q2.awaitTermination(1200), f"fixed batch {label} timed out"
+        out[f"gold_batch_{label}"] = time.perf_counter() - t0
+        print(f"gold cadence {label}: fixed 40-session batch "
+              f"{out[f'gold_batch_{label}']:.2f}s", flush=True)
     return out
 
 
@@ -333,6 +407,17 @@ def main() -> None:
             f"\nvocab growth (64x corpus, 64x vocab = {int(vg['vocab_rows'])} terms): "
             f"unigram logprob shuffle-join {vg['unigram_shuffle_join']:.2f}s vs "
             f"broadcast-join {vg['unigram_broadcast_join']:.2f}s"
+        )
+        spark.stop()
+        return
+
+    if "--gold-only" in sys.argv:
+        gc = gold_cadence_probe(spark)
+        print(
+            f"\ngold cadence (fixed 40-session batch): 1x warehouse "
+            f"{gc['gold_batch_1x']:.2f}s vs 64x warehouse "
+            f"{gc['gold_batch_64x']:.2f}s "
+            f"(ratio {gc['gold_batch_64x'] / gc['gold_batch_1x']:.2f}x)"
         )
         spark.stop()
         return
