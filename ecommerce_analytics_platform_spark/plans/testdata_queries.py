@@ -25,6 +25,8 @@ from ecommerce_analytics_platform_spark.functions.compat import (
     is_weekend,
     portable_hash60,
     portable_hash60_sql,
+    seeded_hash60,
+    seeded_hash60_sql,
 )
 from ecommerce_analytics_platform_spark.functions.text import (
     language_scores,
@@ -1215,6 +1217,49 @@ SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
 FROM supplier a JOIN supplier b
   ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
 WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted Neighborhood Method blocking (Hernández & Stolfo 1995) —
+    the third candidate-generation strategy next to LSH banding and
+    key-equality blocking: sort by a fuzzy key (lowercased 16-char text
+    prefix), emit each record paired with its next w−1 neighbors in sort
+    order. One window pass (lead, no self-join); sort scope is bounded
+    per 2-char prefix block, so at 100 TB each block sorts
+    independently — the standard parallel-SNM partitioning (boundary
+    pairs across blocks are the documented recall loss of that scheme).
+    Fully deterministic (doc_id tiebreak), exact SQL twin."""
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    key = F.lower(F.substring(F.trim(F.col("text")), 1, 16))
+    base = docs.select("doc_id", key.alias("snm_key")).withColumn(
+        "blk", F.substring("snm_key", 1, 2)
+    )
+    w = Window.partitionBy("blk").orderBy("snm_key", "doc_id")
+    led = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.lead("doc_id", 1).over(w).alias("b1"),
+        F.lead("doc_id", 2).over(w).alias("b2"),
+    )
+    return led.select(
+        "id_a", F.expr("stack(2, 1, b1, 2, b2) AS (gap, id_b)")
+    ).filter(F.col("id_b").isNotNull()).select("id_a", "id_b", "gap")
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH base AS (
+    SELECT doc_id, lower(substr(trim(text), 1, 16)) AS snm_key
+    FROM documents
+), led AS (
+    SELECT doc_id AS id_a,
+           lead(doc_id, 1) OVER w AS b1,
+           lead(doc_id, 2) OVER w AS b2
+    FROM base
+    WINDOW w AS (PARTITION BY substr(snm_key, 1, 2) ORDER BY snm_key, doc_id)
+)
+SELECT id_a, b1 AS id_b, CAST(1 AS INT) AS gap FROM led WHERE b1 IS NOT NULL
+UNION ALL
+SELECT id_a, b2 AS id_b, CAST(2 AS INT) AS gap FROM led WHERE b2 IS NOT NULL
 """
 
 
@@ -2727,6 +2772,270 @@ SELECT doc_id, shard, n_tokens,
        CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id,
        CAST(start_tok % 512 AS BIGINT) AS offset_in_pack
 FROM runs
+"""
+
+
+_DUP_N = 8
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-PASSAGE detection — the ExactSubstr idea
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better") at fixed 8-token sliding granularity, which Spark can do
+    without a distributed suffix array: every 8-token sliding shingle is
+    hashed with position; shingles occurring in MORE THAN ONE document
+    mark their positions; per doc, the marked [pos, pos+8) intervals
+    coalesce (operators/intervals.py::merge_intervals) into maximal
+    duplicated passages. Any duplicated run of length ≥ 8 tokens is
+    recovered exactly (an L-token run yields L−7 marked shingles whose
+    union is the full run); shorter repeats are below the granularity
+    floor, documented. Scale shape: one shuffle on the shingle hash
+    (near-unique key space — no skew), a semi-join back, one per-doc
+    window; documents themselves never shuffle."""
+    from ecommerce_analytics_platform_spark.operators.intervals import merge_intervals
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tk = tokens(F.col("text"))
+    base = docs.select("doc_id", tk.alias("tk"), F.size(tk).alias("n")).filter(
+        F.col("n") >= _DUP_N
+    )
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - F.lit(_DUP_N - 1)),
+                lambda i: F.struct(
+                    (i - 1).cast("long").alias("pos"),
+                    portable_hash60(
+                        F.array_join(F.slice(F.col("tk"), i, _DUP_N), " ")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    multi = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    dup = sh.join(multi, "h").select(
+        "doc_id", F.col("pos").alias("m_start"), (F.col("pos") + F.lit(_DUP_N)).alias("m_end")
+    )
+    merged = merge_intervals(dup, ["doc_id"], "m_start", "m_end")
+    return merged.select(
+        "doc_id",
+        F.col("island_start").alias("dup_start"),
+        F.col("island_end").alias("dup_end"),
+        "n_intervals",
+        (F.col("island_end") - F.col("island_start")).alias("dup_tokens"),
+    )
+
+
+SQL_DUP_PASSAGES = r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    FROM documents WHERE trim(text) <> ''
+), sized AS (
+    SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM base WHERE len(tk) >= 8
+), sh AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           (('0x' || substr(md5(CAST(array_to_string(list_slice(tk, i, i + 7), ' ') AS VARCHAR)), 1, 15))::BIGINT) AS h
+    FROM sized, unnest(generate_series(1, n - 7)) AS t(i)
+), multi AS (
+    SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1
+), dup AS (
+    SELECT sh.doc_id, sh.pos AS m_start, sh.pos + 8 AS m_end
+    FROM sh JOIN multi USING (h)
+), flagged AS (
+    SELECT doc_id, m_start, m_end,
+           CASE WHEN max(m_end) OVER w IS NULL OR m_start > max(m_end) OVER w
+                THEN 1 ELSE 0 END AS new_island
+    FROM dup
+    WINDOW w AS (PARTITION BY doc_id ORDER BY m_start, m_end
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+    SELECT doc_id, m_start, m_end,
+           sum(new_island) OVER (PARTITION BY doc_id ORDER BY m_start, m_end
+                                 ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+)
+SELECT doc_id,
+       min(m_start) AS dup_start,
+       max(m_end) AS dup_end,
+       count(*) AS n_intervals,
+       max(m_end) - min(m_start) AS dup_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+_MIX_BUDGET = 100_000
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static domain-mixture construction (DoReMi/The-Pile-style
+    reweighting, simplified to the canonical sqrt-token heuristic):
+    bucket the corpus by predicted language (the same deterministic
+    marker-word argmax as language_id), weight each domain ∝
+    √(domain tokens) — the standard temperature-style flattening that
+    up-samples small domains — normalize, and emit per-domain sampling
+    targets for a fixed document budget. Cross-engine exactness: each
+    √tokens is rounded 6dp → DECIMAL (per-row deterministic), the
+    normalizer is an exact decimal sum, and the weight division runs on
+    the identical doubles both engines decode from those decimals."""
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    dom = docs.select(
+        predicted_lang(F.col("text")).alias("domain"),
+        F.size(tokens(F.col("text"))).cast("long").alias("ntok"),
+    )
+    agg = dom.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("domain_tokens"),
+    )
+    sq = F.round(F.sqrt(F.col("domain_tokens").cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
+    per = agg.select("domain", "n_docs", "domain_tokens", sq.alias("sq"))
+    tot = per.agg(F.sum("sq").alias("z"))
+    w = F.col("sq").cast("double") / F.col("z").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "domain_tokens",
+        w.alias("mix_weight"),
+        F.floor(w * F.lit(float(_MIX_BUDGET))).cast("long").alias("target_docs"),
+    )
+
+
+def _domain_mixture_sql() -> str:
+    from ecommerce_analytics_platform_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = {
+        l: (
+            r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ("
+            + ", ".join(f"'{m}'" for m in LANG_MARKERS[l])
+            + ")))"
+        )
+        for l in langs
+    }
+    greatest = "greatest(" + ", ".join(score_exprs[l] for l in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {score_exprs[l]} = {greatest} AND {greatest} > 0 THEN '{l}'"
+            for l in langs
+        )
+        + " ELSE 'und' END"
+    )
+    return rf"""
+WITH dom AS (
+    SELECT CASE WHEN trim(text) = '' THEN 'und' ELSE {case} END AS domain,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok,
+           trim(text) = '' AS is_empty
+    FROM documents
+), agg AS (
+    SELECT domain, count(*) AS n_docs,
+           CAST(sum(CASE WHEN is_empty THEN 0 ELSE ntok END) AS BIGINT) AS domain_tokens
+    FROM dom GROUP BY domain
+), per AS (
+    SELECT domain, n_docs, domain_tokens,
+           CAST(round(sqrt(CAST(domain_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sq
+    FROM agg
+), tot AS (
+    SELECT sum(sq) AS z FROM per
+)
+SELECT domain, n_docs, domain_tokens,
+       CAST(sq AS DOUBLE) / CAST(z AS DOUBLE) AS mix_weight,
+       CAST(floor(CAST(sq AS DOUBLE) / CAST(z AS DOUBLE) * 100000.0) AS BIGINT) AS target_docs
+FROM per, tot
+"""
+
+
+_MASK_SEED = 37
+
+
+def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask layout, fully deterministic: per doc
+    (≥20 tokens) propose ``ntok div 20`` length-3 spans at
+    hash-pseudorandom starts (portable seeded hash — the same
+    reproducible-noise discipline as train_val_split), then coalesce
+    overlapping/abutting proposals with the interval-islands operator
+    (operators/intervals.py::merge_intervals, half-open semantics) into
+    the final mask intervals — exactly how span corruption resolves
+    overlaps before emitting sentinel tokens. Zero data movement beyond
+    one explode + one per-doc window; reproducible across engines, so
+    the DuckDB twin rebuilds every island bit-for-bit."""
+    from ecommerce_analytics_platform_spark.operators.intervals import merge_intervals
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("ntok")
+    ).filter(F.col("ntok") >= 20)
+    spans = base.select(
+        "doc_id",
+        "ntok",
+        F.explode(F.sequence(F.lit(0), F.expr("ntok div 20") - F.lit(1))).alias("s"),
+    )
+    h = seeded_hash60(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("s").cast("string")
+        ),
+        _MASK_SEED,
+    )
+    props = spans.select(
+        "doc_id",
+        (h % (F.col("ntok") - F.lit(2))).alias("m_start"),
+        (h % (F.col("ntok") - F.lit(2)) + F.lit(3)).alias("m_end"),
+    )
+    merged = merge_intervals(props, ["doc_id"], "m_start", "m_end")
+    return merged.select(
+        "doc_id",
+        F.col("island_start").alias("mask_start"),
+        F.col("island_end").alias("mask_end"),
+        "n_intervals",
+        (F.col("island_end") - F.col("island_start")).alias("masked_tokens"),
+    )
+
+
+def _span_mask_sql() -> str:
+    h = seeded_hash60_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)", _MASK_SEED
+    )
+    return rf"""
+WITH tokd AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+    FROM documents WHERE trim(text) <> ''
+), eligible AS (
+    SELECT doc_id, ntok FROM tokd WHERE ntok >= 20
+), spans AS (
+    SELECT doc_id, ntok, unnest(generate_series(0, ntok // 20 - 1)) AS s
+    FROM eligible
+), props AS (
+    SELECT doc_id,
+           {h} % (ntok - 2) AS m_start,
+           {h} % (ntok - 2) + 3 AS m_end
+    FROM spans
+), flagged AS (
+    SELECT doc_id, m_start, m_end,
+           CASE WHEN max(m_end) OVER w IS NULL OR m_start > max(m_end) OVER w
+                THEN 1 ELSE 0 END AS new_island
+    FROM props
+    WINDOW w AS (PARTITION BY doc_id ORDER BY m_start, m_end
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+    SELECT doc_id, m_start, m_end,
+           sum(new_island) OVER (PARTITION BY doc_id ORDER BY m_start, m_end
+                                 ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+)
+SELECT doc_id,
+       min(m_start) AS mask_start,
+       max(m_end) AS mask_end,
+       count(*) AS n_intervals,
+       max(m_end) - min(m_start) AS masked_tokens
+FROM isl GROUP BY doc_id, island
 """
 
 
@@ -5735,6 +6044,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
+    "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
     "percentile_stats": (q_percentile_stats, SQL_PERCENTILE_STATS),
     "top_revenue_customers": (q_top_revenue_customers, SQL_TOP_REVENUE_CUSTOMERS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
@@ -5753,12 +6063,15 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "span_mask": (q_span_mask, _span_mask_sql()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "token_budget_sample": (q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE),
     "lang_balanced_sample": (q_lang_balanced_sample, SQL_LANG_BALANCED_SAMPLE),
     "pagerank": (q_pagerank, _pagerank_sql()),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
+    "domain_mixture": (q_domain_mixture, _domain_mixture_sql()),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "incremental_neardup": (q_incremental_neardup, _incremental_neardup_sql()),
     "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),
