@@ -2021,6 +2021,33 @@ SELECT 'int8_agree_at_3' AS check, 3 AS k,
 """
 
 
+PQ_RECALL_THRESHOLD = 0.60
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/similarity.py::pq_topk): 64-dim
+    fp64 → 8 byte codes (64× compression), ADC table-lookup scoring,
+    exact rerank of the k×8 survivors. The memory-bound scale tier past
+    int8 (4×): at 10⁹ vectors the approximate pass streams 8 GB of codes
+    instead of a 512 GB matrix. Quality pinned by the same recall
+    contract as ann_ivf/ann_int8 (threshold well under measured recall,
+    so only an algorithmic regression trips it)."""
+    from ecommerce_analytics_platform_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = pq_topk(
+        emb, emb, "vec_id", "vec_id", "embedding", k=3, k_codes=32, rerank_factor=16
+    )
+    return _recall_check(spark, sf_dir, approx, "pq_recall_at_3", 3, PQ_RECALL_THRESHOLD)
+
+
+SQL_ANN_PQ = """
+SELECT 'pq_recall_at_3' AS check, 3 AS k,
+       (SELECT count(*) FROM embeddings) AS n_queries,
+       true AS recall_ok
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics: vector count, mean L2 norm — array
     higher-order aggregation (F.aggregate) feeding a groupBy."""
@@ -2789,9 +2816,11 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated passages. Any duplicated run of length ≥ 8 tokens is
     recovered exactly (an L-token run yields L−7 marked shingles whose
     union is the full run); shorter repeats are below the granularity
-    floor, documented. Scale shape: one shuffle on the shingle hash
-    (near-unique key space — no skew), a semi-join back, one per-doc
-    window; documents themselves never shuffle."""
+    floor, documented. Scale shape: ONE pass — the cross-doc test is a
+    count-distinct window over the shingle-hash partition (near-unique
+    key space, tiny partitions — no skew, no self-join, no second corpus
+    scan), then one per-doc islands window; documents themselves never
+    shuffle (only (doc_id, pos, hash) tuples move)."""
     from ecommerce_analytics_platform_spark.operators.intervals import merge_intervals
 
     docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -2813,14 +2842,15 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-    multi = (
-        sh.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+    hw = Window.partitionBy("h")
+    dup = (
+        sh.withColumn("nd", F.size(F.collect_set("doc_id").over(hw)))
         .filter(F.col("nd") > 1)
-        .select("h")
-    )
-    dup = sh.join(multi, "h").select(
-        "doc_id", F.col("pos").alias("m_start"), (F.col("pos") + F.lit(_DUP_N)).alias("m_end")
+        .select(
+            "doc_id",
+            F.col("pos").alias("m_start"),
+            (F.col("pos") + F.lit(_DUP_N)).alias("m_end"),
+        )
     )
     merged = merge_intervals(dup, ["doc_id"], "m_start", "m_end")
     return merged.select(
@@ -2896,9 +2926,15 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     )
     per = agg.select("domain", "n_docs", "domain_tokens", sq.alias("sq"))
-    tot = per.agg(F.sum("sq").alias("z"))
-    w = F.col("sq").cast("double") / F.col("z").cast("double")
-    return per.crossJoin(F.broadcast(tot)).select(
+    # normalizer via a global window over the DOMAINS relation (a handful
+    # of rows post-aggregation) — one corpus scan total; a self-join for
+    # the total would scan the corpus twice (decimal sum stays exact and
+    # order-independent under the window too)
+    zw = F.sum("sq").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = F.col("sq").cast("double") / zw.cast("double")
+    return per.select(
         "domain",
         "n_docs",
         "domain_tokens",
@@ -6033,6 +6069,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_int8": (q_ann_int8, SQL_ANN_INT8),
+    "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "time_bucket_rollup": (q_time_bucket_rollup, SQL_TIME_BUCKET_ROLLUP),

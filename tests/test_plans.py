@@ -268,3 +268,46 @@ def test_lm_broadcast_guard(spark):
         small = plan_of(q(spark, SF_DIR, broadcast_max_rows=10_000_000))
         assert "BroadcastHashJoin" in small, q.__name__
     spark.catalog.clearCache()
+
+
+def test_r6_query_plan_shapes(spark):
+    """The r6 additions keep the physical shapes their docstrings claim:
+    SNM is one window pass (no join at all); span_mask is explode + one
+    per-doc window (no join beyond none); dup_passages joins only on the
+    shingle hash (one equi-join) and never shuffles document text."""
+    from ecommerce_analytics_platform_spark.plans.testdata_queries import (
+        q_dup_passages,
+        q_sorted_neighborhood,
+        q_span_mask,
+    )
+
+    snm = plan_of(q_sorted_neighborhood(spark, SF_DIR))
+    assert "Join" not in snm  # lead-window pass, not a self-join
+    assert "Window" in snm
+
+    sm = plan_of(q_span_mask(spark, SF_DIR))
+    assert "Join" not in sm
+    assert "Generate" in sm and "Window" in sm  # explode + islands window
+
+    dp = plan_of(q_dup_passages(spark, SF_DIR))
+    # one pass: the cross-doc test is a window over the shingle hash —
+    # no join, and the corpus is scanned exactly once
+    assert "Join" not in dp
+    # ") Scan parquet" matches the detail-section header once per scan
+    # node (the tree summary line has no paren prefix)
+    assert dp.count(") Scan parquet") == 1
+    # column pruning: the scan reads only doc_id and text
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in dp
+
+
+def test_domain_mixture_single_pass(spark):
+    """domain_mixture aggregates the corpus once and normalizes via a
+    window over the tiny domains relation — one corpus scan, no join
+    (a self-joined total would scan the corpus twice)."""
+    from ecommerce_analytics_platform_spark.plans.testdata_queries import (
+        q_domain_mixture,
+    )
+
+    plan = plan_of(q_domain_mixture(spark, SF_DIR))
+    assert plan.count(") Scan parquet") == 1
+    assert "Join" not in plan

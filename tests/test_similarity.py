@@ -259,3 +259,54 @@ def test_random_projection_is_map_side(spark):
     out = random_projection(df, "vec_id", "embedding", out_dim=4, seed=19)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pq_recall_with_rerank(spark, emb):
+    """PQ codes + ADC + exact rerank: with a generous rerank factor the
+    true top-3 should survive the candidate cut for most queries (PQ at
+    16 codes/subspace is the coarsest tier — the contract is recall, not
+    agreement)."""
+    from ecommerce_analytics_platform_spark.operators.similarity import pq_topk
+
+    small = emb.limit(200).cache()
+    exact = {(r["qid"], r["cid"]) for r in
+             cosine_topk_blas(small, small, "vec_id", "vec_id", "embedding", k=3).collect()}
+    pq = {(r["qid"], r["cid"]) for r in
+          pq_topk(small, small, "vec_id", "vec_id", "embedding", k=3,
+                  k_codes=32, rerank_factor=16).collect()}
+    recall = len(pq & exact) / len(exact)
+    assert recall >= 0.70, recall
+
+
+def test_pq_sharded_matches_broadcast(spark, emb):
+    """The sharded PQ path encodes per shard from the SAME global
+    codebooks, so shard boundaries must not change any emitted pair's
+    reranked (exact) score; the per-shard candidate cut can only ADD
+    candidates, so sharded recall >= broadcast recall on the same data."""
+    from ecommerce_analytics_platform_spark.operators.similarity import pq_topk
+
+    small = emb.limit(120).cache()
+    bl = {(r["qid"], r["cid"]): r["cosine"] for r in
+          pq_topk(small, small, "vec_id", "vec_id", "embedding", k=3,
+                  rerank_factor=8).collect()}
+    sh = {(r["qid"], r["cid"]): r["cosine"] for r in
+          pq_topk(small, small, "vec_id", "vec_id", "embedding", k=3,
+                  rerank_factor=8, broadcast_threshold=0, shard_rows=32).collect()}
+    # shared pairs carry identical exact-reranked scores
+    for key in bl.keys() & sh.keys():
+        assert bl[key] == sh[key], key
+    # both paths emit k rows per query
+    assert len(sh) == len(bl)
+
+
+def test_pq_codebooks_deterministic(spark, emb):
+    from ecommerce_analytics_platform_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+
+    small = emb.limit(150)
+    b1 = pq_train_codebooks(small, "vec_id", "embedding")
+    b2 = pq_train_codebooks(small.repartition(7), "vec_id", "embedding")
+    import numpy as np
+
+    assert np.array_equal(b1, b2)  # id-ordered sample ⇒ partitioning-invariant
