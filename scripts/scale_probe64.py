@@ -204,6 +204,23 @@ def probes(spark, sf_dir: str):
     from ecommerce_analytics_platform_spark.operators.bpe import bpe_train
 
     yield "bpe_train_3rounds", lambda: bpe_train(dc, "text", 3)[0]
+    # r6: duplicated-passage detection — one shingle-hash shuffle + one
+    # doc shuffle, both linear in token count
+    from ecommerce_analytics_platform_spark.plans.testdata_queries import (
+        q_dup_passages,
+    )
+
+    yield "dup_passages", lambda: q_dup_passages(spark, sf_dir)
+    # r6: PQ ANN with a pinned 1k query set (same shape as the IVF/exact
+    # probes: corpus grows, query side fixed) — forced onto the sharded
+    # path so the probe measures the scale plan, not the broadcast one
+    from ecommerce_analytics_platform_spark.operators.similarity import pq_topk
+
+    yield "pq_topk_1kq", lambda: pq_topk(
+        em.filter(F.pmod(F.hash("vec_id"), F.lit(1000)) == 0).limit(1000),
+        em, "vec_id", "vec_id", "embedding", k=3, k_codes=32,
+        rerank_factor=16, broadcast_threshold=0, shard_rows=8192,
+    )
 
 
 def vocab_growth_probe(spark) -> dict[str, float]:
