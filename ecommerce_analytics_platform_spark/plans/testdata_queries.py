@@ -2802,6 +2802,145 @@ FROM runs
 """
 
 
+_SSJ_T10 = 6  # Jaccard threshold 0.6 carried as an integer tenth
+
+
+def q_set_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard ≥ 0.6 via prefix
+    filtering (PPJoin family, Xiao et al. 2008) — the exact-threshold
+    counterpart to MinHash-LSH banding: no false negatives by
+    construction. Each doc's distinct-token set is ranked by
+    (global frequency asc, token) — the canonical rare-first total order
+    — and only its first |s| − ⌈t·|s|⌉ + 1 tokens (the prefix) are
+    exploded into the inverted candidate index: two sets with J ≥ t MUST
+    share a prefix token, so the candidate join touches the rare end of
+    the vocabulary instead of all postings. Candidates verify with exact
+    intersection/union counts; the threshold compare is integer
+    (10·|∩| ≥ 6·|∪|) and ⌈t·|s|⌉ is computed as (6·|s|+9) div 10, so no
+    float boundary exists anywhere. Sets are distinct 3-word SHINGLES
+    (the same granularity MinHash signs): on this template-generated
+    corpus, token-set Jaccard is degenerate (≥0.6 for ~60% of ALL pairs
+    — shared template vocabulary), while shingle Jaccard isolates the
+    planted near-dups exactly. Scale shape: one count-table join (freq),
+    one window per doc, a prefix-shingle equi-join (rare shingles →
+    small postings), verification on candidate pairs only."""
+    from ecommerce_analytics_platform_spark.functions.text import word_shingles
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tkset = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("tk")
+    ).filter(F.size("tk") > 0)
+    tkset = tkset.withColumn("sz", F.size("tk").cast("long"))
+    tok = tkset.select("doc_id", "sz", F.explode("tk").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("doc_id").orderBy("freq", "tok")
+    prefix_len = F.col("sz") - ((F.lit(_SSJ_T10) * F.col("sz") + 9) / 10).cast(
+        "long"
+    ) + 1
+    pref = (
+        tok.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "tok")
+    )
+    cands = (
+        pref.alias("a")
+        .join(pref.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = tkset.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tk_a"),
+                      F.col("sz").alias("sz_a"))
+    tb = tkset.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tk_b"),
+                      F.col("sz").alias("sz_b"))
+    scored = (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("tk_a", "tk_b")).cast("long"))
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.lit(10) * F.col("inter") >= F.lit(_SSJ_T10) * F.col("uni"))
+    )
+    return scored.select(
+        "id_a", "id_b", "inter", "uni",
+        (F.col("inter").cast("double") / F.col("uni").cast("double")).alias("jaccard"),
+    )
+
+
+SQL_SET_SIM_JOIN = rf"""
+WITH tkset AS (
+    SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS tk
+    FROM documents
+), sized AS (
+    SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS sz FROM tkset WHERE len(tk) > 0
+), tok AS (
+    SELECT doc_id, sz, unnest(tk) AS tok FROM sized
+), freq AS (
+    SELECT tok, count(*) AS freq FROM tok GROUP BY tok
+), ranked AS (
+    SELECT tok.doc_id, tok.tok,
+           row_number() OVER (PARTITION BY tok.doc_id ORDER BY freq.freq, tok.tok) AS rn,
+           tok.sz - ((6 * tok.sz + 9) // 10) + 1 AS plen
+    FROM tok JOIN freq USING (tok)
+), pref AS (
+    SELECT doc_id, tok FROM ranked WHERE rn <= plen
+), cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+), scored AS (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(sa.tk, sb.tk)) AS BIGINT) AS inter,
+           sa.sz + sb.sz - CAST(len(list_intersect(sa.tk, sb.tk)) AS BIGINT) AS uni
+    FROM cands c
+    JOIN sized sa ON sa.doc_id = c.id_a
+    JOIN sized sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, inter, uni,
+       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+FROM scored WHERE 10 * inter >= 6 * uni
+"""
+
+
+_SHUF_SEED, _SHUF_SHARDS = 91, 64
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every doc gets a seeded
+    portable-hash sort key; shard = key mod N, position = rank within
+    shard by (key, doc_id). Content-stable (same doc → same slot on any
+    cluster size — unlike orderBy(rand())), reproducible across engines,
+    and the standard way a 100 TB corpus is shuffled once before
+    sequence packing: N independent shards, each sorted locally, no
+    global sort."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    key = seeded_hash60(F.col("doc_id").cast("string"), _SHUF_SEED)
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            key.alias("skey"),
+            (key % F.lit(_SHUF_SHARDS)).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def _corpus_shuffle_sql() -> str:
+    h = seeded_hash60_sql("CAST(doc_id AS VARCHAR)", _SHUF_SEED)
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, {h} AS skey, {h} % {_SHUF_SHARDS} AS shard
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) - 1 AS pos
+FROM keyed
+"""
+
+
 _DUP_N = 8
 
 
@@ -6109,6 +6248,8 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "domain_mixture": (q_domain_mixture, _domain_mixture_sql()),
+    "set_sim_join": (q_set_sim_join, SQL_SET_SIM_JOIN),
+    "corpus_shuffle": (q_corpus_shuffle, _corpus_shuffle_sql()),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "incremental_neardup": (q_incremental_neardup, _incremental_neardup_sql()),
     "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),
