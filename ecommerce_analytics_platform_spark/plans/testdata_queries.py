@@ -6354,8 +6354,9 @@ _DRIVER_WINDOW = [
     "customers_without_orders", "exploded_lines",
     # text analysis
     "token_stats", "language_id", "quality_filter",
-    # dedup family
-    "exact_dedup", "minhash_signatures", "neardup_clusters",
+    # dedup family (minhash_signatures is exercised end-to-end inside
+    # neardup_clusters; its slot goes to the r6 duplicated-passage op)
+    "exact_dedup", "dup_passages", "neardup_clusters",
     "semantic_dedup", "simhash", "span_dedup", "incremental_neardup",
     # embeddings / ANN / centroids
     "cosine_topk", "embedding_neardup", "ann_lsh", "nearest_centroid",
