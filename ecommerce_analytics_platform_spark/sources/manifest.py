@@ -115,10 +115,16 @@ class ManifestTable:
             if res is None:
                 return base
             files, txns = res
+            import time
+
             doc = {
                 "files": sorted(files),
                 "base_version": base,
                 "txns": sorted(set(txns)),
+                # commit wall-clock (epoch seconds) — powers AS OF
+                # timestamp reads; absent in pre-r6 manifests (treated
+                # as unknown-old by version_at)
+                "ts": time.time(),
             }
             tmp = os.path.join(self.manifest_dir, f"{uuid.uuid4().hex}.tmp")
             with open(tmp, "w") as f:
@@ -348,12 +354,46 @@ class ManifestTable:
                 return parts
         return []
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def version_at(self, ts: float) -> int:
+        """Newest version committed at-or-before epoch-seconds ``ts`` —
+        Delta's ``TIMESTAMP AS OF`` resolution. Commits without a
+        recorded ts (pre-r6 manifests) are treated as older than any
+        query time. Raises if no version is old enough."""
+        candidates = [
+            v for v in self._versions()
+            if self._read_manifest(v).get("ts", float("-inf")) <= ts
+        ]
+        if not candidates:
+            raise FileNotFoundError(
+                f"no version of {self.path} committed at or before ts={ts}"
+            )
+        return max(candidates)
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE: commit a NEW version whose file list is the
+        target version's — history is preserved (the rolled-back commits
+        stay readable), readers flip atomically, and vacuum still
+        reclaims anything the restored snapshot doesn't reference. The
+        txn set carries FORWARD from the current snapshot (not the
+        restored one): exactly-once dedup must remember every delivery
+        that ever committed, or a replayed batch would re-append after a
+        restore."""
+        target = self._read_manifest(version)
+        return self._publish(lambda _base, m: (list(target["files"]), self._base_txns(m)))
+
+    def read(self, version: int | None = None, as_of_ts: float | None = None) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, read exactly its
         files. ``basePath`` makes Spark parse hive-style partition values
         out of the listed file paths — one scan relation with normal
         partition-type inference, pruning, and pushdown, exactly as if the
-        directory itself were read (but immune to concurrent commits)."""
+        directory itself were read (but immune to concurrent commits).
+        ``as_of_ts`` (epoch seconds) reads the newest version committed
+        at-or-before that time (``TIMESTAMP AS OF``); mutually exclusive
+        with ``version``."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ts, not both")
+            version = self.version_at(as_of_ts)
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no committed manifest under {self.path}")

@@ -20,6 +20,12 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     from ecommerce_analytics_platform_spark.session import get_spark
 
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    # SPARK_GRAFT_MASTER (e.g. local-cluster[2,4,2048]) lets the whole
+    # suite run against real executor processes; default stays local[4]
+    s = get_spark(
+        "tests",
+        master=os.environ.get("SPARK_GRAFT_MASTER", "local[4]"),
+        shuffle_partitions=4,
+    )
     yield s
     s.stop()

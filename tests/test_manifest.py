@@ -219,3 +219,44 @@ def test_vacuum_keeps_live_versions(spark, tmp_path):
     assert _rows(t.read()) == {("3", "c")}
     with pytest.raises(Exception):
         t.read(version=1).collect()
+
+
+def test_timestamp_as_of_read(spark, tmp_path):
+    """TIMESTAMP AS OF: reads resolve to the newest commit at-or-before
+    the query time; times between commits resolve to the earlier one."""
+    import time
+
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "tt"))
+    t.overwrite(spark.range(3))
+    ts_v1 = time.time()
+    time.sleep(0.05)
+    t.append(spark.range(3, 6))
+    assert t.read(as_of_ts=ts_v1).count() == 3
+    assert t.read(as_of_ts=time.time()).count() == 6
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.version_at(ts_v1 - 3600)
+    with _pytest.raises(ValueError):
+        t.read(version=1, as_of_ts=ts_v1)
+
+
+def test_restore_preserves_history_and_txns(spark, tmp_path):
+    """RESTORE commits a new version with the old file list: readers flip
+    atomically, history stays readable, and the txn set carries forward
+    so a replayed batch is STILL a no-op after the restore."""
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "rs"))
+    v1 = t.overwrite(spark.range(4))
+    t.append_once(spark.range(4, 9), txn_id="batch-7")
+    assert t.read().count() == 9
+    v3 = t.restore(v1)
+    assert t.read().count() == 4            # restored snapshot
+    assert t.read(version=2).count() == 9   # history intact
+    assert v3 == 3
+    # replayed delivery after restore must still no-op
+    assert t.append_once(spark.range(4, 9), txn_id="batch-7") == v3
+    assert t.read().count() == 4
