@@ -260,3 +260,44 @@ def test_restore_preserves_history_and_txns(spark, tmp_path):
     # replayed delivery after restore must still no-op
     assert t.append_once(spark.range(4, 9), txn_id="batch-7") == v3
     assert t.read().count() == 4
+
+
+def test_concurrent_append_once_stress(spark, tmp_path):
+    """REAL concurrency (not the deterministic harness): 8 threads race
+    append_once on one table — 6 distinct txns plus 2 duplicate
+    deliveries of an already-used txn. Every distinct txn must land
+    exactly once (rebase-on-conflict), duplicates must no-op, and the
+    final version chain must be linear with no lost updates."""
+    import threading
+
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+    path = str(tmp_path / "stress")
+    ManifestTable(spark, path).overwrite(spark.range(0, 1))
+
+    errors = []
+
+    def writer(txn, lo, hi):
+        try:
+            t = ManifestTable(spark, path)
+            t.append_once(spark.range(lo, hi), txn_id=txn)
+        except Exception as e:  # pragma: no cover
+            errors.append((txn, e))
+
+    jobs = [(f"t{i}", 10 * (i + 1), 10 * (i + 1) + 5) for i in range(6)]
+    jobs += [("t0", 10, 15), ("t1", 20, 25)]  # duplicate deliveries
+    threads = [threading.Thread(target=writer, args=j) for j in jobs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+
+    t = ManifestTable(spark, path)
+    # 1 seed row + 6 distinct appends of 5 rows; duplicates contributed 0
+    assert t.read().count() == 1 + 6 * 5
+    m = t._read_manifest(t.latest_version())
+    assert sorted(m["txns"]) == [f"t{i}" for i in range(6)]
+    # every row value appears exactly once (no double-applied append)
+    vals = [r["id"] for r in t.read().collect()]
+    assert len(vals) == len(set(vals))
