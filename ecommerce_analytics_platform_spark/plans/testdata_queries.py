@@ -2903,6 +2903,50 @@ FROM scored WHERE 10 * inter >= 6 * uni
 """
 
 
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold entity clustering — end-to-end record linkage and
+    the GUARANTEED-COMPLETE counterpart to the probabilistic
+    neardup_clusters: the PPJoin prefix filter (q_set_sim_join) emits
+    every pair with shingle-Jaccard ≥ 0.6 (no LSH false negatives by
+    construction), and min-label connected components
+    (operators/dedup.py::connected_components) fold the verified pair
+    graph into entity ids. Output: one (doc_id, entity_id) row per doc
+    that belongs to a multi-doc entity. The DuckDB twin runs the same
+    prefix-filter pipeline plus recursive-CTE reachability."""
+    from ecommerce_analytics_platform_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = q_set_sim_join(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("entity_id")
+    )
+
+
+SQL_ENTITY_CLUSTERS = (
+    SQL_SET_SIM_JOIN.rstrip()
+    .replace("WITH tkset AS (", "WITH RECURSIVE tkset AS (", 1)
+    .replace(
+        "SELECT id_a, id_b, inter, uni,\n"
+        "       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard\n"
+        "FROM scored WHERE 10 * inter >= 6 * uni",
+        """, verified AS (
+    SELECT id_a, id_b FROM scored WHERE 10 * inter >= 6 * uni
+), e AS (
+    SELECT id_a AS u, id_b AS v FROM verified
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM verified
+), walk(u, lbl) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+    UNION
+    SELECT e.u, w.lbl FROM e JOIN walk w ON w.u = e.v
+)
+SELECT u AS doc_id, min(lbl) AS entity_id FROM walk GROUP BY u""",
+    )
+)
+
+
 _SHUF_SEED, _SHUF_SHARDS = 91, 64
 
 
@@ -6249,6 +6293,7 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "dup_passages": (q_dup_passages, SQL_DUP_PASSAGES),
     "domain_mixture": (q_domain_mixture, _domain_mixture_sql()),
     "set_sim_join": (q_set_sim_join, SQL_SET_SIM_JOIN),
+    "entity_clusters": (q_entity_clusters, SQL_ENTITY_CLUSTERS),
     "corpus_shuffle": (q_corpus_shuffle, _corpus_shuffle_sql()),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "incremental_neardup": (q_incremental_neardup, _incremental_neardup_sql()),
