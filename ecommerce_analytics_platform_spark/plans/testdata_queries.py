@@ -2180,8 +2180,11 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     text pipeline: one explode → (doc, term) counts, term document
     frequencies, corpus size as a broadcast scalar, window top-k with a
     deterministic (score DESC, term ASC) order. Two shuffles (term counts,
-    per-doc window); idf = ln((N+1)/(df+1)) rounded to 6dp for
-    cross-engine float parity."""
+    per-doc window); idf = ln((N+1)/(df+1)) — a libm-dependent value, so
+    the score goes through the two-stage decimal round (8dp →
+    DECIMAL(20,8) → 6dp → double): the hashed double is an exact 6-digit
+    decimal, immune to last-ulp ln() drift between JVM Math.log and any
+    DuckDB build AND to the HALF_UP-on-repr vs C-round boundary trap."""
     docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).select(
         "doc_id", F.lower("tok").alias("term")
@@ -2195,8 +2198,13 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "tfidf",
             F.round(
-                F.col("tf") * F.log((F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))), 6
-            ),
+                F.round(
+                    F.col("tf")
+                    * F.log((F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))),
+                    8,
+                ).cast("decimal(20,8)"),
+                6,
+            ).cast("double"),
         )
     )
     # top-5 per doc via hash-agg collect/sort/slice rather than a
@@ -2241,7 +2249,8 @@ WITH toks AS (
     SELECT count(DISTINCT doc_id) AS n_docs FROM tf
 ), scored AS (
     SELECT tf.doc_id, tf.term, tf.tf, df.df,
-           round(tf.tf * ln((n.n_docs + 1) / (df.df + 1.0)), 6) AS tfidf
+           CAST(round(CAST(round(tf.tf * ln((n.n_docs + 1) / (df.df + 1.0)), 8)
+                           AS DECIMAL(20,8)), 6) AS DOUBLE) AS tfidf
     FROM tf JOIN df USING (term) CROSS JOIN n
 )
 SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INTEGER) AS rk
