@@ -2814,7 +2814,9 @@ FROM runs
 _SSJ_T10 = 6  # Jaccard threshold 0.6 carried as an integer tenth
 
 
-def q_set_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_set_sim_join(
+    spark: SparkSession, sf_dir: str, _persist: bool = True
+) -> DataFrame:
     """EXACT set-similarity self-join at Jaccard ≥ 0.6 via prefix
     filtering (PPJoin family, Xiao et al. 2008) — the exact-threshold
     counterpart to MinHash-LSH banding: no false negatives by
@@ -2832,7 +2834,12 @@ def q_set_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     — shared template vocabulary), while shingle Jaccard isolates the
     planted near-dups exactly. Scale shape: one count-table join (freq),
     one window per doc, a prefix-shingle equi-join (rare shingles →
-    small postings), verification on candidate pairs only."""
+    small postings), verification on candidate pairs only. The shingle
+    relation is persisted (it feeds the postings build AND both sides of
+    verification — 3 scans → 1) and candidates carry set sizes so the
+    PPJoin LENGTH filter (J ≥ t ⇒ t·|larger| ≤ |smaller|, integer form
+    10·min ≥ 6·max) prunes before the distinct and the array
+    intersections."""
     from ecommerce_analytics_platform_spark.functions.text import word_shingles
 
     docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -2840,6 +2847,8 @@ def q_set_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("tk")
     ).filter(F.size("tk") > 0)
     tkset = tkset.withColumn("sz", F.size("tk").cast("long"))
+    if _persist:
+        tkset = tkset.persist()
     tok = tkset.select("doc_id", "sz", F.explode("tk").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     w = Window.partitionBy("doc_id").orderBy("freq", "tok")
@@ -2850,12 +2859,16 @@ def q_set_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(freq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "tok")
+        .select("doc_id", "sz", "tok")
     )
     cands = (
         pref.alias("a")
         .join(pref.alias("b"), "tok")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.lit(10) * F.least("a.sz", "b.sz")
+            >= F.lit(_SSJ_T10) * F.greatest("a.sz", "b.sz")
+        )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
@@ -2889,15 +2902,16 @@ WITH tkset AS (
 ), freq AS (
     SELECT tok, count(*) AS freq FROM tok GROUP BY tok
 ), ranked AS (
-    SELECT tok.doc_id, tok.tok,
+    SELECT tok.doc_id, tok.tok, tok.sz,
            row_number() OVER (PARTITION BY tok.doc_id ORDER BY freq.freq, tok.tok) AS rn,
            tok.sz - ((6 * tok.sz + 9) // 10) + 1 AS plen
     FROM tok JOIN freq USING (tok)
 ), pref AS (
-    SELECT doc_id, tok FROM ranked WHERE rn <= plen
+    SELECT doc_id, sz, tok FROM ranked WHERE rn <= plen
 ), cands AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    WHERE 10 * least(a.sz, b.sz) >= 6 * greatest(a.sz, b.sz)
 ), scored AS (
     SELECT c.id_a, c.id_b,
            CAST(len(list_intersect(sa.tk, sb.tk)) AS BIGINT) AS inter,
@@ -2926,7 +2940,12 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    pairs = q_set_sim_join(spark, sf_dir).select("id_a", "id_b")
+    # _persist=False: connected_components persists the (symmetrized)
+    # edge relation itself, so the PPJoin DAG evaluates exactly once —
+    # caching tkset underneath it is pure cache-write overhead plus
+    # storage occupancy across the iterative label rounds (measured
+    # ~1.3s slower at sf0.1 with the cache on).
+    pairs = q_set_sim_join(spark, sf_dir, _persist=False).select("id_a", "id_b")
     cc = connected_components(pairs, "id_a", "id_b")
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("entity_id")
