@@ -1,0 +1,216 @@
+"""Streaming incremental near-duplicate detection over a document feed.
+
+The 100 TB training-data shape: documents arrive continuously; each must be
+flagged against EVERYTHING already ingested without ever re-signing the
+historical corpus. The batch operator (operators/dedup.py::
+neardup_against_corpus) answers one delta; this module runs the same
+MinHash-LSH machinery as a Structured Streaming query whose state — the
+corpus band-bucket index — lives in a :class:`ManifestTable`, so the
+pipeline survives restarts with exactly-once decisions.
+
+Decision semantics (documented, batch-split-INVARIANT): a document is a
+near-dup candidate iff some band-bucket it signs into also contains a doc
+with a SMALLER id among everything seen up to and including its own
+micro-batch. Because every signable doc's buckets enter the index (dup or
+not), the decision for a doc never depends on how the feed was chopped into
+micro-batches (ids must be globally unique and non-decreasing across
+batches for "smaller id" to coincide with "seen first" — the natural
+contract of a sequenced feed). The whole-corpus truth is therefore exactly
+``lsh_band_buckets(all docs)`` self-joined on (band, bucket) with
+``candidate_id < id`` — what tests/test_neardup_stream.py asserts.
+
+Exactly-once and crash windows: both per-batch commits (decisions append,
+bucket-index append) carry ``txn_id=f"...-{batch_id}"`` — a replayed batch
+(foreachBatch is at-least-once) no-ops on whichever commit already landed.
+The decision join is additionally IDEMPOTENT against a half-committed
+previous attempt: if the crash happened after the bucket append, the replay
+sees its own batch's rows in the index — but the ``cand < id`` rule scores
+them identically to the in-batch union, so the re-computed decisions are
+bit-identical.
+
+Scale: per batch, signing is map-only over the delta; the single shuffle is
+the (band, bucket) candidate join. The index table is hive-partitioned by
+``bucket_part = pmod(hash60(band||bucket), n_parts)`` so a small batch's
+join prunes to the partitions its buckets actually touch; at warehouse
+scale the upgrade path is a bucketed table (bucketBy on the same key) which
+makes the corpus side shuffle-free. ``max_bucket`` (same guardrail as the
+batch operators) caps index-side bucket fan-out.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ecommerce_analytics_platform_spark.functions.compat import portable_hash60
+from ecommerce_analytics_platform_spark.operators.dedup import lsh_band_buckets
+from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+DOCS_RAW_SCHEMA = "doc_id LONG, text STRING, source STRING"
+
+_N_BUCKET_PARTS = 64
+
+
+def read_docs_stream(
+    spark: SparkSession, raw_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming schema-enforced NDJSON document source (same shape as
+    ``read_clickstream_stream`` — the reference's S2 contract applied to
+    the documents feed)."""
+    reader = spark.readStream.schema(DOCS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(raw_dir)
+
+
+def _bucket_part():
+    return F.pmod(
+        portable_hash60(
+            F.concat_ws(
+                "_", F.col("band").cast("string"), F.col("bucket").cast("string")
+            )
+        ),
+        F.lit(_N_BUCKET_PARTS),
+    ).cast("int")
+
+
+def _read_index(t: ManifestTable) -> DataFrame | None:
+    if t.latest_version() is None:
+        return None
+    return t.read()
+
+
+def process_neardup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    decisions: ManifestTable,
+    index: ManifestTable,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+) -> None:
+    """One micro-batch: sign, score against (index ∪ own batch), commit.
+
+    Exposed as a module-level function (not a closure) so tests can drive
+    re-delivery directly: calling it twice with the same ``batch_id`` must
+    leave both tables unchanged.
+    """
+    spark = batch_df.sparkSession
+    nb = lsh_band_buckets(
+        batch_df, "doc_id", "text", num_hashes, bands, shingle_n
+    ).persist()
+    try:
+        corpus = _read_index(index)
+        all_buckets = nb.select("__id", "band", "bucket")
+        if corpus is not None:
+            all_buckets = all_buckets.union(
+                corpus.select(
+                    F.col("doc_id").alias("__id"), "band", "bucket"
+                )
+            )
+        cand = (
+            nb.alias("i")
+            .join(
+                all_buckets.alias("c"),
+                on=[
+                    F.col("i.band") == F.col("c.band"),
+                    F.col("i.bucket") == F.col("c.bucket"),
+                    # smaller-id rule: makes the decision independent of
+                    # the batch split AND of half-committed replays (own
+                    # rows in the index score the same as the in-batch
+                    # union rows they duplicate).
+                    F.col("c.__id") < F.col("i.__id"),
+                ],
+            )
+            .select(F.col("i.__id").alias("__id"), F.col("c.__id").alias("cand"))
+            .distinct()
+        )
+        batch_decisions = (
+            nb.select("__id")
+            .distinct()
+            .join(cand, "__id", "left")
+            .groupBy("__id")
+            .agg(
+                F.count("cand").alias("n_candidates"),
+                F.min("cand").alias("matched_doc_id"),
+            )
+            .select(
+                F.col("__id").alias("doc_id"),
+                "n_candidates",
+                "matched_doc_id",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        decisions.append_once(batch_decisions, txn_id=f"neardup-decisions-{batch_id}")
+        new_index_rows = nb.select(
+            F.col("__id").alias("doc_id"), "band", "bucket"
+        ).withColumn("bucket_part", _bucket_part())
+        if max_bucket is not None and _read_index(index) is not None:
+            # guardrail: never grow a corpus bucket past max_bucket — the
+            # overflow rows are dropped from the INDEX only (decisions for
+            # the docs were already committed above).
+            sizes = (
+                _read_index(index)
+                .groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            new_index_rows = (
+                new_index_rows.join(sizes, ["band", "bucket"], "left")
+                .filter(F.coalesce(F.col("n"), F.lit(0)) < max_bucket)
+                .drop("n")
+            )
+        index.append_once(
+            new_index_rows, txn_id=f"neardup-index-{batch_id}",
+            partition_by=["bucket_part"],
+        )
+    finally:
+        nb.unpersist()
+
+
+def start_streaming_neardup(
+    spark: SparkSession,
+    raw_dir: str,
+    state_root: str,
+    checkpoint_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """NDJSON document feed → per-micro-batch near-dup decisions.
+
+    State under ``state_root``: ``neardup_index`` (the corpus band-bucket
+    table, partitioned by ``bucket_part``) and ``neardup_decisions`` (one
+    row per signable doc ever streamed: ``doc_id, n_candidates,
+    matched_doc_id, batch_id``; ``matched_doc_id`` null = first of its
+    cluster). Unsignable docs (zero shingles) are excluded — the same
+    contract as the batch operators.
+    """
+    decisions = ManifestTable(spark, os.path.join(state_root, "neardup_decisions"))
+    index = ManifestTable(spark, os.path.join(state_root, "neardup_index"))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        process_neardup_batch(
+            batch_df,
+            batch_id,
+            decisions,
+            index,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            max_bucket=max_bucket,
+        )
+
+    writer = (
+        read_docs_stream(spark, raw_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
