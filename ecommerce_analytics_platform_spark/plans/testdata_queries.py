@@ -5273,6 +5273,215 @@ SELECT merge_rank, left_sym, right_sym, pair_cnt FROM (
 """
 
 
+# --- unigram-LM tokenizer (operators/unigram.py — Kudo 2018 hard-EM) ------
+_UNI_SCALE, _UNI_MAXW, _UNI_MAXP = 10000, 12, 4
+_UNI_SEED_MULTI, _UNI_VOCAB_MULTI, _UNI_ROUNDS = 200, 64, 2
+
+
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (operators/unigram.py — Kudo 2018
+    hard-EM): seed every ≤4-char substring, then 2 rounds of (scan-local
+    Viterbi segmentation, piece-count M-step, prune to 64 multi-char
+    pieces + all single chars). Scores are integer micro-nats (one ln,
+    immediately quantized at 1e4 — the BPE bit-exactness recipe), Viterbi
+    ties break max-score-then-shortest-piece in both engines, so the
+    trained (piece, score, used) table hash-matches the oracle's unrolled
+    EM chain exactly. All DP compute runs on the DISTINCT-WORD relation;
+    the corpus is touched once."""
+    from ecommerce_analytics_platform_spark.operators.unigram import unigram_train
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("text"))
+    return unigram_train(
+        docs,
+        "text",
+        max_word_len=_UNI_MAXW,
+        max_piece_len=_UNI_MAXP,
+        seed_multi=_UNI_SEED_MULTI,
+        vocab_multi=_UNI_VOCAB_MULTI,
+        rounds=_UNI_ROUNDS,
+        scale=_UNI_SCALE,
+    )
+
+
+def q_unigram_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the unigram vocab, then TOKENIZE the corpus with it: per doc,
+    total Viterbi pieces and characters over in-bounds words. The DP runs
+    once per distinct word and docs join the result — vocab-bound
+    compute, corpus-bound join (operators/unigram.py::unigram_token_count).
+    The oracle replays training AND segmentation in one unrolled chain."""
+    from ecommerce_analytics_platform_spark.operators.unigram import (
+        unigram_token_count,
+        unigram_train,
+    )
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    vocab = unigram_train(
+        docs,
+        "text",
+        max_word_len=_UNI_MAXW,
+        max_piece_len=_UNI_MAXP,
+        seed_multi=_UNI_SEED_MULTI,
+        vocab_multi=_UNI_VOCAB_MULTI,
+        rounds=_UNI_ROUNDS,
+        scale=_UNI_SCALE,
+    )
+    vrows = [(r["piece"], r["score"]) for r in vocab.select("piece", "score").collect()]
+    return unigram_token_count(
+        docs,
+        "doc_id",
+        "text",
+        vrows,
+        max_word_len=_UNI_MAXW,
+        max_piece_len=_UNI_MAXP,
+        scale=_UNI_SCALE,
+    )
+
+
+def _uni_vocab_sql(name: str, used_src: str, keep_multi: int) -> str:
+    """M-step twin of unigram._prune_and_score: top-``keep_multi``
+    multi-char pieces by (used DESC, piece ASC), all single chars with a
+    +1 floor, integer micro-nat scores vs the post-prune total.
+    MATERIALIZED: the vocab is referenced by 4 DP joins; inlining would
+    re-run the whole upstream EM chain per join (measured 19 s → 0.5 s)."""
+    return f"""
+{name} AS MATERIALIZED (
+    SELECT piece,
+           CAST(round({_UNI_SCALE} * ln(CAST(used AS DOUBLE) / total)) AS BIGINT) AS score,
+           used
+    FROM (
+        SELECT piece, used, CAST(sum(used) OVER () AS DOUBLE) AS total
+        FROM (
+            SELECT piece, used FROM (
+                SELECT piece, used, row_number() OVER (ORDER BY used DESC, piece) AS rk
+                FROM {used_src} WHERE length(piece) >= 2
+            ) WHERE rk <= {keep_multi}
+            UNION ALL
+            SELECT s.piece, coalesce(u.used, 0) + 1 AS used
+            FROM singles s LEFT JOIN (
+                SELECT piece, used FROM {used_src} WHERE length(piece) = 1
+            ) u USING (piece)
+        )
+    )
+)"""
+
+
+def _uni_seg_sql(n: int, vocab: str, words_src: str = "words") -> str:
+    """One Viterbi E-step as a recursive CTE: the state row carries a
+    4-slot DP window — b1..b4 = best score at (pos, pos-1, pos-2, pos-3),
+    l1..l4 = that position's best piece list — so no backtrace pass is
+    needed. Candidates mirror the Spark fold: struct(score, -piece_len),
+    max by (score, then SHORTEST piece); unmatched single chars fall back
+    to the UNK floor. ``used{n}`` re-counts piece usage over finished
+    words (pos = len)."""
+    unk = -40 * _UNI_SCALE
+    cands = [
+        "{'s': s.b1 + coalesce(k1.score, CAST(%d AS BIGINT)), 'nk': -1, "
+        "'ps': list_append(s.l1, substr(s.word, s.pos + 1, 1))}" % unk
+    ]
+    for k in range(2, _UNI_MAXP + 1):
+        cands.append(
+            f"CASE WHEN s.pos + 1 >= {k} AND k{k}.score IS NOT NULL THEN "
+            f"{{'s': s.b{k} + k{k}.score, 'nk': -{k}, "
+            f"'ps': list_append(s.l{k}, substr(s.word, s.pos + {2 - k}, {k}))}} END"
+        )
+    joins = "\n        ".join(
+        f"LEFT JOIN {vocab} k{k} ON s.pos + 1 >= {k} "
+        f"AND k{k}.piece = substr(s.word, s.pos + {2 - k}, {k})"
+        for k in range(1, _UNI_MAXP + 1)
+    )
+    cand_list = ",\n                ".join(cands)
+    return f"""
+seg{n} AS (
+    SELECT word, cnt, 0 AS pos,
+           CAST(0 AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+           CAST(NULL AS BIGINT) AS b3, CAST(NULL AS BIGINT) AS b4,
+           CAST([] AS VARCHAR[]) AS l1, CAST(NULL AS VARCHAR[]) AS l2,
+           CAST(NULL AS VARCHAR[]) AS l3, CAST(NULL AS VARCHAR[]) AS l4
+    FROM {words_src}
+    UNION ALL
+    SELECT word, cnt, pos + 1,
+           best['s'], b1, b2, b3,
+           best['ps'], l1, l2, l3
+    FROM (
+        SELECT s.word, s.cnt, s.pos, s.b1, s.b2, s.b3, s.l1, s.l2, s.l3,
+               list_sort(list_filter([
+                {cand_list}
+               ], x -> x IS NOT NULL))[-1] AS best
+        FROM seg{n} s
+        {joins}
+        WHERE s.pos < length(s.word)
+    )
+), used{n} AS (
+    SELECT piece, CAST(sum(cnt) AS BIGINT) AS used
+    FROM (SELECT unnest(l1) AS piece, cnt FROM seg{n} WHERE pos = length(word))
+    GROUP BY 1
+)"""
+
+
+def _uni_train_chain_sql() -> str:
+    """words → seed substring counts → v0 → (seg, prune) × 2 → v2: the
+    unrolled twin of unigram_train(rounds=2)."""
+    return (
+        rf"""words AS MATERIALIZED (
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT lower(unnest(string_split_regex(trim(text), '\s+'))) AS w
+        FROM documents WHERE trim(text) <> ''
+    ) WHERE length(w) BETWEEN 1 AND {_UNI_MAXW}
+    GROUP BY 1
+), subs AS MATERIALIZED (
+    SELECT substr(word, i, p) AS piece, CAST(sum(cnt) AS BIGINT) AS used
+    FROM (SELECT word, cnt, unnest(generate_series(1, length(word))) AS i FROM words),
+         (SELECT unnest(generate_series(1, {_UNI_MAXP})) AS p)
+    WHERE i + p - 1 <= length(word)
+    GROUP BY 1
+), singles AS (
+    SELECT piece FROM subs WHERE length(piece) = 1
+),"""
+        + _uni_vocab_sql("v0", "subs", _UNI_SEED_MULTI)
+        + ","
+        + _uni_seg_sql(1, "v0")
+        + ","
+        + _uni_vocab_sql("v1", "used1", _UNI_VOCAB_MULTI)
+        + ","
+        + _uni_seg_sql(2, "v1")
+        + ","
+        + _uni_vocab_sql("v2", "used2", _UNI_VOCAB_MULTI)
+    )
+
+
+def _unigram_vocab_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _uni_train_chain_sql()
+        + "\nSELECT piece, score, used FROM v2"
+    )
+
+
+def _unigram_token_count_sql() -> str:
+    """Training chain + one more Viterbi pass (seg3 under the final v2)
+    over the same distinct-word relation, joined back to per-doc words."""
+    return (
+        "WITH RECURSIVE "
+        + _uni_train_chain_sql()
+        + ","
+        + _uni_seg_sql(3, "v2")
+        + rf""", doc_words AS (
+    SELECT doc_id, w AS word FROM (
+        SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS w
+        FROM documents WHERE trim(text) <> ''
+    ) WHERE length(w) BETWEEN 1 AND {_UNI_MAXW}
+), word_pieces AS (
+    SELECT word, CAST(len(l1) AS BIGINT) AS n_pieces
+    FROM seg3 WHERE pos = length(word)
+)
+SELECT d.doc_id,
+       CAST(sum(p.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(length(d.word)) AS BIGINT) AS n_chars
+FROM doc_words d JOIN word_pieces p USING (word)
+GROUP BY 1"""
+    )
+
+
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-prep FUNNEL as one relation: how many documents survive
     each stage of the standard pretraining pipeline — raw → train split
@@ -6400,6 +6609,10 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "corpus_funnel": (q_corpus_funnel, _corpus_funnel_sql()),
     # iterative trainer: oracle unrolls the same 3 rounds (pagerank pattern)
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    # unigram-LM hard-EM trainer: oracle unrolls 2 EM rounds, each a
+    # recursive-CTE Viterbi DP under the previous round's vocab
+    "unigram_vocab": (q_unigram_vocab, _unigram_vocab_sql()),
+    "unigram_token_count": (q_unigram_token_count, _unigram_token_count_sql()),
 }
 
 # ---------------------------------------------------------------------------
@@ -6441,10 +6654,13 @@ _DRIVER_WINDOW = [
     "scd2_merge", "cdc_apply",
     # graph
     "pagerank", "label_prop", "triangle_count",
-    # sketches
-    "portable_hll", "dds_quantiles", "kmv_intersect", "approx_sketches",
-    # attribution / LM / BPE / multimodal
-    "attribution", "unigram_logprob", "bpe_merges", "audio_features",
+    # sketches (kmv_intersect rotated out r6 — portable_hll +
+    # approx_sketches keep the family sampled; slot goes to the
+    # unigram-LM trainer, a family new in r6)
+    "portable_hll", "dds_quantiles", "approx_sketches",
+    # attribution / LM / BPE+unigram tokenizers / multimodal
+    "attribution", "unigram_logprob", "bpe_merges", "unigram_vocab",
+    "audio_features",
     "video_frames_gif", "jpeg_roundtrip",
     # corpus prep / layout / skew / fixtures
     "sequence_pack", "corpus_funnel", "zorder_key", "salted_rollup",
