@@ -3383,7 +3383,8 @@ WITH b AS (
                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
     FROM b
 )
-SELECT doc_id, shard, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 2500
+SELECT doc_id, shard, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_tokens <= 2500
 """
 
 
@@ -5119,7 +5120,8 @@ buckets AS (
            row_number() OVER (ORDER BY sample_key DESC, doc_id ASC) AS rank
     FROM keyed
 )
-SELECT doc_id, n_tokens, logratio, sample_key, CAST(rank AS INT) AS rank
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, logratio, sample_key,
+       CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {keep}
 """
 
@@ -5715,8 +5717,8 @@ WITH med AS (
 )
 SELECT e.event_type, m.med_value, d.mad_value,
        count(*) AS n,
-       sum(CASE WHEN abs(e.value - m.med_value) > 3 * 1.4826 * d.mad_value
-                THEN 1 ELSE 0 END) AS n_outliers
+       CAST(sum(CASE WHEN abs(e.value - m.med_value) > 3 * 1.4826 * d.mad_value
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
 GROUP BY 1, 2, 3
 """
@@ -5792,7 +5794,7 @@ WITH melted AS (
     {melt}
 ), base AS (
     SELECT column_name, count(*) AS n_rows,
-           sum(CASE WHEN sval IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN sval IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            count(DISTINCT sval) AS ndv_exact
     FROM melted GROUP BY 1
 ), regs AS (
@@ -6324,7 +6326,7 @@ WITH bins AS (
            sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum
     FROM bins
 ), n AS (
-    SELECT o_orderpriority, sum(cnt) AS n FROM bins GROUP BY 1
+    SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n FROM bins GROUP BY 1
 ), qs AS (
     SELECT CAST(unnest([{qlist}]) AS DOUBLE) AS q
 ), sel AS (
@@ -6634,37 +6636,45 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 # still parity-verified by scripts/check_parity.py regardless of window
 # membership.
 _DRIVER_WINDOW = [
-    # reference core models
+    # reference core models (first_touch/dim_date/revenue_by_region/
+    # customers_without_orders rotated out r7 after 3+ green rounds)
     "pricing_summary", "daily_kpis", "daily_funnel", "session_rollup",
-    "dedup_latest", "first_touch", "dim_date", "revenue_by_region",
-    "customers_without_orders", "exploded_lines",
+    "dedup_latest", "exploded_lines",
     # text analysis
     "token_stats", "language_id", "quality_filter",
-    # dedup family (minhash_signatures is exercised end-to-end inside
-    # neardup_clusters; its slot goes to the r6 duplicated-passage op)
+    # dedup family (simhash rotated out r7; set_sim_join +
+    # sorted_neighborhood — exact-similarity blocking, never sampled —
+    # rotate in)
     "exact_dedup", "dup_passages", "neardup_clusters",
-    "semantic_dedup", "simhash", "span_dedup", "incremental_neardup",
-    # embeddings / ANN / centroids
-    "cosine_topk", "embedding_neardup", "ann_lsh", "nearest_centroid",
-    # temporal joins + windows
-    "asof_join", "range_join", "window_frames",
+    "semantic_dedup", "span_dedup", "incremental_neardup",
+    "set_sim_join", "sorted_neighborhood",
+    # embeddings / ANN / centroids (ann_lsh + embedding_neardup rotated
+    # out r7; ann_pq — new r6, never sampled — rotates in)
+    "cosine_topk", "ann_pq", "nearest_centroid",
+    # temporal joins
+    "asof_join", "range_join",
     # OLAP shapes + analytics
     "sales_cube", "event_pivot", "cohort_retention",
     # SCD2 / CDC
     "scd2_merge", "cdc_apply",
-    # graph
-    "pagerank", "label_prop", "triangle_count",
-    # sketches (kmv_intersect rotated out r6 — portable_hll +
-    # approx_sketches keep the family sampled; slot goes to the
-    # unigram-LM trainer, a family new in r6)
+    # graph (label_prop/triangle_count rotated out r7)
+    "pagerank",
+    # sketches + stats (dds_quantiles stays until the driver row is
+    # green — red in r5+r6, HUGEINT oracle cast fixed this round; the
+    # four latent-HUGEINT repairs rotate in to prove the fix class)
     "portable_hll", "dds_quantiles", "approx_sketches",
+    "robust_outliers", "table_stats",
+    # sampling / mixing (never sampled before r7; token_budget_sample +
+    # dsir_sample carried the latent HUGEINT bug)
+    "token_budget_sample", "dsir_sample", "domain_mixture",
+    "corpus_shuffle",
     # attribution / LM / BPE+unigram tokenizers / multimodal
     "attribution", "unigram_logprob", "bpe_merges", "unigram_vocab",
     "audio_features",
     "video_frames_gif", "jpeg_roundtrip",
     # corpus prep / layout / skew / fixtures
-    "sequence_pack", "corpus_funnel", "zorder_key", "salted_rollup",
-    "product_catalog",
+    "sequence_pack", "span_mask", "corpus_funnel", "zorder_key",
+    "salted_rollup", "product_catalog",
 ]
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
