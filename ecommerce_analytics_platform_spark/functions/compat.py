@@ -128,3 +128,32 @@ def epoch_seconds_between(start: Column | str, end: Column | str) -> Column:
     s = F.col(start) if isinstance(start, str) else start
     e = F.col(end) if isinstance(end, str) else end
     return (e.cast("double") - s.cast("double")).cast("long")
+
+
+def free_local_checkpoint(df) -> None:
+    """Release the block-manager storage behind a ``localCheckpoint``.
+
+    ``DataFrame.unpersist()`` is a no-op for checkpointed plans (the
+    storage hangs off the materialized internal RDD inside the LogicalRDD
+    leaf, not off a cached plan), and the ContextCleaner only frees it on
+    a driver GC cycle — so iterative operators that checkpoint per round
+    (connected components, pagerank, label propagation) would pin one
+    round's worth of blocks per iteration until an eventual JVM GC. This
+    walks the analyzed plan's leaves and unpersists each LogicalRDD's
+    RDD directly.
+
+    ONLY call on a checkpoint generation that is fully superseded (the
+    next round's checkpoint is already materialized) or fully consumed:
+    a locally-checkpointed RDD has no lineage, so once its blocks are
+    dropped it cannot be recomputed. Best-effort: non-classic backends
+    (no ``_jdf``) are silently skipped.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        it = plan.collectLeaves().iterator()
+        while it.hasNext():
+            leaf = it.next()
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass

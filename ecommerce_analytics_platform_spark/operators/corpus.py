@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ecommerce_analytics_platform_spark.functions.compat import (
+    free_local_checkpoint,
     portable_hash60,
     seeded_hash60,
 )
@@ -324,6 +325,7 @@ def pagerank_exact(
     base = ((damp_den - damp_num) * scale) // damp_den
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint()
     for _ in range(iterations):
+        superseded = ranks
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -342,6 +344,14 @@ def pagerank_exact(
             )
             .localCheckpoint()
         )
+        # the new generation is materialized; free the superseded round's
+        # blocks instead of pinning O(iterations) checkpoints until GC
+        free_local_checkpoint(superseded)
+    # e/deg/nodes are iteration infrastructure: the returned ranks is its
+    # own checkpoint with no lineage back to them, so their blocks are
+    # dead the moment the loop ends
+    for infra in (e, deg, nodes):
+        free_local_checkpoint(infra)
     return ranks
 
 
@@ -482,7 +492,15 @@ def label_propagation(
             .filter(F.col("__rn") == 1)
             .select("node", "label")
         )
+        superseded = labels
         labels = base.unionByName(
             winners.join(base.select("node"), "node", "left_anti")
         ).localCheckpoint()
+        if superseded is not base:
+            # round 1's `labels` IS `base` (no checkpoint of its own);
+            # later rounds free the superseded generation eagerly
+            free_local_checkpoint(superseded)
+    # the symmetrized edge checkpoint is iteration infrastructure; the
+    # final labels generation is its own checkpoint with no lineage to it
+    free_local_checkpoint(e)
     return labels

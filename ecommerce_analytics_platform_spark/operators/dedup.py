@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ecommerce_analytics_platform_spark.functions.compat import portable_hash60
+from ecommerce_analytics_platform_spark.functions.compat import (
+    free_local_checkpoint,
+    portable_hash60,
+)
+from ecommerce_analytics_platform_spark.session import pin
 from ecommerce_analytics_platform_spark.functions.text import minhash_table
 
 
@@ -154,7 +158,13 @@ def lsh_band_buckets(
     pass (boilerplate families are exact-dup families)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig_df = minhash_table(df, id_col, text_col, num_hashes, shingle_n, based=based).persist()
+    # persisted because every consumer joins the signature table at least
+    # twice; the consuming action is the CALLER's, so lifetime goes to the
+    # session pin registry (released on the next registry-query entry or
+    # an explicit release_pinned())
+    sig_df = pin(
+        minhash_table(df, id_col, text_col, num_hashes, shingle_n, based=based).persist()
+    )
 
     def band_struct(b: int) -> Column:
         cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
@@ -397,9 +407,15 @@ def connected_components(
                 .groupBy("u")
                 .agg(F.min("nlbl").alias("nbr_lbl"))
             )
+            superseded = labels
             labels = labels.join(nbr, "u", "left").select(
                 "u", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl")
             ).localCheckpoint()
+            # the new generation is materialized (eager checkpoint); the
+            # previous round's blocks are dead weight — free them now
+            # instead of pinning O(iterations) generations until a driver
+            # GC cycle reaches the ContextCleaner
+            free_local_checkpoint(superseded)
             new_sum = labels.agg(label_sum).collect()[0][0]
             changed = 0 if new_sum == prev_sum else 1
             prev_sum = new_sum
@@ -490,7 +506,12 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
+        before_large = cur
         cur = canon(ls.union(cur)).localCheckpoint()
+        # the pre-large-star generation is superseded UNLESS it is still
+        # prev_df (needed for the exact set-equality convergence check)
+        if before_large is not prev_df:
+            free_local_checkpoint(before_large)
         # ---- small-star: neighbors <= u (canonical orientation) attach ----
         mins2 = (
             cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -503,7 +524,10 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(cur.join(mins2, "u").select("u", F.col("m").alias("v")))
         )
+        after_large = cur
         cur = canon(ss).localCheckpoint()
+        if after_large is not prev_df:
+            free_local_checkpoint(after_large)
         st = cur.agg(*digest_aggs).collect()[0]
         now = (st["n"], st["su"], st["sv"])
         if now == prev:
@@ -513,7 +537,13 @@ def connected_components_star(
                 converged = True
                 break
         prev = now
+        if prev_df is not cur:
+            free_local_checkpoint(prev_df)
         prev_df = cur
+    if prev_df is not cur:
+        # convergence broke out with the penultimate generation still
+        # checkpointed; only `cur` feeds the returned labels
+        free_local_checkpoint(prev_df)
     if not converged:
         import warnings
 

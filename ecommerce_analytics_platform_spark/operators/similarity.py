@@ -881,6 +881,12 @@ def pq_train_codebooks(
         dtype=np.float64,
     )
     sample = _safe_unit_rows(sample)
+    if sample.shape[0] < k_codes:
+        raise ValueError(
+            f"PQ training needs at least k_codes={k_codes} sample rows; "
+            f"corpus sample has only {sample.shape[0]} — lower k_codes or "
+            "supply a larger corpus"
+        )
     d = sample.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")

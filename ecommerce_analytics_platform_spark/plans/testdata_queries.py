@@ -15,6 +15,8 @@ Operator ↔ reference citations are in each builder's docstring
 
 from __future__ import annotations
 
+import functools
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -22,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_analytics_platform_spark.functions.compat import (
     dow_sunday0,
+    free_local_checkpoint,
     is_weekend,
     portable_hash60,
     portable_hash60_sql,
@@ -2848,7 +2851,7 @@ def q_set_sim_join(
     ).filter(F.size("tk") > 0)
     tkset = tkset.withColumn("sz", F.size("tk").cast("long"))
     if _persist:
-        tkset = tkset.persist()
+        tkset = _pin(tkset.persist())
     tok = tkset.select("doc_id", "sz", F.explode("tk").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     w = Window.partitionBy("doc_id").orderBy("freq", "tok")
@@ -4282,21 +4285,21 @@ FROM q
 LM_BROADCAST_MAX_ROWS = 2_000_000
 
 
-_LM_PINNED: list[DataFrame] = []
+# Pin registry lives in session.py so operator modules (dedup's LSH
+# signature persist, LM count tables here) can register caller-consumed
+# persists without importing this module. Release is STRUCTURAL, not
+# conventional (r6 ADVICE): every registry entry is wrapped by
+# ``_with_pin_release`` at assembly time, so entering ANY registry query
+# first drops the previous invocation's pins — a future query function
+# cannot leak even if it never heard of ``release_pinned``.
+from ecommerce_analytics_platform_spark.session import (  # noqa: E402
+    pin as _pin,
+    release_pinned,
+)
 
-
-def _release_lm_pinned() -> None:
-    """Unpersist count tables pinned by the PREVIOUS LM-query invocation.
-
-    ``_bounded_broadcast`` persists so its sizing count doubles as cache
-    materialization for the join — but the consuming action is the
-    caller's, so the function itself can never unpersist. Query functions
-    call this on entry: the previous invocation's tables are released
-    (its action long finished) while the current one's stay live for the
-    caller, bounding pinned executor storage to ≤ 3 count tables instead
-    of growing across registry sweeps / bench repetitions."""
-    while _LM_PINNED:
-        _LM_PINNED.pop().unpersist(False)
+# back-compat alias (r5/r6 name) — existing call sites inside the LM
+# query functions keep working and are now redundant-but-harmless
+_release_lm_pinned = release_pinned
 
 
 def _bounded_broadcast(df: DataFrame, max_rows: int | None = None) -> DataFrame:
@@ -4305,11 +4308,10 @@ def _bounded_broadcast(df: DataFrame, max_rows: int | None = None) -> DataFrame:
     truth, so the hint also overrides Catalyst's estimate-based
     auto-broadcast (which would happily broadcast a "small-looking"
     multi-GB count table built from a mis-estimated aggregate). The
-    persisted df is tracked in ``_LM_PINNED`` and released by the next
-    ``_release_lm_pinned()`` call."""
+    persisted df goes to the session pin registry and is released by the
+    next ``release_pinned()`` call (structural: any registry-query entry)."""
     cap = LM_BROADCAST_MAX_ROWS if max_rows is None else max_rows
-    df = df.persist()
-    _LM_PINNED.append(df)
+    df = _pin(df.persist())
     return F.broadcast(df) if df.count() <= cap else df.hint("merge")
 
 
@@ -4401,7 +4403,7 @@ def q_bigram_logprob(
             )
         ).alias("g"),
     ).select("doc_id", "g.prev", "g.cur")
-    grams = grams.persist()
+    grams = _pin(grams.persist())
     bigram_counts = grams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
     # context counts = occurrences of `prev` AS a bigram context (n-1 per doc)
     ctx_counts = bigram_counts.groupBy("prev").agg(F.sum("c_bg").alias("c_ctx"))
@@ -6678,7 +6680,45 @@ _DRIVER_WINDOW = [
 ]
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
+
+
+class _ResultCheckpointPin:
+    """Pin adapter: frees localCheckpoint storage reachable from a query
+    RESULT (iterative operators — connected components, pagerank, label
+    propagation — return DataFrames over their final checkpoint
+    generation, whose blocks outlive the query). Released like any other
+    pin: when the NEXT registry query enters, the previous result's
+    action has long finished, so its checkpoints are dead weight.
+    Registry inputs are all parquet scans, so every LogicalRDD leaf in a
+    result plan is an internal checkpoint — never caller data."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        free_local_checkpoint(self._df)
+
+
+def _with_pin_release(fn: SparkQuery) -> SparkQuery:
+    """Structural pin-release (r6 ADVICE): entering any registry query
+    first unpersists whatever the previous query invocation pinned via
+    ``_pin``/``_bounded_broadcast``. Lifetime ownership lives HERE, at
+    assembly, not by per-function convention — a new query function that
+    pins cannot leak across registry sweeps even if it never heard of
+    ``release_pinned``."""
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str, *a, **k):
+        release_pinned()
+        out = fn(spark, sf_dir, *a, **k)
+        _pin(_ResultCheckpointPin(out))
+        return out
+
+    return wrapped
+
+
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in set(_DRIVER_WINDOW)},
 }
+QUERIES = {name: (_with_pin_release(fn), sql) for name, (fn, sql) in QUERIES.items()}

@@ -127,3 +127,40 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+# ---------------------------------------------------------------------------
+# Persist-lifetime registry (r6 ADVICE): operators that persist an
+# intermediate whose consuming action belongs to the CALLER (LSH signature
+# tables, LM count tables, PPJoin shingle relations) cannot unpersist it
+# themselves. They register it here; the registry wrapper in
+# plans/testdata_queries.py releases the previous invocation's pins on
+# entry to any query, and library callers can call release_pinned()
+# directly. Thread-safe; entries are anything exposing .unpersist(bool).
+# ---------------------------------------------------------------------------
+
+import threading as _threading
+
+_PIN_LOCK = _threading.Lock()
+_PINNED: list = []
+
+
+def pin(obj):
+    """Track a caller-consumed persist (or checkpoint adapter) for
+    structural release by the next :func:`release_pinned` call."""
+    with _PIN_LOCK:
+        _PINNED.append(obj)
+    return obj
+
+
+def release_pinned() -> None:
+    """Unpersist everything pinned since the last release. The swap
+    happens under the lock; the unpersist JVM calls happen outside it."""
+    with _PIN_LOCK:
+        drained = _PINNED[:]
+        _PINNED.clear()
+    for obj in drained:
+        try:
+            obj.unpersist(False)
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass

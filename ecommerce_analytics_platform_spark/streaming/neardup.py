@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -149,19 +149,34 @@ def process_neardup_batch(
         new_index_rows = nb.select(
             F.col("__id").alias("doc_id"), "band", "bucket"
         ).withColumn("bucket_part", _bucket_part())
-        if max_bucket is not None and _read_index(index) is not None:
+        if max_bucket is not None:
             # guardrail: never grow a corpus bucket past max_bucket — the
             # overflow rows are dropped from the INDEX only (decisions for
-            # the docs were already committed above).
-            sizes = (
-                _read_index(index)
-                .groupBy("band", "bucket")
-                .agg(F.count(F.lit(1)).alias("n"))
+            # the docs were already committed above). The cap counts BOTH
+            # pre-existing index rows and this batch's own rows (rank by
+            # doc_id within the bucket), so a single oversized batch — or
+            # the uncapped-first-batch case where the index is still empty
+            # — cannot blow past the limit. Deterministic (rank orders on
+            # doc_id), and replay-safe: if the index commit already landed,
+            # append_once no-ops regardless of what we compute here.
+            w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+            new_index_rows = new_index_rows.withColumn(
+                "__rk", F.row_number().over(w)
             )
+            existing = _read_index(index)
+            if existing is not None:
+                sizes = existing.groupBy("band", "bucket").agg(
+                    F.count(F.lit(1)).alias("__n0")
+                )
+                new_index_rows = new_index_rows.join(
+                    sizes, ["band", "bucket"], "left"
+                )
+                base = F.coalesce(F.col("__n0"), F.lit(0))
+            else:
+                base = F.lit(0)
             new_index_rows = (
-                new_index_rows.join(sizes, ["band", "bucket"], "left")
-                .filter(F.coalesce(F.col("n"), F.lit(0)) < max_bucket)
-                .drop("n")
+                new_index_rows.filter(base + F.col("__rk") <= F.lit(max_bucket))
+                .drop("__rk", "__n0")
             )
         index.append_once(
             new_index_rows, txn_id=f"neardup-index-{batch_id}",

@@ -181,3 +181,36 @@ def test_half_committed_replay_converges(spark, tmp_path):
         "doc_id",
         "text",
     ).select("__id").distinct().count()
+
+
+def test_max_bucket_caps_within_a_single_batch(spark, tmp_path):
+    """The max_bucket guardrail must bound bucket growth even when the
+    overflow arrives INSIDE one batch (including the very first batch,
+    when the index is still empty): near-identical boilerplate docs all
+    sign into the same band-buckets, and only the first max_bucket per
+    bucket may enter the index."""
+    decisions = ManifestTable(spark, str(tmp_path / "dec"))
+    index = ManifestTable(spark, str(tmp_path / "idx"))
+    boiler = " ".join(f"w{i}" for i in range(40))
+    b0 = spark.createDataFrame(
+        [(i, boiler) for i in range(30)], "doc_id long, text string"
+    )
+    process_neardup_batch(b0, 0, decisions, index, max_bucket=5)
+    sizes0 = (
+        index.read().groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    )
+    assert sizes0 <= 5
+    # survivors are the smallest doc_ids per bucket (deterministic rank)
+    kept = {r[0] for r in index.read().select("doc_id").distinct().collect()}
+    assert kept == set(range(5))
+    # a second boilerplate batch cannot push the bucket past the cap either
+    b1 = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    process_neardup_batch(b1, 1, decisions, index, max_bucket=5)
+    sizes1 = (
+        index.read().groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    )
+    assert sizes1 <= 5
+    # decisions were still committed for every doc (cap drops INDEX rows only)
+    assert decisions.read().count() == 40
