@@ -47,6 +47,12 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ecommerce_analytics_platform_spark.sources.evolution import (
+    align_to_schema,
+    evolve_schema,
+)
 
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 
@@ -99,11 +105,13 @@ class ManifestTable:
         """Optimistic-concurrency commit loop.
 
         ``apply_fn(base_version, base_manifest | None) -> (files, txns)``
-        recomputes the new snapshot AGAINST THE CURRENT BASE on every
-        attempt (return ``None`` for an idempotent no-op). Losing the
-        version-slot race triggers a REBASE — re-read the new latest,
-        re-apply — never a blind retry of a stale snapshot, so a
-        concurrent writer's committed files survive. ``apply_fn`` raises
+        or ``(files, txns, schema_json | None)`` recomputes the new
+        snapshot AGAINST THE CURRENT BASE on every attempt (return
+        ``None`` for an idempotent no-op). Losing the version-slot race
+        triggers a REBASE — re-read the new latest, re-apply — never a
+        blind retry of a stale snapshot, so a concurrent writer's
+        committed files survive (and a schema evolved by a concurrent
+        commit re-unions on rebase). ``apply_fn`` raises
         :class:`ConcurrentWriteConflict` when its preconditions no longer
         hold on the new base (non-commuting commits abort cleanly; the
         published chain is always a valid snapshot)."""
@@ -114,7 +122,15 @@ class ManifestTable:
             res = apply_fn(base, m)
             if res is None:
                 return base
-            files, txns = res
+            if len(res) == 3:
+                files, txns, schema_json = res
+            else:
+                files, txns = res
+                schema_json = None
+            if schema_json is None and m is not None:
+                # write classes that don't evolve carry the declared
+                # schema forward unchanged
+                schema_json = m.get("schema")
             import time
 
             doc = {
@@ -126,6 +142,10 @@ class ManifestTable:
                 # as unknown-old by version_at)
                 "ts": time.time(),
             }
+            if schema_json is not None:
+                # the snapshot's declared read schema (additive evolution
+                # — see sources/evolution.py); absent in legacy manifests
+                doc["schema"] = schema_json
             tmp = os.path.join(self.manifest_dir, f"{uuid.uuid4().hex}.tmp")
             with open(tmp, "w") as f:
                 f.write(json.dumps(doc, indent=1))
@@ -195,6 +215,38 @@ class ManifestTable:
     def _base_txns(m: dict | None) -> list[str]:
         return list(m.get("txns", [])) if m else []
 
+    # -- declared schema (additive evolution; sources/evolution.py) --------
+
+    def declared_schema(self, version: int | None = None) -> StructType | None:
+        """The snapshot's declared read schema (None for legacy manifests
+        predating schema tracking and for empty tables)."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            return None
+        sj = self._read_manifest(v).get("schema")
+        return StructType.fromJson(sj) if sj else None
+
+    def _evolved(
+        self, df: DataFrame, on_schema_change: str = "append_new_columns"
+    ) -> tuple[DataFrame, StructType]:
+        """Align ``df`` to the union of (current declared schema, its own
+        schema). Legacy tables bootstrap the declared schema from a file
+        read once; the union lands in the next manifest."""
+        existing = self.declared_schema()
+        if existing is None and self.latest_version() is not None:
+            existing = self.read().schema
+        union = evolve_schema(existing, df.schema, on_schema_change)
+        return align_to_schema(df, union), union
+
+    @staticmethod
+    def _rebased_schema_json(m: dict | None, union: StructType) -> dict:
+        """Re-union against the base a rebased publish attempt actually
+        sees: a concurrent commit may have widened the schema after this
+        writer computed ``union``. Files already written under ``union``
+        stay valid — the read back-fills what they lack."""
+        base = StructType.fromJson(m["schema"]) if m and m.get("schema") else None
+        return evolve_schema(base, union).jsonValue()
+
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Full snapshot replace: new files + manifest listing only them.
         Last-writer-wins BY DEFINITION (an overwrite means "the table is
@@ -202,14 +254,30 @@ class ManifestTable:
         ``append_once`` idempotency survives. Old files stay on disk for
         readers pinned to old versions (time travel) until ``vacuum``."""
         files = self._write_files(df, partition_by)
-        return self._publish(lambda _base, m: (files, self._base_txns(m)))
+        # an overwrite REDEFINES the table: the declared schema resets to
+        # exactly this df's (nullable) schema, never a union with the past
+        schema_json = evolve_schema(None, df.schema).jsonValue()
+        return self._publish(lambda _base, m: (files, self._base_txns(m), schema_json))
 
-    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        on_schema_change: str = "append_new_columns",
+    ) -> int:
         """Blind append — commutes with every other commit class: a lost
-        version race rebases onto the winner's file list."""
+        version race rebases onto the winner's file list (and re-unions
+        the declared schema). New columns land additively per the
+        reference's ``on_schema_change: append_new_columns`` contract
+        (dbt_project.yml:29); type changes raise."""
+        df, union = self._evolved(df, on_schema_change)
         files = self._write_files(df, partition_by)
         return self._publish(
-            lambda _base, m: ((m["files"] if m else []) + files, self._base_txns(m))
+            lambda _base, m: (
+                (m["files"] if m else []) + files,
+                self._base_txns(m),
+                self._rebased_schema_json(m, union),
+            )
         )
 
     _UNSET = object()
@@ -249,12 +317,13 @@ class ManifestTable:
         if expected_base is self._UNSET:
             expected_base = self.latest_version()
         staged: list[list[str]] = []
+        aligned, union = self._evolved(df)
 
         def apply(base, m):
             if txn_id is not None and m and txn_id in m.get("txns", []):
                 return None  # duplicate delivery → idempotent no-op
             if not staged:  # write data files once, on first need
-                staged.append(self._write_files(df, partition_by))
+                staged.append(self._write_files(aligned, partition_by))
             new_files = staged[0]
             replaced_dirs = {os.path.dirname(f) for f in new_files}
             touched = self._touched_since(expected_base, base)
@@ -268,7 +337,7 @@ class ManifestTable:
             txns = self._base_txns(m)
             if txn_id is not None:
                 txns.append(txn_id)
-            return kept + new_files, txns
+            return kept + new_files, txns, self._rebased_schema_json(m, union)
 
         return self._publish(apply)
 
@@ -291,13 +360,18 @@ class ManifestTable:
         (The files it staged become unreferenced orphans; ``vacuum``
         reclaims them.)"""
         staged: list[list[str]] = []
+        aligned, union = self._evolved(df)
 
         def apply(base, m):
             if m and txn_id in m.get("txns", []):
                 return None  # duplicate delivery → idempotent no-op
             if not staged:  # write data files once, on first need
-                staged.append(self._write_files(df, partition_by))
-            return (m["files"] if m else []) + staged[0], [*self._base_txns(m), txn_id]
+                staged.append(self._write_files(aligned, partition_by))
+            return (
+                (m["files"] if m else []) + staged[0],
+                [*self._base_txns(m), txn_id],
+                self._rebased_schema_json(m, union),
+            )
 
         return self._publish(apply)
 
@@ -320,6 +394,7 @@ class ManifestTable:
         rel_remove = {
             os.path.relpath(p, self.path) if os.path.isabs(p) else p for p in remove
         }
+        df, _union = self._evolved(df)
         new_files = self._write_files(df, partition_by)
 
         def apply(base, m):
@@ -397,11 +472,18 @@ class ManifestTable:
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no committed manifest under {self.path}")
-        files = self._read_manifest(v)["files"]
+        m = self._read_manifest(v)
+        files = m["files"]
         if not files:
             raise ValueError(f"manifest v{v} lists no files")
         paths = [os.path.join(self.path, f) for f in files]
-        return self.spark.read.option("basePath", self.path).parquet(*paths)
+        reader = self.spark.read.option("basePath", self.path)
+        if m.get("schema"):
+            # the snapshot's declared schema: files predating an additive
+            # evolution back-fill NULL for the columns they lack, with no
+            # mergeSchema footer sweep (sources/evolution.py)
+            reader = reader.schema(StructType.fromJson(m["schema"]))
+        return reader.parquet(*paths)
 
     def merge_delete_insert(
         self,
@@ -442,7 +524,11 @@ class ManifestTable:
                         raise _InitRace()  # lost the init race → merge path
                     if not staged:
                         staged.append(self._write_files(new_batch, partition_by))
-                    return staged[0], ([txn_id] if txn_id else [])
+                    return (
+                        staged[0],
+                        ([txn_id] if txn_id else []),
+                        evolve_schema(None, new_batch.schema).jsonValue(),
+                    )
 
                 try:
                     return self._publish(apply)
@@ -467,11 +553,15 @@ class ManifestTable:
                     for r in part_vals
                 ],
             )
-            target = self.read(read_version)
+            # align BOTH sides to the evolved union before merging: the
+            # batch may carry columns the snapshot predates (additive
+            # evolution), and kept rows back-fill NULL for them
+            aligned_batch, union = self._evolved(new_batch)
+            target = align_to_schema(self.read(read_version), union)
             affected = target.filter(pred)
-            keys = new_batch.select(*unique_key).distinct()
+            keys = aligned_batch.select(*unique_key).distinct()
             kept = affected.join(F.broadcast(keys), on=unique_key, how="left_anti")
-            merged = kept.select(*new_batch.columns).unionByName(new_batch)
+            merged = kept.select(*aligned_batch.columns).unionByName(aligned_batch)
             try:
                 return self.replace_partitions(
                     merged, partition_by, txn_id=txn_id, expected_base=read_version

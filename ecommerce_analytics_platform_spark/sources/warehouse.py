@@ -25,10 +25,18 @@ only), never rewrite existing data.
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ecommerce_analytics_platform_spark.sources.evolution import (
+    align_to_schema,
+    evolve_schema,
+)
 
 
 class Warehouse:
@@ -57,6 +65,30 @@ class Warehouse:
         # the metastore namespace-free while the path stays hierarchical
         return table.replace(".", "__")
 
+    # -- declared-schema sidecar (additive evolution) ----------------------
+
+    def _schema_path(self, table: str) -> str:
+        # leading underscore: Spark's parquet file index ignores it
+        return os.path.join(self.path(table), "_schema.json")
+
+    def declared_schema(self, table: str) -> StructType | None:
+        """The table's current logical schema, if one has been declared
+        (written by every :meth:`overwrite`/:meth:`append` since the
+        sidecar was introduced; absent for legacy dirs → None)."""
+        try:
+            with open(self._schema_path(table)) as f:
+                return StructType.fromJson(json.load(f))
+        except FileNotFoundError:
+            return None
+
+    def _write_declared_schema(self, table: str, schema: StructType) -> None:
+        p = self._schema_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(schema.jsonValue(), indent=1))
+        os.replace(tmp, p)  # atomic swap — readers never see a torn file
+
     def read(self, table: str) -> DataFrame:
         # bucketed tables MUST be read through the catalog — a plain
         # parquet read has no bucket metadata, so every downstream join
@@ -64,6 +96,12 @@ class Warehouse:
         name = self._catalog_name(table)
         if self.spark.catalog.tableExists(name):
             return self.spark.table(name)
+        declared = self.declared_schema(table)
+        if declared is not None:
+            # explicit read schema = NULL back-fill for columns a file
+            # predates, with no mergeSchema footer sweep (see
+            # sources/evolution.py module docs)
+            return self.spark.read.schema(declared).parquet(self.path(table))
         return self.spark.read.parquet(self.path(table))
 
     def overwrite(
@@ -103,17 +141,47 @@ class Warehouse:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.saveAsTable(name)
+            # bucketed tables resolve through the catalog; a stale
+            # declared-schema sidecar from a previous plain write would
+            # shadow nothing, but drop it for hygiene
+            try:
+                os.unlink(self._schema_path(table))
+            except FileNotFoundError:
+                pass
             return
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
+        # an overwrite REDEFINES the table, so the declared schema is
+        # simply the new df's (evolution applies to appends only)
+        self._write_declared_schema(table, evolve_schema(None, df.schema))
 
-    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        on_schema_change: str = "append_new_columns",
+    ) -> None:
+        """Append with the reference's ``on_schema_change:
+        append_new_columns`` contract (dbt_project.yml:29): a batch
+        carrying never-seen columns lands them additively — existing
+        files are untouched and read back NULL for the new columns via
+        the declared-schema sidecar — while a TYPE change for an
+        existing column raises :class:`SchemaEvolutionError`. Pass
+        ``on_schema_change="fail"`` to reject new columns instead."""
+        existing = self.declared_schema(table)
+        if existing is None and self.exists(table):
+            # legacy dir predating the sidecar: bootstrap from the files
+            existing = self.spark.read.parquet(self.path(table)).schema
+        union = evolve_schema(existing, df.schema, on_schema_change)
+        df = align_to_schema(df, union)
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
+        self._write_declared_schema(table, union)
 
     def append_new_dates(
         self,

@@ -71,25 +71,34 @@ GOLD_TABLES = (
 )
 
 
-def _dir_fingerprint(path: str) -> str:
-    """Cheap driver-side fingerprint of a parquet dir (relative names +
-    sizes + mtimes). Used to key dim_products commits to the ORDERS
-    SNAPSHOT rather than the batch: orders are batch-side, so rescanning
-    all order items every micro-batch would pay the table's full scan
-    cost for an unchanged result — the fingerprint txn skips the
-    recompute entirely until the staging load actually changes."""
+def _read_set_fingerprint(df) -> str:
+    """Fingerprint of the file set a DataFrame read will ACTUALLY touch
+    (``df.inputFiles()`` URIs + on-disk sizes). Used to key dim_products
+    commits to the ORDERS SNAPSHOT rather than the batch: orders are
+    batch-side, so rescanning all order items every micro-batch would pay
+    the table's full scan cost for an unchanged result — the fingerprint
+    txn skips the recompute entirely until the staging load actually
+    changes.
+
+    Why inputFiles and not a directory walk (r6 ADVICE): a dir walk keyed
+    on mtimes is ABA-revertable (restore the dir to a previously-seen
+    mtime state and the recompute is skipped at an intermediate result),
+    and orphaned files from superseded loads fed the fingerprint even
+    though reads ignore them. The read set is exactly what the recompute
+    would consume. Remaining assumption (documented): two DISTINCT order
+    snapshots never present the identical (URI, size) list — safe in
+    practice because parquet writers mint a fresh UUID part-file name per
+    write job, so equal lists imply equal bytes."""
     import hashlib
 
     h = hashlib.sha1()
-    for root, dirs, files in os.walk(path):
-        dirs.sort()
-        for fn in sorted(files):
-            if fn.endswith(".parquet"):
-                p = os.path.join(root, fn)
-                st = os.stat(p)
-                h.update(
-                    f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns}".encode()
-                )
+    for uri in sorted(df.inputFiles()):
+        local = uri[7:] if uri.startswith("file://") else uri
+        try:
+            size = os.stat(local).st_size
+        except OSError:
+            size = -1
+        h.update(f"{uri}:{size}".encode())
     return h.hexdigest()[:16]
 
 
@@ -286,7 +295,7 @@ def start_continuous_gold(
         # the commit to the ORDERS SNAPSHOT fingerprint — unchanged orders
         # ⇒ the txn pre-check skips the full order-items scan entirely
         if stg_items is not None:
-            fp_txn = f"dproducts-{_dir_fingerprint(wh.path('staging.stg_orders'))}"
+            fp_txn = f"dproducts-{_read_set_fingerprint(stg_orders)}"
             dp_t = gold("dim_products")
             if not dp_t.has_txn(fp_txn):
                 dp = M.dim_products(M.fact_order_items(stg_items)).withColumn(

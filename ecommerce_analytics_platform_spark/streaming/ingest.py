@@ -41,10 +41,19 @@ from ecommerce_analytics_platform_spark.sources.schemas import (
 
 
 def read_clickstream_stream(
-    spark: SparkSession, raw_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    raw_dir: str,
+    max_files_per_trigger: int | None = None,
+    schema=None,
 ) -> DataFrame:
-    """Streaming schema-enforced NDJSON source (reference S2/S9)."""
-    reader = spark.readStream.schema(CLICKSTREAM_RAW_SCHEMA)
+    """Streaming schema-enforced NDJSON source (reference S2/S9).
+
+    ``schema`` overrides the declared raw contract — the deployment knob
+    for a producer v3 field: extend the declared StructType (additive,
+    nullable) and restart the stream; v2 files read NULL for the new
+    field at the source, and every downstream warehouse append lands it
+    additively (sources/evolution.py)."""
+    reader = spark.readStream.schema(schema or CLICKSTREAM_RAW_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.json(raw_dir)
