@@ -428,6 +428,55 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--r7-only" in sys.argv:
+        # r7 (VERDICT r6 #9): probe rows for the r6 surface — prefix-
+        # postings growth (exact set-similarity join + entity clustering)
+        # and distinct-word growth (unigram-LM EM training). The memoized
+        # registry wrapper is bypassed for unigram so the probe times
+        # TRAINING, not a cache hit.
+        from ecommerce_analytics_platform_spark.operators.unigram import unigram_train
+        from ecommerce_analytics_platform_spark.plans.testdata_queries import (
+            _UNI_MAXP,
+            _UNI_MAXW,
+            _UNI_ROUNDS,
+            _UNI_SCALE,
+            _UNI_SEED_MULTI,
+            _UNI_VOCAB_MULTI,
+            q_entity_clusters,
+            q_set_sim_join,
+        )
+        from ecommerce_analytics_platform_spark.session import release_pinned
+
+        def r7_probes(d):
+            yield "set_sim_join", lambda: q_set_sim_join(spark, d)
+            yield "entity_clusters", lambda: q_entity_clusters(spark, d)
+            yield "unigram_train", lambda: unigram_train(
+                fan_out(_t(spark, d, "documents").select("text")),
+                "text",
+                max_word_len=_UNI_MAXW,
+                max_piece_len=_UNI_MAXP,
+                seed_multi=_UNI_SEED_MULTI,
+                vocab_multi=_UNI_VOCAB_MULTI,
+                rounds=_UNI_ROUNDS,
+                scale=_UNI_SCALE,
+            )
+
+        r7: dict[str, list[float]] = {}
+        for scale, d in ((1, sf_dir), (COPIES, OUT_DIR)):
+            for name, build in r7_probes(d):
+                dt = timed(build, runs=2 if scale == 1 else 1)
+                r7.setdefault(name, []).append(dt)
+                print(f"{scale}x {name}: {dt:.2f}s", flush=True)
+                spark.catalog.clearCache()
+                release_pinned()
+        print(f"\n| operator | 1x | {COPIES}x (disk) | ratio |")
+        print("| --- | --- | --- | --- |")
+        for name, ts in r7.items():
+            if len(ts) == 2:
+                print(f"| {name} | {ts[0]:.2f} s | {ts[1]:.2f} s | {ts[1] / ts[0]:.1f}x |")
+        spark.stop()
+        return
+
     if "--gold-only" in sys.argv:
         gc = gold_cadence_probe(spark)
         print(
