@@ -66,6 +66,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ecommerce_analytics_platform_spark.functions.compat import (
+    free_local_checkpoint,
+)
 from ecommerce_analytics_platform_spark.operators.dedup import (
     connected_components,
     lsh_band_buckets,
@@ -195,6 +198,11 @@ def process_entity_batch(
             txn_id=f"entity-index-{batch_id}",
             partition_by=["bucket_part"],
         )
+        if remap is not None:
+            # the root-graph CC's final checkpoint was fully consumed by
+            # the merge commit above; free its blocks now instead of
+            # accreting one generation per micro-batch until a driver GC
+            free_local_checkpoint(remap)
     finally:
         nb.unpersist()
 

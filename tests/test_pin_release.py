@@ -14,8 +14,16 @@ def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
-def test_pinning_queries_release_on_next_entry(spark):
+def _hermetic(spark) -> None:
+    """Drop whatever earlier tests in the shared session left cached so
+    this module measures ONLY its own queries' residue."""
     spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+
+
+def test_pinning_queries_release_on_next_entry(spark):
+    _hermetic(spark)
     q = entrymod.queries()
     # each of these persists an intermediate (LM count tables, PPJoin
     # shingle relation); entity_clusters persists CC edges internally
@@ -30,7 +38,7 @@ def test_pinning_queries_release_on_next_entry(spark):
 
 
 def test_release_pinned_direct(spark):
-    spark.catalog.clearCache()
+    _hermetic(spark)
     q = entrymod.queries()
     q["set_sim_join"](spark, SF_DIR).count()
     assert _n_persistent(spark) >= 1  # the pinned tkset is live
