@@ -504,3 +504,73 @@ def label_propagation(
     # final labels generation is its own checkpoint with no lineage to it
     free_local_checkpoint(e)
     return labels
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = 8,
+    seed: int = 7177,
+) -> DataFrame:
+    """Content-defined chunking: split each document at ROLLING-HASH
+    boundaries so chunk edges survive insertions/deletions — the
+    passage-level storage-dedup primitive (Muthitacharoen et al., LBFS
+    SOSP'01; the same boundary idea FastCDC/restic/borg use), applied to
+    token streams for training corpora.
+
+    Rule: a boundary opens BEFORE token i when
+    ``H(seed, token[i-1] || ' ' || token[i]) % modulus == 0`` — a pure
+    content predicate, so two documents sharing a long passage produce
+    byte-identical interior chunks no matter where the passage sits
+    (fixed-width chunking, by contrast, loses all alignment after one
+    inserted word). Expected chunk length = ``modulus`` tokens.
+
+    Output, one row per (doc, chunk): ``id_col, chunk_id`` (0-based
+    position order), ``n_tokens``, ``chunk_hash`` (portable 60-bit hash
+    of the space-joined tokens), ``n_docs_sharing`` (distinct docs
+    containing a chunk with the same hash — >1 = shared passage).
+
+    Scale shape: posexplode is map-side; boundary + running-sum windows
+    ride ONE doc_id shuffle; the chunk rollup is a (doc, chunk) groupBy
+    with map-side combine; sharing counts add one chunk_hash-keyed
+    exchange. Everything is linear in token count — no joins, no
+    quadratic candidate step — and the chunk_hash relation is exactly
+    what a downstream exact-dedup (hash groupBy) or bloom pre-filter
+    consumes at 100 TB.
+    """
+    from ecommerce_analytics_platform_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gate = F.pmod(
+        seeded_hash60(F.concat_ws(" ", F.lag("tok").over(w), F.col("tok")), seed),
+        F.lit(modulus),
+    )
+    toks = toks.withColumn(
+        "brk", F.when((F.col("pos") > 0) & (gate == 0), 1).otherwise(0)
+    ).withColumn("chunk_id", F.sum("brk").over(w).cast("long"))
+    chunks = (
+        toks.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # within-group order: sort_array over (pos, tok) structs —
+            # deterministic regardless of shuffle arrival order
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_hash", portable_hash60(F.col("chunk_text")))
+        .drop("chunk_text")
+    )
+    sharing = Window.partitionBy("chunk_hash")
+    return chunks.withColumn(
+        "n_docs_sharing",
+        F.size(F.collect_set(F.col(id_col)).over(sharing)).cast("long"),
+    )

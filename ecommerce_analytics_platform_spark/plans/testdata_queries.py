@@ -2979,6 +2979,60 @@ SELECT u AS doc_id, min(lbl) AS entity_id FROM walk GROUP BY u""",
 )
 
 
+_CDC_SEED, _CDC_MOD = 7177, 8
+
+
+def q_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the documents table
+    (operators/corpus.py::content_defined_chunks): rolling-hash token
+    boundaries (LBFS/FastCDC idea applied to token streams) so shared
+    passages produce byte-identical interior chunks regardless of where
+    they sit in a document; ``n_docs_sharing > 1`` flags the shared
+    passages an exact chunk-level dedup would drop. The oracle replays
+    boundary gating, running-sum chunk numbering, ordered chunk-text
+    hashing and the cross-doc sharing count with the portable hash —
+    full hash-match."""
+    from ecommerce_analytics_platform_spark.operators.corpus import (
+        content_defined_chunks,
+    )
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return content_defined_chunks(
+        docs, "doc_id", "text", modulus=_CDC_MOD, seed=_CDC_SEED
+    )
+
+
+def _content_chunks_sql() -> str:
+    gate = seeded_hash60_sql("prev || ' ' || tok", _CDC_SEED)
+    chash = portable_hash60_sql("string_agg(tok, ' ' ORDER BY pos)")
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+    FROM documents WHERE trim(text) <> ''
+), tok AS (
+    SELECT doc_id, i - 1 AS pos, tk[i] AS tok,
+           CASE WHEN i > 1 THEN tk[i - 1] END AS prev
+    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t)
+), flagged AS (
+    SELECT doc_id, pos, tok,
+           CASE WHEN pos > 0 AND {gate} % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS brk
+    FROM tok
+), numbered AS (
+    SELECT doc_id, pos, tok,
+           CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS chunk_id
+    FROM flagged
+), chunks AS (
+    SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           {chash} AS chunk_hash
+    FROM numbered GROUP BY 1, 2
+), sharing AS (
+    SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing
+    FROM chunks GROUP BY 1
+)
+SELECT c.doc_id, c.chunk_id, c.n_tokens, c.chunk_hash, s.n_docs_sharing
+FROM chunks c JOIN sharing s USING (chunk_hash)"""
+
+
 _SHUF_SEED, _SHUF_SHARDS = 91, 64
 
 
@@ -6562,6 +6616,9 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "set_sim_join": (q_set_sim_join, SQL_SET_SIM_JOIN),
     "entity_clusters": (q_entity_clusters, SQL_ENTITY_CLUSTERS),
     "corpus_shuffle": (q_corpus_shuffle, _corpus_shuffle_sql()),
+    # r7: content-defined chunking (rolling-hash boundaries; shared
+    # passages -> identical interior chunks) — full hash-match twin
+    "content_chunks": (q_content_chunks, _content_chunks_sql()),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "incremental_neardup": (q_incremental_neardup, _incremental_neardup_sql()),
     "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),

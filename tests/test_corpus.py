@@ -8,6 +8,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 from ecommerce_analytics_platform_spark.operators.corpus import (
     balanced_sample,
     inverted_index,
@@ -174,3 +176,59 @@ def test_pagerank_bit_exact_across_partitioning(spark):
     r1 = {(r["node"], r["rank"]) for r in pagerank_exact(df1, 2).collect()}
     r32 = {(r["node"], r["rank"]) for r in pagerank_exact(df32, 2).collect()}
     assert r1 == r32
+
+
+def test_content_chunks_survive_insertion(spark):
+    """The defining CDC property: boundaries are content-local, so an
+    insertion at the head of a document re-synchronizes and the shared
+    tail produces byte-identical chunks in both docs (fixed-width
+    chunking would lose all alignment)."""
+    from ecommerce_analytics_platform_spark.operators.corpus import (
+        content_defined_chunks,
+    )
+
+    shared = " ".join(f"w{i % 37}x{i % 11}" for i in range(400))
+    rows = [(1, shared), (2, "junk0 junk1 junk2 " + shared)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = content_defined_chunks(df, "doc_id", "text", modulus=8).collect()
+    shared_hashes = {
+        r["chunk_hash"] for r in out if r["n_docs_sharing"] == 2
+    }
+    # the long shared tail re-syncs: most chunks are shared between docs
+    n1 = sum(1 for r in out if r["doc_id"] == 1)
+    n_shared1 = sum(
+        1 for r in out if r["doc_id"] == 1 and r["chunk_hash"] in shared_hashes
+    )
+    assert n_shared1 >= n1 - 2  # at most the head chunks differ
+    assert n_shared1 > 10
+
+
+def test_content_chunks_partitioning_invariant(spark):
+    """Chunk ids, hashes and sharing counts are pure content functions —
+    input partitioning must not matter."""
+    from ecommerce_analytics_platform_spark.operators.corpus import (
+        content_defined_chunks,
+    )
+    from ecommerce_analytics_platform_spark.plans.testdata_queries import _t
+
+    docs = _t(spark, SF_DIR, "documents").select("doc_id", "text").limit(100)
+    a = content_defined_chunks(docs.repartition(1), "doc_id", "text")
+    b = content_defined_chunks(docs.repartition(13, "doc_id"), "doc_id", "text")
+    ca = sorted(tuple(r) for r in a.collect())
+    cb = sorted(tuple(r) for r in b.collect())
+    assert ca == cb
+    # chunks partition the token stream: per-doc token sums match
+    import pyspark.sql.functions as F
+    from ecommerce_analytics_platform_spark.functions.text import token_count
+
+    tot = {
+        r["doc_id"]: r["n"]
+        for r in a.groupBy("doc_id").agg(F.sum("n_tokens").alias("n")).collect()
+    }
+    truth = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    assert tot == truth
