@@ -5274,6 +5274,27 @@ FROM est e JOIN exact x ON e.win_day = x.day
 """
 
 
+# Memoized BPE merges (same pattern/rationale as the unigram vocab
+# memoization below): both BPE registry queries consume the identical
+# trained merge list — train once per (corpus identity, k).
+_BPE_K = 3
+_BPE_MERGE_CACHE: dict[tuple, list[tuple[str, str, int]]] = {}
+
+
+def _bpe_trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
+    from ecommerce_analytics_platform_spark.operators.bpe import bpe_train
+
+    f = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(f)
+    key = (os.path.abspath(f), st.st_size, st.st_mtime_ns, _BPE_K)
+    if key not in _BPE_MERGE_CACHE:
+        docs = fan_out(_t(spark, sf_dir, "documents").select("text"))
+        _merges_df, merges = bpe_train(docs, "text", k_merges=_BPE_K)
+        _BPE_MERGE_CACHE.clear()
+        _BPE_MERGE_CACHE[key] = merges
+    return _BPE_MERGE_CACHE[key]
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge TRAINING (operators/bpe.py — Sennrich 2016):
     learn the top-3 merges from the documents corpus. One corpus-sized
@@ -5281,12 +5302,30 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold); the oracle unrolls the identical loop in DuckDB (list_reduce
     fold, same count-desc/lexicographic tie-break), so the learned merge
     table hash-matches cross-engine — the pagerank iterative-twin
-    pattern. k=3 keeps the SQL unroll readable; the operator takes any k."""
-    from ecommerce_analytics_platform_spark.operators.bpe import bpe_train
+    pattern. k=3 keeps the SQL unroll readable; the operator takes any k.
+    The trained list is memoized (shared with q_bpe_encode) and returned
+    as a literal DataFrame, so caller materialization is free."""
+    merges = _bpe_trained_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, left_sym string, right_sym string, pair_cnt bigint",
+    )
 
-    docs = fan_out(_t(spark, sf_dir, "documents").select("text"))
-    merges_df, _ = bpe_train(docs, "text", k_merges=3)
-    return merges_df
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (operators/bpe.py::bpe_segment): per-document
+    token count under the trained merge list — the tokenizer-family
+    counterpart to unigram_token_count (both trainers now ship train AND
+    apply under the oracle). Scan-local: the k merges are applied in rank
+    order as pure column expressions over each word's symbol state — no
+    join, no shuffle before the per-doc rollup. The oracle reuses the
+    unrolled training chain's final word-state relation (r3 IS the
+    word -> segmentation mapping) and joins doc words against it."""
+    from ecommerce_analytics_platform_spark.operators.bpe import bpe_segment
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    merges = _bpe_trained_merges(spark, sf_dir)
+    return bpe_segment(docs, merges, "text", "doc_id")
 
 
 def _bpe_round_sql(n: int) -> str:
@@ -5329,6 +5368,31 @@ SELECT merge_rank, left_sym, right_sym, pair_cnt FROM (
     UNION ALL SELECT 2, l, r, c FROM b2
     UNION ALL SELECT 3, l, r, c FROM b3
 )
+"""
+
+# apply twin: replay the same unrolled training chain, then join each
+# document's words against the final word-state relation (r3 maps every
+# distinct corpus word to its segmentation under the learned merges)
+SQL_BPE_ENCODE = r"""
+WITH toks AS (
+    SELECT lower(unnest(string_split_regex(trim(text), '\s+'))) AS w
+    FROM documents WHERE trim(text) <> ''
+), words AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+), r0 AS (
+    SELECT w, cnt,
+           rtrim(regexp_replace(w, '(.)', '\1' || chr(31), 'g'), chr(31)) AS state
+    FROM words
+),""" + ",".join(_bpe_round_sql(n) for n in (1, 2, 3)) + r""",
+dtoks AS (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS w
+    FROM documents WHERE trim(text) <> ''
+)
+SELECT d.doc_id,
+       CAST(sum(len(string_split(r3.state, chr(31)))) AS BIGINT) AS bpe_tokens,
+       CAST(count(*) AS BIGINT) AS words
+FROM dtoks d JOIN r3 USING (w)
+GROUP BY 1
 """
 
 
@@ -6696,6 +6760,8 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "corpus_funnel": (q_corpus_funnel, _corpus_funnel_sql()),
     # iterative trainer: oracle unrolls the same 3 rounds (pagerank pattern)
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    # r7: tokenizer APPLY under the trained merges (scan-local fold)
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     # unigram-LM hard-EM trainer: oracle unrolls 2 EM rounds, each a
     # recursive-CTE Viterbi DP under the previous round's vocab
     "unigram_vocab": (q_unigram_vocab, _unigram_vocab_sql()),
