@@ -6791,12 +6791,16 @@ _DRIVER_WINDOW = [
     # customers_without_orders rotated out r7 after 3+ green rounds)
     "pricing_summary", "daily_kpis", "daily_funnel", "session_rollup",
     "dedup_latest", "exploded_lines",
-    # text analysis
-    "token_stats", "language_id", "quality_filter",
+    # text analysis (token_stats long-green, rotated out mid-r7 for the
+    # new content_chunks row)
+    "language_id", "quality_filter",
     # dedup family (simhash rotated out r7; set_sim_join +
     # sorted_neighborhood — exact-similarity blocking, never sampled —
-    # rotate in)
-    "exact_dedup", "dup_passages", "neardup_clusters",
+    # rotate in; exact_dedup long-green, rotated out mid-r7 for
+    # bpe_encode; content_chunks + bpe_encode are NEW r7 queries proving
+    # themselves in the hard signal)
+    "content_chunks", "bpe_encode",
+    "dup_passages", "neardup_clusters",
     "semantic_dedup", "span_dedup", "incremental_neardup",
     "set_sim_join", "sorted_neighborhood",
     # embeddings / ANN / centroids (ann_lsh + embedding_neardup rotated
