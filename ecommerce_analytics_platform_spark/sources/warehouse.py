@@ -170,7 +170,15 @@ class Warehouse:
         files are untouched and read back NULL for the new columns via
         the declared-schema sidecar — while a TYPE change for an
         existing column raises :class:`SchemaEvolutionError`. Pass
-        ``on_schema_change="fail"`` to reject new columns instead."""
+        ``on_schema_change="fail"`` to reject new columns instead.
+
+        Concurrency: plain warehouse dirs have no commit protocol — two
+        simultaneous appends race on the sidecar (``os.replace`` is
+        atomic, last writer wins, so one writer's widening could be
+        shadowed until its next append re-unions). Single-writer-per-
+        table is this layer's contract (it mirrors the reference's
+        single-process loads); multi-writer evolution belongs to
+        ManifestTable, whose schema key rebases through the OCC loop."""
         existing = self.declared_schema(table)
         if existing is None and self.exists(table):
             # legacy dir predating the sidecar: bootstrap from the files
