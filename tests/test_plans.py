@@ -328,3 +328,30 @@ def test_manifest_read_prunes_partitions(spark, tmp_path):
     assert "isnotnull(day" in plan or "(day" in plan
     # pruning is real, not cosmetic: only day=2 rows survive the scan
     assert t.read().filter(F.col("day") == 2).count() == 25
+
+
+def test_r7_query_plan_shapes(spark):
+    """The r7 additions keep the physical shapes their docstrings claim:
+    content_chunks stacks the boundary and numbering windows on ONE
+    doc_id exchange, reuses that partitioning for the (doc, chunk)
+    rollup (zero extra exchange), and adds exactly one chunk_hash
+    exchange for sharing counts — no join anywhere, one corpus scan.
+    bpe_encode's merge fold is scan-local: no join, no exchange before
+    the per-doc rollup."""
+    from ecommerce_analytics_platform_spark.plans.testdata_queries import (
+        q_bpe_encode,
+        q_content_chunks,
+    )
+
+    cc = plan_of(q_content_chunks(spark, SF_DIR))
+    assert "Join" not in cc
+    assert cc.count(") Scan parquet") == 1
+    # fan_out round-robin + doc_id hash + chunk_hash hash = 3 exchanges
+    assert cc.count(") Exchange") == 3
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in cc
+
+    be = plan_of(q_bpe_encode(spark, SF_DIR))
+    assert "Join" not in be
+    assert be.count(") Scan parquet") == 1
+    # fan_out + the per-doc aggregate exchange — nothing else
+    assert be.count(") Exchange") == 2
