@@ -136,8 +136,15 @@ def bpe_segment(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Segment documents with a learned merge list: per-doc token count
-    under the learned vocabulary (scan-local; merges applied in rank
-    order as column expressions — no shuffle, no UDF)."""
+    under the learned vocabulary.
+
+    The merge fold (rank-ordered column expressions, no UDF) runs once
+    per DISTINCT word, not per occurrence — the same vocab-bound shape as
+    the unigram apply path and the DuckDB twin: at 100 TB the distinct-
+    word relation saturates while occurrences keep growing, so folding
+    per occurrence would re-run the k merges billions of redundant times.
+    Occurrences then join the per-word symbol count (AQE broadcasts the
+    word map when it is small, which it is — it's the vocabulary)."""
     from ecommerce_analytics_platform_spark.functions.text import tokens
 
     toks = docs.select(
@@ -146,9 +153,11 @@ def bpe_segment(
     state = chars_state(F.col("w"))
     for m in merges:
         state = apply_merge(state, m[0], m[1])
-    per_word = toks.select(
-        id_col, (F.size(F.split(state, SEP))).alias("n_sym")
+    wmap = toks.select("w").distinct().select(
+        "w", F.size(F.split(state, SEP)).alias("n_sym")
     )
-    return per_word.groupBy(id_col).agg(
-        F.sum("n_sym").alias("bpe_tokens"), F.count(F.lit(1)).alias("words")
+    return (
+        toks.join(wmap, "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_sym").alias("bpe_tokens"), F.count(F.lit(1)).alias("words"))
     )
