@@ -141,6 +141,7 @@ def lsh_band_buckets(
     shingle_n: int = 3,
     based: DataFrame | None = None,
     max_bucket: int | None = None,
+    sig_holder: list | None = None,
 ) -> DataFrame:
     """``(__id, band, bucket)`` LSH band-bucket membership — the shared
     candidate-generation primitive behind corpus self-dedup
@@ -148,6 +149,13 @@ def lsh_band_buckets(
     (:func:`neardup_against_corpus`). Persisted: every consumer joins it
     at least twice. Documents with zero shingles are unsignable and
     excluded (same contract as ``minhash_table``).
+
+    ``sig_holder``: when given, the persisted signature table is appended
+    to this list INSTEAD of entering the global session pin registry — the
+    caller owns the unpersist. Streaming foreachBatch bodies use this so a
+    long-running stream releases one signature cache per micro-batch
+    rather than accreting pins until the next registry-query entry
+    (ADVICE r7).
 
     ``max_bucket`` is the boilerplate guardrail (SCALE.md): a band-bucket
     holding more than ``max_bucket`` docs (every page sharing a footer)
@@ -161,10 +169,15 @@ def lsh_band_buckets(
     # persisted because every consumer joins the signature table at least
     # twice; the consuming action is the CALLER's, so lifetime goes to the
     # session pin registry (released on the next registry-query entry or
-    # an explicit release_pinned())
-    sig_df = pin(
-        minhash_table(df, id_col, text_col, num_hashes, shingle_n, based=based).persist()
-    )
+    # an explicit release_pinned()) — unless the caller takes ownership
+    # via sig_holder
+    sig_df = minhash_table(
+        df, id_col, text_col, num_hashes, shingle_n, based=based
+    ).persist()
+    if sig_holder is not None:
+        sig_holder.append(sig_df)
+    else:
+        pin(sig_df)
 
     def band_struct(b: int) -> Column:
         cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]

@@ -6786,48 +6786,34 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 # path that re-encodes/decodes PPM anyway). Every registry query is
 # still parity-verified by scripts/check_parity.py regardless of window
 # membership.
+# r8 rotation (VERDICT r7 directive #6): 20 NEVER-driver-sampled queries
+# swap in, led by the two heavyweights (entity_clusters, cluster_keepers
+# — most expensive, most complex oracle twins, never in any round's hard
+# signal), for 20 long-green rows (the six reference-core models green
+# since r1, plus neardup/ANN/temporal/OLAP/SCD2/graph stalwarts green 3+
+# rounds). Rows kept: everything at ≤2 green driver rounds — the r7
+# repairs (HUGEINT family), the r7-new queries, and the r7 perf-weak
+# trio (zorder_key/salted_rollup/product_catalog) for visibility.
 _DRIVER_WINDOW = [
-    # reference core models (first_touch/dim_date/revenue_by_region/
-    # customers_without_orders rotated out r7 after 3+ green rounds)
-    "pricing_summary", "daily_kpis", "daily_funnel", "session_rollup",
-    "dedup_latest", "exploded_lines",
-    # text analysis (token_stats long-green, rotated out mid-r7 for the
-    # new content_chunks row)
-    "language_id", "quality_filter",
-    # dedup family (simhash rotated out r7; set_sim_join +
-    # sorted_neighborhood — exact-similarity blocking, never sampled —
-    # rotate in; exact_dedup long-green, rotated out mid-r7 for
-    # bpe_encode; content_chunks + bpe_encode are NEW r7 queries proving
-    # themselves in the hard signal)
+    # NEVER SAMPLED (20): exact-similarity clustering heavyweights first
+    "entity_clusters", "cluster_keepers",
+    "unigram_token_count", "bigram_logprob",
+    "feature_snapshot", "sketch_merge", "multi_touch", "shipping_priority",
+    "inverted_index", "decontaminate", "rfm_segments", "grouping_sets",
+    "session_windows", "gap_fill", "state_transitions", "funnel_ordered",
+    "basket_pairs", "range_frame", "sliding_uniques", "psi_drift",
+    # kept from r7 (≤2 green rounds or named perf-weak)
     "content_chunks", "bpe_encode",
-    "dup_passages", "neardup_clusters",
-    "semantic_dedup", "span_dedup", "incremental_neardup",
+    "span_dedup", "incremental_neardup",
     "set_sim_join", "sorted_neighborhood",
-    # embeddings / ANN / centroids (ann_lsh + embedding_neardup rotated
-    # out r7; ann_pq — new r6, never sampled — rotates in)
-    "cosine_topk", "ann_pq", "nearest_centroid",
-    # temporal joins
-    "asof_join", "range_join",
-    # OLAP shapes + analytics
-    "sales_cube", "event_pivot", "cohort_retention",
-    # SCD2 / CDC
-    "scd2_merge", "cdc_apply",
-    # graph (label_prop/triangle_count rotated out r7)
-    "pagerank",
-    # sketches + stats (dds_quantiles stays until the driver row is
-    # green — red in r5+r6, HUGEINT oracle cast fixed this round; the
-    # four latent-HUGEINT repairs rotate in to prove the fix class)
+    "ann_pq", "cohort_retention",
     "portable_hll", "dds_quantiles", "approx_sketches",
     "robust_outliers", "table_stats",
-    # sampling / mixing (never sampled before r7; token_budget_sample +
-    # dsir_sample carried the latent HUGEINT bug)
     "token_budget_sample", "dsir_sample", "domain_mixture",
     "corpus_shuffle",
-    # attribution / LM / BPE+unigram tokenizers / multimodal
     "attribution", "unigram_logprob", "bpe_merges", "unigram_vocab",
     "audio_features",
     "video_frames_gif", "jpeg_roundtrip",
-    # corpus prep / layout / skew / fixtures
     "sequence_pack", "span_mask", "corpus_funnel", "zorder_key",
     "salted_rollup", "product_catalog",
 ]
@@ -6858,7 +6844,17 @@ def _with_pin_release(fn: SparkQuery) -> SparkQuery:
     ``_pin``/``_bounded_broadcast``. Lifetime ownership lives HERE, at
     assembly, not by per-function convention — a new query function that
     pins cannot leak across registry sweeps even if it never heard of
-    ``release_pinned``."""
+    ``release_pinned``.
+
+    RESULT-LIFETIME CONTRACT (ADVICE r7, documented): a QUERIES result
+    must be materialized (collected / written / compared) BEFORE the
+    same thread invokes the next registry query — entry frees the
+    previous result's localCheckpoint blocks, which have no lineage and
+    cannot recompute (plain persists would merely recompute). Holding
+    two results lazily and materializing the first after fetching the
+    second is unsupported on one thread. The pin registry is per-thread
+    (session.py r8), so CONCURRENT callers on separate threads are safe:
+    one thread's entry can never free another thread's result."""
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str, *a, **k):

@@ -136,29 +136,40 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 # themselves. They register it here; the registry wrapper in
 # plans/testdata_queries.py releases the previous invocation's pins on
 # entry to any query, and library callers can call release_pinned()
-# directly. Thread-safe; entries are anything exposing .unpersist(bool).
+# directly. Entries are anything exposing .unpersist(bool).
+#
+# The registry is PER-THREAD (r8, ADVICE r7): release_pinned() frees only
+# what the calling thread pinned, so a query running on one thread can
+# never destroy another thread's pinned caches or — worse — its result
+# checkpoints (which have no lineage and cannot recompute). Single-thread
+# callers see exactly the old semantics.
 # ---------------------------------------------------------------------------
 
 import threading as _threading
 
-_PIN_LOCK = _threading.Lock()
-_PINNED: list = []
+_PIN_TLS = _threading.local()
+
+
+def _pins() -> list:
+    lst = getattr(_PIN_TLS, "pins", None)
+    if lst is None:
+        lst = _PIN_TLS.pins = []
+    return lst
 
 
 def pin(obj):
     """Track a caller-consumed persist (or checkpoint adapter) for
-    structural release by the next :func:`release_pinned` call."""
-    with _PIN_LOCK:
-        _PINNED.append(obj)
+    structural release by this thread's next :func:`release_pinned`."""
+    _pins().append(obj)
     return obj
 
 
 def release_pinned() -> None:
-    """Unpersist everything pinned since the last release. The swap
-    happens under the lock; the unpersist JVM calls happen outside it."""
-    with _PIN_LOCK:
-        drained = _PINNED[:]
-        _PINNED.clear()
+    """Unpersist everything the CALLING THREAD pinned since its last
+    release."""
+    lst = _pins()
+    drained = lst[:]
+    lst.clear()
     for obj in drained:
         try:
             obj.unpersist(False)

@@ -177,6 +177,13 @@ def scan_stats(spark: SparkSession, path: str, predicate: str | None = None) -> 
     df = spark.read.parquet(path)
     if predicate:
         df = df.filter(predicate)
+    return df_scan_stats(df)
+
+
+def df_scan_stats(df) -> dict:
+    """`scan_stats` for an already-built DataFrame (e.g. a
+    ``ManifestTable.read(...)`` snapshot plus a filter): execute it and
+    report the leaf scan's runtime metrics."""
     # drive the Dataset's OWN QueryExecution (a sink would build a fresh
     # one whose metrics this inspection could not see)
     df._jdf.queryExecution().executedPlan().executeCollect()

@@ -394,7 +394,7 @@ class ManifestTable:
         rel_remove = {
             os.path.relpath(p, self.path) if os.path.isabs(p) else p for p in remove
         }
-        df, _union = self._evolved(df)
+        df, union = self._evolved(df)
         new_files = self._write_files(df, partition_by)
 
         def apply(base, m):
@@ -406,7 +406,11 @@ class ManifestTable:
                     f"concurrent commit?): {sorted(unknown)[:3]}"
                 )
             kept = [f for f in prev if f not in rel_remove]
-            return kept + new_files, self._base_txns(m)
+            # the declared schema must advance with the union the batch
+            # was aligned to (ADVICE r7: dropping it left new columns in
+            # the written files but invisible to the explicit read schema
+            # — the exact silent loss evolution.py exists to prevent)
+            return kept + new_files, self._base_txns(m), self._rebased_schema_json(m, union)
 
         return self._publish(apply)
 
@@ -456,7 +460,37 @@ class ManifestTable:
         target = self._read_manifest(version)
         return self._publish(lambda _base, m: (list(target["files"]), self._base_txns(m)))
 
-    def read(self, version: int | None = None, as_of_ts: float | None = None) -> DataFrame:
+    @staticmethod
+    def _prune_by_partition_values(
+        files: list[str], partition_values: dict
+    ) -> list[str]:
+        """Manifest-level partition pruning: keep files whose hive-style
+        path segments match ``{col: allowed values}``. Files lacking a
+        ``col=`` segment (pre-partitioning legacy commits) are kept
+        conservatively — they may hold any value."""
+        allowed = {
+            col: {str(v) for v in vals} for col, vals in partition_values.items()
+        }
+        out = []
+        for f in files:
+            keep = True
+            segs = dict(
+                s.split("=", 1) for s in f.split(os.sep)[:-1] if "=" in s
+            )
+            for col, vals in allowed.items():
+                if col in segs and segs[col] not in vals:
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
+
+    def read(
+        self,
+        version: int | None = None,
+        as_of_ts: float | None = None,
+        partition_values: dict | None = None,
+    ) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, read exactly its
         files. ``basePath`` makes Spark parse hive-style partition values
         out of the listed file paths — one scan relation with normal
@@ -464,7 +498,15 @@ class ManifestTable:
         directory itself were read (but immune to concurrent commits).
         ``as_of_ts`` (epoch seconds) reads the newest version committed
         at-or-before that time (``TIMESTAMP AS OF``); mutually exclusive
-        with ``version``."""
+        with ``version``.
+
+        ``partition_values`` (``{col: iterable of allowed values}``) prunes
+        the FILE LIST itself before Spark ever sees it — stronger than a
+        post-read ``.filter`` (which prunes at scan planning but still
+        lists and footer-opens every file): at 100 TB a micro-batch that
+        touches 3 of 4096 partitions builds a 3-partition relation, not a
+        4096-partition one. Matching is against the hive path segments;
+        files without the segment are conservatively included."""
         if as_of_ts is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of_ts, not both")
@@ -476,6 +518,13 @@ class ManifestTable:
         files = m["files"]
         if not files:
             raise ValueError(f"manifest v{v} lists no files")
+        if partition_values:
+            files = self._prune_by_partition_values(files, partition_values)
+            if not files:
+                # empty result with the snapshot's declared columns (incl.
+                # the partition columns, which live in paths, not footers)
+                full = self.read(version=v)
+                return full.limit(0)
         paths = [os.path.join(self.path, f) for f in files]
         reader = self.spark.read.option("basePath", self.path)
         if m.get("schema"):

@@ -185,11 +185,16 @@ class Warehouse:
             existing = self.spark.read.parquet(self.path(table)).schema
         union = evolve_schema(existing, df.schema, on_schema_change)
         df = align_to_schema(df, union)
+        # sidecar FIRST, data files second: a declared column with no
+        # data yet just back-fills NULL (always safe), whereas files
+        # carrying an undeclared column are silently hidden on read — so
+        # a crash between the two steps must leave the former state, not
+        # the latter (ADVICE r7 crash-window ordering)
+        self._write_declared_schema(table, union)
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
-        self._write_declared_schema(table, union)
 
     def append_new_dates(
         self,

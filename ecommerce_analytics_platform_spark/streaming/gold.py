@@ -91,9 +91,17 @@ def _read_set_fingerprint(df) -> str:
     write job, so equal lists imply equal bytes."""
     import hashlib
 
+    import urllib.parse
+
     h = hashlib.sha1()
     for uri in sorted(df.inputFiles()):
-        local = uri[7:] if uri.startswith("file://") else uri
+        # Hadoop renders local URIs as file:/root/... (single slash) —
+        # urlparse handles that, file:///, and bare paths alike (ADVICE
+        # r7: the old 'file://' prefix-strip missed the single-slash form,
+        # so every stat failed and the size component silently dropped
+        # out of the fingerprint)
+        parsed = urllib.parse.urlparse(uri)
+        local = parsed.path if parsed.scheme == "file" else uri
         try:
             size = os.stat(local).st_size
         except OSError:

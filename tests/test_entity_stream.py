@@ -177,3 +177,104 @@ def test_streaming_end_to_end_on_testdata(spark, tmp_path):
     assign = ManifestTable(spark, str(tmp_path / "state" / "entity_assign"))
     truth = _batch_truth(spark, [(d, t) for d, t, _s in rows])
     assert _canon(assign.read().select("doc_id", "root")) == _canon(truth)
+
+
+def test_max_bucket_keeps_boilerplate_out_of_cluster_graph(spark, tmp_path):
+    """VERDICT r7 What's wrong #2: a planted boilerplate family (30
+    identical docs — every band-bucket holds all 30) must not enter the
+    cluster graph when max_bucket caps it: no mega-cluster forms, the
+    index never grows a bucket past the cap, and the affected docs are
+    reported on the entity_oversized flag channel."""
+    assign, index = _mk_tables(spark, tmp_path)
+    oversized = ManifestTable(spark, str(tmp_path / "oversized"))
+    boiler = " ".join(f"w{i}" for i in range(40))
+    b0 = spark.createDataFrame(
+        [(i, boiler) for i in range(30)] + list(enumerate(("x " + TA, TA), start=100)),
+        "doc_id long, text string",
+    )
+    process_entity_batch(
+        b0, 0, assign, index, NH, NB, max_bucket=5, oversized=oversized
+    )
+    got = {r["doc_id"]: r["root"] for r in assign.read().collect()}
+    # boilerplate docs all root THEMSELVES (their buckets were excluded
+    # from edge derivation), while the normal pair still clustered
+    assert all(got[i] == i for i in range(30))
+    assert got[100] == got[101] == 100
+    # index growth capped
+    max_sz = (
+        index.read().groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    )
+    assert max_sz <= 5
+    # flag channel names every boilerplate doc (and only them)
+    flagged = {r["doc_id"] for r in oversized.read().collect()}
+    assert flagged == set(range(30))
+    # a second boilerplate batch still derives no edges and stays capped
+    b1 = spark.createDataFrame(
+        [(200 + i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    process_entity_batch(
+        b1, 1, assign, index, NH, NB, max_bucket=5, oversized=oversized
+    )
+    got1 = {r["doc_id"]: r["root"] for r in assign.read().collect()}
+    assert all(got1[200 + i] == 200 + i for i in range(10))
+    max_sz1 = (
+        index.read().groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    )
+    assert max_sz1 <= 5
+
+
+def test_per_batch_index_read_is_partition_pruned(spark, tmp_path):
+    """VERDICT r7 What's wrong #3: the per-batch index read must list only
+    the files of the bucket_part partitions the batch touches — manifest-
+    level pruning, observable via inputFiles()."""
+    from ecommerce_analytics_platform_spark.streaming.neardup import (
+        _N_BUCKET_PARTS,
+        _batch_parts,
+        _read_index,
+    )
+
+    assign, index = _mk_tables(spark, tmp_path)
+    # two disjoint-vocabulary batches → disjoint bucket_part footprints
+    _run_batches(spark, assign, index, [ROWS[:2], ROWS[2:4]])
+    all_files = set(index.read().inputFiles())
+    b = spark.createDataFrame(ROWS[:1], "doc_id long, text string")
+    nb = lsh_band_buckets(b, "doc_id", "text", NH, NB)
+    parts = _batch_parts(nb, _N_BUCKET_PARTS)
+    pruned = _read_index(index, parts)
+    pruned_files = set(pruned.inputFiles())
+    assert pruned_files < all_files, "pruned read must list strictly fewer files"
+    allowed = {f"bucket_part={p}" for p in parts}
+    for f in pruned_files:
+        assert any(seg in allowed for seg in f.split("/")), f
+    # and the pruned relation still holds every row of those partitions
+    expected = index.read().filter(F.col("bucket_part").isin(parts)).count()
+    assert pruned.count() == expected
+
+
+def test_compact_assign_zordered_prunes_member_lookup(spark, tmp_path):
+    """Directive r7 #8: after the root-clustering compaction, a member
+    lookup (root = r) reads a small fraction of the table's rows —
+    parquet min/max stats skip the row groups whose root range excludes
+    r — while doc-keyed reads and merges keep working."""
+    from ecommerce_analytics_platform_spark.sources.layout import df_scan_stats
+    from ecommerce_analytics_platform_spark.streaming.entity import (
+        compact_assign_zordered,
+    )
+
+    assign, index = _mk_tables(spark, tmp_path)
+    # many small clusters so root ranges are meaningful: pairs (2k, 2k+1)
+    rows = []
+    for k in range(200):
+        txt = " ".join(f"k{k}w{i}" for i in range(8))
+        rows += [(2 * k, txt), (2 * k + 1, txt + " tail")]
+    _run_batches(spark, assign, index, [rows[:100], rows[100:300], rows[300:]])
+    before = _canon(assign.read().select("doc_id", "root"))
+    v = compact_assign_zordered(assign, n_ranges=8)
+    assert assign.latest_version() == v
+    after_df = assign.read()
+    assert _canon(after_df.select("doc_id", "root")) == before
+    total = after_df.count()
+    target = before[37][1]  # some real root
+    stats = df_scan_stats(after_df.filter(F.col("root") == target))
+    # row-group stats pruning: the lookup scans well under half the table
+    assert stats["numOutputRows"] < total / 2, stats

@@ -148,3 +148,37 @@ def test_gold_txn_replay_noop(spark, gold_env, tmp_path):
     assert txns, "gold commits must carry txn ids"
     df = t.read().limit(1)
     assert t.replace_partitions(df, ["date"], txn_id=txns[0]) == v
+
+
+def test_read_set_fingerprint_sees_file_sizes(spark, tmp_path):
+    """ADVICE r7: Hadoop renders local URIs as file:/x (single slash);
+    the fingerprint must stat through that form — an in-place rewrite
+    that keeps file NAMES but changes bytes must change the fingerprint
+    (the ABA case the size component exists to catch)."""
+    import glob
+    import os
+    import shutil
+
+    from ecommerce_analytics_platform_spark.streaming.gold import (
+        _read_set_fingerprint,
+    )
+
+    p = str(tmp_path / "d")
+    spark.createDataFrame([(1, "a")], ["k", "v"]).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert df.inputFiles() and df.inputFiles()[0].startswith("file:")
+    fp1 = _read_set_fingerprint(df)
+
+    # rewrite the same-named data file with different (bigger) bytes
+    big = str(tmp_path / "big")
+    spark.createDataFrame(
+        [(i, "x" * 50) for i in range(500)], ["k", "v"]
+    ).coalesce(1).write.parquet(big)
+    [dst] = glob.glob(os.path.join(p, "*.parquet"))
+    [src] = glob.glob(os.path.join(big, "*.parquet"))
+    shutil.copyfile(src, dst)
+    for crc in glob.glob(os.path.join(p, ".*.crc")):
+        os.unlink(crc)  # stale Hadoop checksum sidecars of the old bytes
+
+    fp2 = _read_set_fingerprint(spark.read.parquet(p))
+    assert fp1 != fp2, "fingerprint ignored file size — stat must succeed"

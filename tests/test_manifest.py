@@ -301,3 +301,47 @@ def test_concurrent_append_once_stress(spark, tmp_path):
     # every row value appears exactly once (no double-applied append)
     vals = [r["id"] for r in t.read().collect()]
     assert len(vals) == len(set(vals))
+
+
+def test_partition_values_read_prunes_file_list(spark, tmp_path):
+    """read(partition_values=) filters the manifest's FILE LIST by hive
+    path segments: matching partitions only, empty selection → empty
+    DataFrame with the declared columns."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, i % 3) for i in range(9)], ["k", "p"]),
+        partition_by=["p"],
+    )
+    full = t.read()
+    assert full.count() == 9
+
+    pruned = t.read(partition_values={"p": [1]})
+    files = set(pruned.inputFiles())
+    assert files < set(full.inputFiles())
+    assert not any("p=0" in f or "p=2" in f for f in files)
+    assert {r["k"] for r in pruned.collect()} == {1, 4, 7}
+
+    # values compare as strings against the segment (ints fine), and
+    # multi-value selection unions partitions
+    assert t.read(partition_values={"p": ["0", 2]}).count() == 6
+
+    # empty selection: no files match → empty relation, columns intact
+    empty = t.read(partition_values={"p": [42]})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "p"}
+
+
+def test_prune_by_partition_values_is_conservative():
+    """Pure-function contract: files lacking the partition segment (legacy
+    unpartitioned commits) are kept; only explicit mismatches drop."""
+    files = [
+        "p=0/a.parquet",
+        "p=1/b.parquet",
+        "legacy.parquet",
+        "q=7/p=1/c.parquet",
+        "q=7/p=2/d.parquet",
+    ]
+    keep = ManifestTable._prune_by_partition_values(files, {"p": [1]})
+    assert keep == ["p=1/b.parquet", "legacy.parquet", "q=7/p=1/c.parquet"]
+    both = ManifestTable._prune_by_partition_values(files, {"p": [1], "q": [8]})
+    assert both == ["p=1/b.parquet", "legacy.parquet"]

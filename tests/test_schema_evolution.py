@@ -236,3 +236,20 @@ def test_v3_field_lands_additively_mid_stream(spark, tmp_path):
         ("u1", 12.0, 1),
         ("u2", 5.0, 0),
     ]
+
+
+def test_manifest_replace_files_evolves_schema(spark, tmp_path):
+    """ADVICE r7: replace_files aligned the batch to the union schema but
+    PUBLISHED the old declared schema — a rewrite carrying a new column
+    wrote it into the files while read() kept it invisible. The declared
+    schema must advance exactly as append/merge do."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    files = t._read_manifest(t.latest_version())["files"]
+    # surgical rewrite of the whole snapshot, now carrying column w
+    t.replace_files(files, spark.createDataFrame([(1, "a", 7.5)], ["k", "v", "w"]))
+    got = t.read()
+    assert set(got.columns) == {"k", "v", "w"}
+    assert got.collect()[0]["w"] == 7.5
+    # time travel: the pre-evolution snapshot keeps its 2-column schema
+    assert set(t.read(version=1).columns) == {"k", "v"}
