@@ -74,18 +74,19 @@ def time_fixed_batch(spark, dec, idx, bid, batch_n=50, reps=3):
 
 def main():
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000
+    batch_n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     spark = get_spark("probe_pruned_index")
     import tempfile
 
     root = tempfile.mkdtemp(prefix="probe_idx_")
     dec_s, idx_s = build_index(spark, f"{root}/small", n_small)
-    w_small = time_fixed_batch(spark, dec_s, idx_s, 1)
+    w_small = time_fixed_batch(spark, dec_s, idx_s, 1, batch_n=batch_n)
 
     dec_l, idx_l = build_index(spark, f"{root}/large", n_small * 64)
-    w_large = time_fixed_batch(spark, dec_l, idx_l, 2)
+    w_large = time_fixed_batch(spark, dec_l, idx_l, 2, batch_n=batch_n)
 
     # mechanism check: files listed by a pruned read of the large index
-    probe = _docs(spark, 50, start=99_000_000)
+    probe = _docs(spark, batch_n, start=99_000_000)
     nb = lsh_band_buckets(probe, "doc_id", "text")
     parts = _batch_parts(nb, _N_BUCKET_PARTS)
     pruned_files = len(_read_index(idx_l, parts).inputFiles())
@@ -97,6 +98,7 @@ def main():
         json.dumps(
             {
                 "n_small": n_small,
+                "batch_n": batch_n,
                 "n_large": n_small * 64,
                 "batch_wall_small_s": round(w_small, 3),
                 "batch_wall_large_s": round(w_large, 3),
