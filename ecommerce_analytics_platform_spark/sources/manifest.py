@@ -490,6 +490,7 @@ class ManifestTable:
         version: int | None = None,
         as_of_ts: float | None = None,
         partition_values: dict | None = None,
+        keep_files: set | None = None,
     ) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, read exactly its
         files. ``basePath`` makes Spark parse hive-style partition values
@@ -506,7 +507,13 @@ class ManifestTable:
         lists and footer-opens every file): at 100 TB a micro-batch that
         touches 3 of 4096 partitions builds a 3-partition relation, not a
         4096-partition one. Matching is against the hive path segments;
-        files without the segment are conservatively included."""
+        files without the segment are conservatively included.
+
+        ``keep_files`` (table-relative paths) further intersects the list
+        — the hook for data-skipping indexes (``file_bloom_index`` point
+        lookups) whose verdicts are per-FILE, not per-partition. The
+        caller owns no-false-negative discipline; unknown names are
+        simply ignored."""
         if as_of_ts is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of_ts, not both")
@@ -520,11 +527,13 @@ class ManifestTable:
             raise ValueError(f"manifest v{v} lists no files")
         if partition_values:
             files = self._prune_by_partition_values(files, partition_values)
-            if not files:
-                # empty result with the snapshot's declared columns (incl.
-                # the partition columns, which live in paths, not footers)
-                full = self.read(version=v)
-                return full.limit(0)
+        if keep_files is not None:
+            files = [f for f in files if f in keep_files]
+        if not files:
+            # empty result with the snapshot's declared columns (incl.
+            # the partition columns, which live in paths, not footers)
+            full = self.read(version=v)
+            return full.limit(0)
         paths = [os.path.join(self.path, f) for f in files]
         reader = self.spark.read.option("basePath", self.path)
         if m.get("schema"):

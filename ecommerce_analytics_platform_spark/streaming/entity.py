@@ -215,6 +215,7 @@ def process_entity_batch(
     max_bucket: int | None = None,
     oversized: ManifestTable | None = None,
     n_bucket_parts: int = _N_BUCKET_PARTS,
+    bloom: ManifestTable | None = None,
 ) -> None:
     """One micro-batch, LSH edge mode: sign, derive collision edges,
     contract roots, merge. Module-level (not a closure) so tests can
@@ -224,7 +225,14 @@ def process_entity_batch(
     counting) from edge derivation, caps index growth, and reports the
     batch docs sitting in flagged buckets to ``oversized`` when given —
     the streaming twin of ``operators/dedup.py::lsh_oversized_docs``.
+    ``bloom`` enables the same per-file skipping as streaming near-dup
+    (see ``streaming/neardup.py::update_index_bloom``).
     """
+    from ecommerce_analytics_platform_spark.streaming.neardup import (
+        _bloom_keep_files,
+        update_index_bloom,
+    )
+
     sigs: list[DataFrame] = []
     nb = lsh_band_buckets(
         batch_df, "doc_id", "text", num_hashes, bands, shingle_n,
@@ -233,7 +241,12 @@ def process_entity_batch(
     try:
         new_ids = nb.select(F.col("__id").alias("doc_id")).distinct()
         parts = _batch_parts(nb, n_bucket_parts)
-        corpus = _read_index(index, parts)
+        keep = (
+            _bloom_keep_files(index, bloom, nb)
+            if bloom is not None and index.latest_version() is not None
+            else None
+        )
+        corpus = _read_index(index, parts, keep)
         all_buckets = nb.select("__id", "band", "bucket")
         if corpus is not None:
             all_buckets = all_buckets.union(
@@ -289,11 +302,13 @@ def process_entity_batch(
         ).withColumn("bucket_part", _bucket_part(n_bucket_parts))
         if max_bucket is not None:
             new_index_rows = _capped_index_rows(new_index_rows, corpus, max_bucket)
-        index.append_once(
+        v = index.append_once(
             new_index_rows,
             txn_id=f"entity-index-{batch_id}",
             partition_by=["bucket_part"],
         )
+        if bloom is not None:
+            update_index_bloom(index, bloom, v, batch_id)
     finally:
         nb.unpersist()
         for s in sigs:
@@ -493,6 +508,7 @@ def start_streaming_entity_resolution(
     shingle_n: int = 3,
     max_bucket: int | None = None,
     n_bucket_parts: int = _N_BUCKET_PARTS,
+    use_bloom: bool = False,
     edge_mode: str = "lsh",
     t10: int = 6,
     shingle_words: int = 3,
@@ -529,6 +545,11 @@ def start_streaming_entity_resolution(
             if max_bucket is not None
             else None
         )
+        bloom = (
+            ManifestTable(spark, os.path.join(state_root, "entity_bloom"))
+            if use_bloom
+            else None
+        )
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             process_entity_batch(
@@ -542,6 +563,7 @@ def start_streaming_entity_resolution(
                 max_bucket=max_bucket,
                 oversized=oversized,
                 n_bucket_parts=n_bucket_parts,
+                bloom=bloom,
             )
     else:
         raise ValueError(f"unknown edge_mode {edge_mode!r}")

@@ -89,15 +89,117 @@ def _bucket_part(n_parts: int = _N_BUCKET_PARTS):
     ).cast("int")
 
 
-def _read_index(t: ManifestTable, parts: list[int] | None = None) -> DataFrame | None:
+def _read_index(
+    t: ManifestTable,
+    parts: list[int] | None = None,
+    keep_files: set | None = None,
+) -> DataFrame | None:
     """Corpus index snapshot, optionally pruned at the manifest level to
-    the ``bucket_part`` partitions a batch actually touches — per-batch
+    the ``bucket_part`` partitions a batch actually touches (and, when a
+    Bloom file index narrowed further, to the surviving files) — per-batch
     read cost tracks batch fan-out, not corpus size."""
     if t.latest_version() is None:
         return None
-    if parts is None:
+    if parts is None and keep_files is None:
         return t.read()
-    return t.read(partition_values={"bucket_part": parts})
+    pv = {"bucket_part": parts} if parts is not None else None
+    return t.read(partition_values=pv, keep_files=keep_files)
+
+
+def _bucket_key():
+    # the Bloom key for one index row — same string the partition hash
+    # uses, so partition pruning and file skipping agree on identity
+    return F.concat_ws(
+        "_", F.col("band").cast("string"), F.col("bucket").cast("string")
+    )
+
+
+def _new_files(t: ManifestTable, version: int) -> list[str]:
+    """Files a specific commit added (diff against its own base) — what a
+    per-commit file index must cover."""
+    m = t._read_manifest(version)
+    base = m.get("base_version")
+    prev = set(t._read_manifest(base)["files"]) if base is not None else set()
+    return sorted(set(m["files"]) - prev)
+
+
+def update_index_bloom(
+    index: ManifestTable,
+    bloom: ManifestTable,
+    version: int,
+    batch_id: int,
+    m_bits: int = 1 << 14,
+    k: int = 4,
+    seed: int = 101,
+) -> None:
+    """Maintain the per-FILE Bloom index of the corpus band-bucket table:
+    one scan of ONLY the files commit ``version`` added, exploded into
+    ``(file, pos)`` set-bit rows (``operators/membership.py::
+    file_bloom_index`` spec — same md5 positions the driver-side probe
+    computes). Exactly-once via the batch txn: a replay whose index
+    commit no-oped re-derives the same file set from the commit's own
+    base diff, so the bloom rows land exactly once too."""
+    from ecommerce_analytics_platform_spark.operators.membership import (
+        bloom_position_cols,
+    )
+
+    new = _new_files(index, version)
+    if not new:
+        return
+    paths = [os.path.join(index.path, f) for f in new]
+    rel = index.spark.read.option("basePath", index.path).parquet(*paths)
+    # normalize executor-reported URIs (file:/ or file:///) back to the
+    # table-relative paths the manifest speaks
+    relname = F.expr(
+        f"substring(regexp_replace(input_file_name(), '^file:/+', '/'), "
+        f"{len(index.path) + 2})"
+    )
+    pairs = rel.select(
+        relname.alias("file"),
+        F.explode(
+            F.array(*bloom_position_cols(_bucket_key(), m_bits, k, seed))
+        ).alias("pos"),
+    ).distinct()
+    bloom.append_once(pairs, txn_id=f"index-bloom-{batch_id}")
+
+
+def _bloom_keep_files(
+    index: ManifestTable,
+    bloom: ManifestTable,
+    nb: DataFrame,
+    max_keys: int = 4096,
+    m_bits: int = 1 << 14,
+    k: int = 4,
+    seed: int = 101,
+) -> set | None:
+    """File-skipping verdict for one batch: manifest files that MAY hold
+    any of the batch's (band, bucket) keys per the Bloom index, UNION
+    files the Bloom doesn't cover yet (conservative — a file absent from
+    the index must never be skipped, or decisions grow false negatives).
+    Returns None (no skipping) when the bloom is empty or the batch's
+    key fan-out exceeds ``max_keys`` — point-lookup indexes are for
+    steady-state small batches; a huge backfill batch touches most files
+    anyway and the partition prune already bounds it."""
+    from ecommerce_analytics_platform_spark.operators.membership import (
+        prune_files_for_keys,
+    )
+
+    if bloom.latest_version() is None:
+        return None
+    keys = [
+        r["kb"]
+        for r in nb.select(_bucket_key().alias("kb"))
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    ]
+    if not keys or len(keys) > max_keys:
+        return None
+    brel = bloom.read()
+    hits = set(prune_files_for_keys(brel, keys, m_bits, k, seed))
+    covered = {r["file"] for r in brel.select("file").distinct().collect()}
+    all_files = set(index._read_manifest(index.latest_version())["files"])
+    return hits | (all_files - covered)
 
 
 def _batch_parts(nb: DataFrame, n_parts: int) -> list[int]:
@@ -145,6 +247,7 @@ def process_neardup_batch(
     shingle_n: int = 3,
     max_bucket: int | None = None,
     n_bucket_parts: int = _N_BUCKET_PARTS,
+    bloom: ManifestTable | None = None,
 ) -> None:
     """One micro-batch: sign, score against (index ∪ own batch), commit.
 
@@ -156,7 +259,9 @@ def process_neardup_batch(
     (correct for BOTH uses: the candidate join only matches on the batch's
     (band, bucket) keys, and the growth cap only sizes buckets the batch
     is appending to — rows in untouched partitions cannot participate in
-    either).
+    either). When a ``bloom`` file index is maintained, files inside the
+    touched partitions that cannot hold any batch key are skipped too
+    (no false negatives: uncovered files are conservatively kept).
     """
     sigs: list[DataFrame] = []
     nb = lsh_band_buckets(
@@ -165,7 +270,12 @@ def process_neardup_batch(
     ).persist()
     try:
         parts = _batch_parts(nb, n_bucket_parts)
-        corpus = _read_index(index, parts)
+        keep = (
+            _bloom_keep_files(index, bloom, nb)
+            if bloom is not None and index.latest_version() is not None
+            else None
+        )
+        corpus = _read_index(index, parts, keep)
         all_buckets = nb.select("__id", "band", "bucket")
         if corpus is not None:
             all_buckets = all_buckets.union(
@@ -216,10 +326,12 @@ def process_neardup_batch(
             # pruned read — untouched partitions hold no bucket this
             # batch appends to
             new_index_rows = _capped_index_rows(new_index_rows, corpus, max_bucket)
-        index.append_once(
+        v = index.append_once(
             new_index_rows, txn_id=f"neardup-index-{batch_id}",
             partition_by=["bucket_part"],
         )
+        if bloom is not None:
+            update_index_bloom(index, bloom, v, batch_id)
     finally:
         nb.unpersist()
         for s in sigs:
@@ -239,6 +351,7 @@ def start_streaming_neardup(
     shingle_n: int = 3,
     max_bucket: int | None = None,
     n_bucket_parts: int = _N_BUCKET_PARTS,
+    use_bloom: bool = False,
     available_now: bool = True,
 ) -> StreamingQuery:
     """NDJSON document feed → per-micro-batch near-dup decisions.
@@ -252,6 +365,11 @@ def start_streaming_neardup(
     """
     decisions = ManifestTable(spark, os.path.join(state_root, "neardup_decisions"))
     index = ManifestTable(spark, os.path.join(state_root, "neardup_index"))
+    bloom = (
+        ManifestTable(spark, os.path.join(state_root, "neardup_bloom"))
+        if use_bloom
+        else None
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         process_neardup_batch(
@@ -264,6 +382,7 @@ def start_streaming_neardup(
             shingle_n=shingle_n,
             max_bucket=max_bucket,
             n_bucket_parts=n_bucket_parts,
+            bloom=bloom,
         )
 
     writer = (

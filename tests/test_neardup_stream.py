@@ -214,3 +214,78 @@ def test_max_bucket_caps_within_a_single_batch(spark, tmp_path):
     assert sizes1 <= 5
     # decisions were still committed for every doc (cap drops INDEX rows only)
     assert decisions.read().count() == 40
+
+
+def test_bloom_file_skipping_prunes_within_a_partition(spark, tmp_path):
+    """File-level skipping below the partition prune (VERDICT r7 #3):
+    with n_bucket_parts=1 every index file lands in the same partition,
+    so ONLY the Bloom file index can narrow the read — a vocab-A probe
+    must keep batch-A files and drop vocab-B files — and decisions with
+    the bloom enabled are identical to decisions without it."""
+    from ecommerce_analytics_platform_spark.streaming.neardup import (
+        _bloom_keep_files,
+        _new_files,
+        process_neardup_batch,
+    )
+    from ecommerce_analytics_platform_spark.operators.dedup import (
+        lsh_band_buckets,
+    )
+
+    def mk(root):
+        return (
+            ManifestTable(spark, str(root / "dec")),
+            ManifestTable(spark, str(root / "idx")),
+            ManifestTable(spark, str(root / "bloom")),
+        )
+
+    va = " ".join(f"a{i}" for i in range(30))
+    vb = " ".join(f"b{i}" for i in range(30))
+    batch_a = [(i, va + f" tail{i}") for i in range(10)]
+    batch_b = [(100 + i, vb + f" tail{i}") for i in range(10)]
+    probe_a = [(200 + i, va + f" probe{i}") for i in range(5)]
+
+    (tmp_path / "with").mkdir()
+    dec, idx, bloom = mk(tmp_path / "with")
+    for bid, rows in enumerate([batch_a, batch_b]):
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        process_neardup_batch(
+            b, bid, dec, idx, n_bucket_parts=1, bloom=bloom
+        )
+    # bloom covers exactly the committed index files
+    a_files = set(_new_files(idx, 1))
+    b_files = set(_new_files(idx, 2))
+    covered = {r["file"] for r in bloom.read().select("file").distinct().collect()}
+    assert covered == a_files | b_files
+
+    nb = lsh_band_buckets(
+        spark.createDataFrame(probe_a, "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    keep = _bloom_keep_files(idx, bloom, nb)
+    assert keep is not None
+    # vocab-A probe: batch-A files survive, vocab-B files are skipped
+    assert a_files <= keep
+    assert not (b_files & keep)
+
+    # decisions with bloom == decisions without bloom on the same feed
+    b2 = spark.createDataFrame(probe_a, "doc_id long, text string")
+    process_neardup_batch(b2, 2, dec, idx, n_bucket_parts=1, bloom=bloom)
+
+    (tmp_path / "wo").mkdir()
+    dec2, idx2, _ = mk(tmp_path / "wo")
+    for bid, rows in enumerate([batch_a, batch_b, probe_a]):
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        process_neardup_batch(b, bid, dec2, idx2, n_bucket_parts=1)
+    got = sorted(
+        (r["doc_id"], r["n_candidates"], r["matched_doc_id"])
+        for r in dec.read().collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_candidates"], r["matched_doc_id"])
+        for r in dec2.read().collect()
+    )
+    assert got == want
+    # every probe doc matched something from batch A
+    probe_rows = {r["doc_id"]: r["matched_doc_id"] for r in dec.read().collect()}
+    assert all(probe_rows[200 + i] is not None for i in range(5))
