@@ -876,8 +876,9 @@ SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM tokd
 # Memoized pair tables (r8, same discipline as the r7 unigram/BPE memos):
 # FOUR registry queries consume the identical MinHash-LSH pair relation
 # (pairs, clusters, clusters_star, cluster_keepers — plus the verified
-# query's candidate side) and TWO consume the identical PPJoin scored
-# relation (set_sim_join, entity_clusters). In a production pipeline the
+# query's candidate side and a separately-keyed capped variant) and TWO
+# consume the identical PPJoin scored relation (set_sim_join,
+# entity_clusters). In a production pipeline the
 # pair table is materialized once and every dedup policy reads it; here
 # the first computation runs the real operator DAG and the result —
 # GUARDED at 100k rows, because pair relations are corpus-sized in
@@ -982,8 +983,20 @@ def q_neardup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps one shared footer from making a bucket quadratic at 100 TB).
     The oracle applies the identical cap, so the row is robust to however
     many mega-buckets the data happens to contain."""
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4, max_bucket=2)
+    rows = _memo_pairs(
+        "lshcap",
+        ("lshcap", *_docs_file_key(sf_dir), 16, 4, 2),
+        lambda: minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text",
+            num_hashes=16, bands=4, max_bucket=2,
+        ),
+    )
+    if rows is None:
+        return minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text",
+            num_hashes=16, bands=4, max_bucket=2,
+        )
+    return spark.createDataFrame(rows, _LSH_PAIR_SCHEMA)
 
 
 def _neardup_capped_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 2) -> str:
