@@ -1033,7 +1033,9 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_analytics_platform_spark.functions.text import shingle_bases
 
     docs = _t(spark, sf_dir, "documents")
-    based = shingle_bases(docs, "doc_id", "text", 3).persist()
+    # _pin: the hashed-shingle relation feeds both sides of the verify
+    # join; lifetime goes to the registry (released on next query entry)
+    based = _pin(shingle_bases(docs, "doc_id", "text", 3).persist())
     cand = _lsh_pairs_df(spark, sf_dir).select("id_a", "id_b")
     sh = based.select(
         F.col("__id").alias("doc_id"), F.array_distinct("__bases").alias("ds")
@@ -2270,7 +2272,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).select(
         "doc_id", F.lower("tok").alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = _pin(toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist())
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -4175,6 +4177,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    _pin(edges)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     return (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
