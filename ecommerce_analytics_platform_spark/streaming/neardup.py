@@ -393,3 +393,60 @@ def start_streaming_neardup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_index(
+    index: ManifestTable,
+    bloom: ManifestTable | None = None,
+    files_per_part: int = 1,
+    m_bits: int = 1 << 14,
+    k: int = 4,
+    seed: int = 101,
+) -> int:
+    """Maintenance compaction for the streaming band-bucket index: every
+    micro-batch appends one small file per touched ``bucket_part``, so a
+    long-running stream accretes files linearly in batches (the r8
+    pruning probe showed ~17k files for a 128k-doc index — the classic
+    small-file problem). Rewrite the snapshot to ``files_per_part`` files
+    per partition, sorted by (band, bucket) within each so a single
+    bucket's rows sit in one row-group range.
+
+    Correctness across the rewrite:
+
+    - ``overwrite`` carries the txn set FORWARD, so every
+      ``neardup-index-{batch_id}`` txn is remembered — a replayed old
+      batch still no-ops after compaction (exactly-once survives
+      maintenance, pinned by the manifest tests' discipline).
+    - Readers pinned to pre-compaction versions keep their files (time
+      travel; ``vacuum`` reclaims them later).
+    - When a ``bloom`` file index is maintained, it is REBUILT against
+      the compacted files in the same call (its txn set also carries
+      forward): post-compaction batches keep skipping files. Between the
+      two commits a crash leaves stale bloom coverage of vanished files —
+      harmless, because ``_bloom_keep_files`` keeps uncovered files
+      conservatively and ignores unknown names.
+
+    Returns the committed index version."""
+    cur = index.read()
+    clustered = cur.repartition(files_per_part * _N_BUCKET_PARTS, "bucket_part").sortWithinPartitions(
+        "bucket_part", "band", "bucket", "doc_id"
+    )
+    v = index.overwrite(clustered, partition_by=["bucket_part"])
+    if bloom is not None:
+        from ecommerce_analytics_platform_spark.operators.membership import (
+            bloom_position_cols,
+        )
+
+        rel = index.read(version=v)
+        relname = F.expr(
+            f"substring(regexp_replace(input_file_name(), '^file:/+', '/'), "
+            f"{len(index.path) + 2})"
+        )
+        pairs = rel.select(
+            relname.alias("file"),
+            F.explode(
+                F.array(*bloom_position_cols(_bucket_key(), m_bits, k, seed))
+            ).alias("pos"),
+        ).distinct()
+        bloom.overwrite(pairs)
+    return v

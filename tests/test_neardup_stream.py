@@ -289,3 +289,83 @@ def test_bloom_file_skipping_prunes_within_a_partition(spark, tmp_path):
     # every probe doc matched something from batch A
     probe_rows = {r["doc_id"]: r["matched_doc_id"] for r in dec.read().collect()}
     assert all(probe_rows[200 + i] is not None for i in range(5))
+
+
+def test_compact_index_shrinks_files_and_preserves_semantics(spark, tmp_path):
+    """Maintenance compaction: after N micro-batches the index holds ~N
+    files per touched partition; compact_index rewrites to one file per
+    partition, carries every batch txn forward (replay still no-ops),
+    rebuilds the bloom against the new files, and a post-compaction batch
+    decides identically to an uncompacted twin."""
+    from ecommerce_analytics_platform_spark.streaming.neardup import (
+        _bloom_keep_files,
+        compact_index,
+        process_neardup_batch,
+    )
+    from ecommerce_analytics_platform_spark.operators.dedup import (
+        lsh_band_buckets,
+    )
+
+    def mk(root):
+        root.mkdir()
+        return (
+            ManifestTable(spark, str(root / "dec")),
+            ManifestTable(spark, str(root / "idx")),
+            ManifestTable(spark, str(root / "bloom")),
+        )
+
+    vocab = lambda p: " ".join(f"{p}{i}" for i in range(30))  # noqa: E731
+    batches = [
+        [(100 * b + i, vocab(f"v{b}_") + f" tail{i}") for i in range(8)]
+        for b in range(4)
+    ]
+    probe = [(900 + i, vocab("v1_") + f" probe{i}") for i in range(4)]
+
+    dec, idx, bloom = mk(tmp_path / "compacted")
+    for bid, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        process_neardup_batch(b, bid, dec, idx, n_bucket_parts=1, bloom=bloom)
+
+    files_before = set(idx.read().inputFiles())
+    va, vi = dec.latest_version(), idx.latest_version()
+    v = compact_index(idx, bloom)
+    assert idx.latest_version() == v
+    files_after = set(idx.read().inputFiles())
+    # n_bucket_parts=1: every batch's task-files collapse to ONE file
+    assert len(files_before) > 1 and len(files_after) == 1
+    # same rows survive the rewrite
+    assert idx.read(version=v).count() == idx.read(version=vi).count()
+
+    # replayed old batch no-ops THROUGH the compaction (txns carried)
+    b1 = spark.createDataFrame(batches[1], "doc_id long, text string")
+    process_neardup_batch(b1, 1, dec, idx, n_bucket_parts=1, bloom=bloom)
+    assert (dec.latest_version(), idx.latest_version()) == (va, v)
+
+    # bloom was rebuilt: it covers exactly the compacted file, and a
+    # vocab-specific probe still gets a keep-verdict that includes it
+    covered = {r["file"] for r in bloom.read().select("file").distinct().collect()}
+    rels = {f.split(str(tmp_path / "compacted" / "idx"))[-1].lstrip("/") for f in files_after}
+    assert covered == rels
+    nb = lsh_band_buckets(
+        spark.createDataFrame(probe, "doc_id long, text string"), "doc_id", "text"
+    )
+    keep = _bloom_keep_files(idx, bloom, nb)
+    assert keep == rels
+
+    # post-compaction decisions equal an uncompacted twin
+    bp = spark.createDataFrame(probe, "doc_id long, text string")
+    process_neardup_batch(bp, 4, dec, idx, n_bucket_parts=1, bloom=bloom)
+
+    dec2, idx2, _b2 = mk(tmp_path / "twin")
+    for bid, rows in enumerate(batches + [probe]):
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        process_neardup_batch(b, bid, dec2, idx2, n_bucket_parts=1)
+    got = sorted(
+        (r["doc_id"], r["n_candidates"], r["matched_doc_id"])
+        for r in dec.read().collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_candidates"], r["matched_doc_id"])
+        for r in dec2.read().collect()
+    )
+    assert got == want
