@@ -317,35 +317,44 @@ def process_entity_batch(
             s.unpersist()
 
 
-def process_entity_batch_exact(
+def ppjoin_batch_pairs(
     batch_df: DataFrame,
     batch_id: int,
-    assign: ManifestTable,
     tokens: ManifestTable,
     postings: ManifestTable,
+    consume,
     t10: int = 6,
     shingle_words: int = 3,
     n_parts: int = _N_BUCKET_PARTS,
+    txn_prefix: str = "entity",
 ) -> None:
-    """One micro-batch, EXACT edge mode: incremental PPJoin at Jaccard ≥
-    t10/10 over distinct word-shingle sets — the ``entity_clusters``
-    registry predicate (plans/testdata_queries.py::q_set_sim_join: same
-    shingling, same integer threshold math), derived incrementally.
+    """The incremental-PPJoin core shared by exact streaming entity
+    resolution and exact streaming near-dup: tokenize the batch, propose
+    candidates against (postings state ∪ own batch) under the fixed
+    (hash60(tok), tok) prefix order, verify exactly against (token state
+    ∪ own batch), call ``consume(verified_pairs, new_ids)`` — pairs are
+    ``(id_a < id_b)``, every pair has ≥1 batch endpoint — then commit
+    the batch's tokens and prefix postings with ``{txn_prefix}-tokens/
+    postings-{batch_id}`` txns. ``consume`` runs BEFORE the state
+    commits so its own commit is the first of the batch's three (any
+    crash order replays cleanly — see the exactness notes on the
+    callers).
 
     Candidate completeness across batches: each doc's prefix is its
     first ``sz − ⌈t·sz⌉ + 1`` tokens under the FIXED global order
     (hash60(tok), tok). Two sets with J ≥ t always share a prefix token
     under any single total order, and this order never changes with the
     corpus — so when the later doc of a qualifying pair arrives, the
-    earlier doc's prefix is already in ``entity_postings`` (or in the
+    earlier doc's prefix is already in the postings state (or in the
     same batch) and the pair is proposed. Verification is exact: shared
-    token counts via a relational join against ``entity_tokens``
-    (integer compare 10·|∩| ≥ t10·|∪| — no float boundary).
+    token counts via a relational join (integer compare 10·|∩| ≥
+    t10·|∪| — no float boundary), the ``q_set_sim_join`` registry
+    predicate.
 
     Replay safety: the state side of both the candidate union and the
     verification excludes the batch's own doc ids, so a half-committed
-    previous attempt (tokens/postings landed, assignment lost) derives
-    the identical edge set; all three commits carry the batch txn.
+    previous attempt (tokens/postings landed, consumer commit lost)
+    derives the identical pair set; all commits carry the batch txn.
     """
     from ecommerce_analytics_platform_spark.functions.text import word_shingles
 
@@ -452,27 +461,58 @@ def process_entity_batch_exact(
                     .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
                     .filter(F.lit(10) * F.col("inter") >= F.lit(t10) * F.col("uni"))
                 )
-                edges = scored.select(
-                    F.col("id_a").alias("a"), F.col("id_b").alias("b")
-                )
-                _merge_edges_into_assignment(edges, new_ids, assign, batch_id)
+                consume(scored.select("id_a", "id_b"), new_ids)
             finally:
                 cands.unpersist()
 
             tokens.append_once(
                 tok.withColumn("n_bucket", _assign_bucket(n_buckets=n_parts)),
-                txn_id=f"entity-tokens-{batch_id}",
+                txn_id=f"{txn_prefix}-tokens-{batch_id}",
                 partition_by=["n_bucket"],
             )
             postings.append_once(
                 pref.withColumn("tok_part", _tok_part(n_parts)),
-                txn_id=f"entity-postings-{batch_id}",
+                txn_id=f"{txn_prefix}-postings-{batch_id}",
                 partition_by=["tok_part"],
             )
         finally:
             pref.unpersist()
     finally:
         tkset.unpersist()
+
+
+def process_entity_batch_exact(
+    batch_df: DataFrame,
+    batch_id: int,
+    assign: ManifestTable,
+    tokens: ManifestTable,
+    postings: ManifestTable,
+    t10: int = 6,
+    shingle_words: int = 3,
+    n_parts: int = _N_BUCKET_PARTS,
+) -> None:
+    """One micro-batch, EXACT edge mode: the incremental PPJoin core
+    (:func:`ppjoin_batch_pairs`) derives the ``entity_clusters``
+    registry predicate's verified pairs; the shared contraction/merge
+    machinery folds them into the assignment state. Crash in any order
+    between the three commits replays cleanly (the core's state side
+    excludes the batch's own ids)."""
+
+    def consume(pairs: DataFrame, new_ids: DataFrame) -> None:
+        edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        _merge_edges_into_assignment(edges, new_ids, assign, batch_id)
+
+    ppjoin_batch_pairs(
+        batch_df,
+        batch_id,
+        tokens,
+        postings,
+        consume,
+        t10=t10,
+        shingle_words=shingle_words,
+        n_parts=n_parts,
+        txn_prefix="entity",
+    )
 
 
 def compact_assign_zordered(assign: ManifestTable, n_ranges: int = 8) -> int:

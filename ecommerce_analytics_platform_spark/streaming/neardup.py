@@ -352,6 +352,9 @@ def start_streaming_neardup(
     max_bucket: int | None = None,
     n_bucket_parts: int = _N_BUCKET_PARTS,
     use_bloom: bool = False,
+    mode: str = "lsh",
+    t10: int = 6,
+    shingle_words: int = 3,
     available_now: bool = True,
 ) -> StreamingQuery:
     """NDJSON document feed → per-micro-batch near-dup decisions.
@@ -364,26 +367,44 @@ def start_streaming_neardup(
     contract as the batch operators.
     """
     decisions = ManifestTable(spark, os.path.join(state_root, "neardup_decisions"))
-    index = ManifestTable(spark, os.path.join(state_root, "neardup_index"))
-    bloom = (
-        ManifestTable(spark, os.path.join(state_root, "neardup_bloom"))
-        if use_bloom
-        else None
-    )
+    if mode == "ppjoin":
+        tokens = ManifestTable(spark, os.path.join(state_root, "neardup_tokens"))
+        postings = ManifestTable(spark, os.path.join(state_root, "neardup_postings"))
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        process_neardup_batch(
-            batch_df,
-            batch_id,
-            decisions,
-            index,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_n=shingle_n,
-            max_bucket=max_bucket,
-            n_bucket_parts=n_bucket_parts,
-            bloom=bloom,
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            process_neardup_batch_exact(
+                batch_df,
+                batch_id,
+                decisions,
+                tokens,
+                postings,
+                t10=t10,
+                shingle_words=shingle_words,
+                n_parts=n_bucket_parts,
+            )
+    elif mode == "lsh":
+        index = ManifestTable(spark, os.path.join(state_root, "neardup_index"))
+        bloom = (
+            ManifestTable(spark, os.path.join(state_root, "neardup_bloom"))
+            if use_bloom
+            else None
         )
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            process_neardup_batch(
+                batch_df,
+                batch_id,
+                decisions,
+                index,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+                max_bucket=max_bucket,
+                n_bucket_parts=n_bucket_parts,
+                bloom=bloom,
+            )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
 
     writer = (
         read_docs_stream(spark, raw_dir)
@@ -450,3 +471,69 @@ def compact_index(
         ).distinct()
         bloom.overwrite(pairs)
     return v
+
+
+def process_neardup_batch_exact(
+    batch_df: DataFrame,
+    batch_id: int,
+    decisions: ManifestTable,
+    tokens: ManifestTable,
+    postings: ManifestTable,
+    t10: int = 6,
+    shingle_words: int = 3,
+    n_parts: int = _N_BUCKET_PARTS,
+) -> None:
+    """EXACT-threshold streaming near-dup decisions: a doc is a near-dup
+    iff some EARLIER doc (smaller id — the same sequenced-feed contract
+    as the LSH path) has shingle-Jaccard ≥ t10/10 with it. No LSH false
+    negatives: candidates come from the incremental PPJoin prefix filter
+    and verify exactly (``streaming/entity.py::ppjoin_batch_pairs`` — the
+    ``q_set_sim_join`` registry predicate, streamed). Decision row:
+    ``(doc_id, n_candidates, matched_doc_id, batch_id)`` with
+    ``n_candidates`` = exact match count against smaller ids and
+    ``matched_doc_id`` = the smallest match (NULL = first of its kind) —
+    the same schema as the LSH decisions, so the two modes are drop-in.
+
+    Batch-split invariance: the verified pair set is a pure function of
+    the corpus (prefix order is arrival-independent), and "smaller id"
+    orients each pair identically under any chopping. Exactly-once: the
+    decisions append is the consumer commit inside the core's txn scheme.
+    """
+    from ecommerce_analytics_platform_spark.streaming.entity import (
+        ppjoin_batch_pairs,
+    )
+
+    def consume(pairs: DataFrame, new_ids: DataFrame) -> None:
+        # pairs are (id_a < id_b), ≥1 endpoint in batch. A batch doc's
+        # matches-against-earlier = pairs where it is the LARGER side
+        # (ids non-decreasing across batches ⇒ the smaller side is
+        # either in-batch or historical, never future).
+        matches = pairs.join(
+            new_ids.withColumnsRenamed({"doc_id": "id_b"}), "id_b", "left_semi"
+        )
+        batch_decisions = (
+            new_ids.join(
+                matches.withColumnsRenamed({"id_b": "doc_id"}), "doc_id", "left"
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count("id_a").alias("n_candidates"),
+                F.min("id_a").alias("matched_doc_id"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        decisions.append_once(
+            batch_decisions, txn_id=f"neardup-exact-decisions-{batch_id}"
+        )
+
+    ppjoin_batch_pairs(
+        batch_df,
+        batch_id,
+        tokens,
+        postings,
+        consume,
+        t10=t10,
+        shingle_words=shingle_words,
+        n_parts=n_parts,
+        txn_prefix="neardup-exact",
+    )

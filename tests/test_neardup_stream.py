@@ -369,3 +369,117 @@ def test_compact_index_shrinks_files_and_preserves_semantics(spark, tmp_path):
         for r in dec2.read().collect()
     )
     assert got == want
+
+
+def _exact_decision_truth(spark, rows, t10):
+    """Brute-force whole-corpus truth for exact-threshold decisions: per
+    doc, count + min of SMALLER ids with shingle-Jaccard >= t10/10."""
+    from ecommerce_analytics_platform_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tk = (
+        df.select(
+            "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("tk")
+        )
+        .filter(F.size("tk") > 0)
+        .withColumn("sz", F.size("tk").cast("long"))
+    )
+    a = tk.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tk_a"), F.col("sz").alias("sz_a"))
+    b = tk.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tk_b"), F.col("sz").alias("sz_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("inter", F.size(F.array_intersect("tk_a", "tk_b")).cast("long"))
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.lit(10) * F.col("inter") >= F.lit(t10) * F.col("uni"))
+        .select("id_a", "id_b")
+    )
+    return sorted(
+        (r["doc_id"], r["n"], r["m"])
+        for r in tk.select(F.col("doc_id"))
+        .join(pairs.withColumnsRenamed({"id_b": "doc_id"}), "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(F.count("id_a").alias("n"), F.min("id_a").alias("m"))
+        .collect()
+    )
+
+
+def test_exact_neardup_decisions_match_bruteforce(spark, tmp_path):
+    """process_neardup_batch_exact over any chopping equals the exact
+    all-pairs truth (no LSH false negatives by construction), and a
+    redelivered batch no-ops."""
+    from ecommerce_analytics_platform_spark.streaming.neardup import (
+        process_neardup_batch_exact,
+    )
+    import duckdb as _dd
+
+    con = _dd.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 60"
+    ).fetchall()
+    con.close()
+    truth = _exact_decision_truth(spark, rows, 6)
+    # contiguous choppings: decisions are write-once, so the feed contract
+    # is ids non-decreasing ACROSS batches (same as the LSH path's
+    # documented semantics); planted near-dup groups still span batch
+    # boundaries because their members are id-adjacent
+    for si, split in enumerate((
+        [rows],
+        [rows[:20], rows[20:40], rows[40:]],
+    )):
+        root = tmp_path / f"s{si}"
+        root.mkdir()
+        dec = ManifestTable(spark, str(root / "dec"))
+        tokens = ManifestTable(spark, str(root / "tok"))
+        postings = ManifestTable(spark, str(root / "post"))
+        for bid, chunk in enumerate(split):
+            b = spark.createDataFrame(chunk, "doc_id long, text string")
+            process_neardup_batch_exact(b, bid, dec, tokens, postings, t10=6)
+        got = sorted(
+            (r["doc_id"], r["n_candidates"], r["matched_doc_id"])
+            for r in dec.read().collect()
+        )
+        assert got == truth, f"split {si}"
+    # redelivery no-op on the chopped run
+    versions = (dec.latest_version(), tokens.latest_version(), postings.latest_version())
+    b = spark.createDataFrame(split[-1], "doc_id long, text string")
+    process_neardup_batch_exact(b, len(split) - 1, dec, tokens, postings, t10=6)
+    assert (dec.latest_version(), tokens.latest_version(), postings.latest_version()) == versions
+    # the slice genuinely contains exact near-dups
+    assert any(n > 0 for _d, n, _m in truth)
+
+
+def test_exact_neardup_streaming_query_end_to_end(spark, tmp_path):
+    from ecommerce_analytics_platform_spark.streaming.neardup import (
+        start_streaming_neardup,
+    )
+    import duckdb as _dd
+    import json as _json
+
+    con = _dd.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text, source FROM '{SF_DIR}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 40"
+    ).fetchall()
+    con.close()
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for i, chunk in enumerate([rows[:20], rows[20:]]):
+        with open(raw / f"p{i}.ndjson", "w") as f:
+            for d, t, s in chunk:
+                f.write(_json.dumps({"doc_id": d, "text": t, "source": s}) + "\n")
+    q = start_streaming_neardup(
+        spark,
+        str(raw),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        mode="ppjoin",
+    )
+    q.awaitTermination(180)
+    dec = ManifestTable(spark, str(tmp_path / "state" / "neardup_decisions"))
+    got = sorted(
+        (r["doc_id"], r["n_candidates"], r["matched_doc_id"])
+        for r in dec.read().collect()
+    )
+    assert got == _exact_decision_truth(spark, [(d, t) for d, t, _s in rows], 6)
