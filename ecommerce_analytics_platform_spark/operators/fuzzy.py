@@ -1,0 +1,323 @@
+"""Exact-threshold fuzzy-matching joins with complete (no-false-negative)
+candidate filters: a SimHash Hamming-distance near-dup join (pigeonhole
+band index) and an edit-distance self-join (Ed-Join-style q-gram prefix
+filter, Xiao/Wang/Lin VLDB'08).
+
+Both extend the reference's surface (the reference has no fuzzy joins —
+/root/reference is a medallion e-commerce ETL, SURVEY §0) and both follow
+the same discipline as the PPJoin set-similarity join already in the
+registry: a CHEAP complete candidate generator (equi-join on a derived
+key — bands here, rare prefix q-grams there) followed by an exact verify
+on candidates only. Nothing is approximate: the filters are provably
+complete for their thresholds, so the output equals the brute-force
+all-pairs result.
+
+Scale notes (100 TB):
+
+- ``hamming_neardup_pairs``: pigeonhole — two ``bits``-wide signatures
+  within Hamming distance ``d`` must agree exactly on at least one of
+  ``d+1`` disjoint bit-bands, so the candidate join is an equi-join on
+  (band, band_value). One shuffle on the band value; verification is a
+  single xor+popcount per candidate. Band width ``bits/(d+1)`` controls
+  selectivity: 12-bit bands → 4096 buckets per band, so bucket size (and
+  the per-bucket self-join) shrinks as signatures spread. The same
+  ``max_bucket`` guardrail as MinHash-LSH banding (dedup.py) caps
+  degenerate buckets (e.g. all-identical boilerplate signatures).
+- ``edit_similarity_join``: each edit operation destroys at most ``q``
+  of a string's q-grams, so two strings within edit distance ``d`` share
+  at least one of each other's ``q*d + 1`` RAREST distinct q-grams
+  (prefix filtering under a global frequency order — completeness proof
+  in the docstring). The candidate join therefore touches the rare end
+  of the q-gram vocabulary, not all postings; candidates pass a length
+  filter before the levenshtein verify. Strings with too few distinct
+  q-grams for the prefix bound route to a short-string channel joined on
+  length buckets (bounded-length strings only; at corpus scale this
+  channel is tiny because only strings shorter than ~q*(2d+1) chars can
+  land in it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _band_bounds(bits: int, bands: int) -> list[tuple[int, int]]:
+    """Contiguous (lo, width) spans covering ``bits`` with ``bands``
+    bands; the first ``bits % bands`` bands take the extra bit."""
+    base, rem = divmod(bits, bands)
+    out, lo = [], 0
+    for b in range(bands):
+        w = base + (1 if b < rem else 0)
+        out.append((lo, w))
+        lo += w
+    assert lo == bits
+    return out
+
+
+def hamming_neardup_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    max_hamming: int,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """All pairs whose ``bits``-wide signatures differ in at most
+    ``max_hamming`` bit positions — EXACT (the pigeonhole band index has
+    no false negatives; verification is exact popcount).
+
+    Pigeonhole: split the signature into ``max_hamming + 1`` disjoint
+    contiguous bands. ``max_hamming`` differing bits can dirty at most
+    ``max_hamming`` bands, so at least one band matches exactly —
+    candidates are pairs agreeing on (band, band_value), an equi-join.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    ``max_bucket``: same guardrail semantics as
+    ``dedup.lsh_band_buckets`` — a (band, value) bucket holding more than
+    ``max_bucket`` rows is dropped deterministically (whole bucket, never
+    a sample) before the self-join; degenerate signature families (all
+    zeros from empty-ish inputs, boilerplate) otherwise make the join
+    quadratic. Dropping a bucket CAN lose pairs — callers that set it
+    trade completeness for boundedness exactly like the LSH path.
+    """
+    assert bits >= max_hamming + 1 >= 1
+    bands = _band_bounds(bits, max_hamming + 1)
+    sig = F.col(sig_col)
+    bb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(sig, lo)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                    .alias("val"),
+                )
+                for b, (lo, w) in enumerate(bands)
+            ]
+        )
+    ).alias("bb")
+    member = sigs.select(
+        F.col(id_col).alias("__id"), sig.alias("__sig"), bb
+    ).select("__id", "__sig", "bb.band", "bb.val")
+    if max_bucket is not None:
+        sizes = member.groupBy("band", "val").agg(F.count(F.lit(1)).alias("__n"))
+        member = member.join(
+            sizes.filter(F.col("__n") <= max_bucket), ["band", "val"], "left_semi"
+        )
+    a, b = member.alias("a"), member.alias("b")
+    ham = F.bit_count(
+        F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
+    ).cast("long")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _distinct_qgrams(s: Column, q: int) -> Column:
+    """Distinct q-gram SET of a string as an array column (empty for
+    strings shorter than ``q``)."""
+    n = F.length(s) - q + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substr(s, i, F.lit(q))
+    )
+    # sequence(1, n<=0) would DESCEND (Spark infers step -1), fabricating
+    # phantom grams for short strings — gate it
+    return F.array_distinct(
+        F.when(n >= 1, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _deletion_variants(s: Column, max_edits: int) -> Column:
+    """All strings obtained by deleting AT MOST ``max_edits`` characters
+    from ``s`` (the FastSS deletion neighborhood), as an array column.
+    Supports ``max_edits`` in {1, 2}."""
+    L = F.length(s)
+
+    def drop1(i: Column) -> Column:
+        # remove the character at 1-based position i
+        return F.concat(F.substr(s, F.lit(1), i - 1), F.substr(s, i + 1, L))
+
+    one = F.transform(F.sequence(F.lit(1), L), drop1)
+    one = F.when(L >= 1, one).otherwise(F.array().cast("array<string>"))
+    if max_edits == 1:
+        return F.array_union(F.array(s), one)
+    if max_edits == 2:
+        # delete positions i < j: drop j first so i's index is unshifted
+        def drop2(i: Column, j: Column) -> Column:
+            t = drop1(j)
+            return F.concat(
+                F.substr(t, F.lit(1), i - 1), F.substr(t, i + 1, L)
+            )
+
+        two = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), L - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, L), lambda j: drop2(i, j)
+                ),
+            )
+        )
+        two = F.when(L >= 2, two).otherwise(F.array().cast("array<string>"))
+        return F.array_union(F.array_union(F.array(s), one), F.array_distinct(two))
+    raise ValueError("deletion neighborhood supports max_edits in {1, 2}")
+
+
+def edit_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_edits: int = 1,
+    q: int = 4,
+    method: str = "auto",
+) -> DataFrame:
+    """EXACT edit-distance self-join: all pairs with
+    ``levenshtein(a, b) <= max_edits`` — equal to the brute-force
+    all-pairs result, found without an all-pairs comparison.
+
+    Two complete candidate generators, selected by ``method``:
+
+    - ``"deletion"`` (FastSS, Bocek et al. 2007): explode each string's
+      deletion neighborhood (every string reachable by deleting ≤ d
+      characters — size O(L^d), so short keys only) and equi-join on the
+      variant. Complete: an edit script of ≤ d ops aligns a and b, and
+      deleting each side's unmatched characters (≤ d per side) leaves
+      the SAME matched remainder, a shared variant. Robust to
+      low-entropy keys: a shared constant prefix ("Customer#…") makes
+      q-gram postings degenerate (every prefix gram common → quadratic
+      candidates) while deletion variants stay unique-ish because they
+      retain the whole distinguishing region. Variants are joined as
+      xxhash64 keys — hash collisions only ADD candidates, which the
+      exact verify removes.
+    - ``"qgram"`` (Ed-Join family, Xiao/Wang/Lin VLDB'08): prefix
+      filtering over rare q-grams — O(L) index entries per string
+      regardless of d, the right geometry for LONG strings where the
+      deletion neighborhood explodes.
+
+    ``"auto"`` picks deletion for ``max_edits <= 2`` (its candidate
+    quality dominates and the neighborhood stays small for key-like
+    strings), else qgram.
+
+    Completeness (set semantics): one edit changes at most ``q`` of a
+    string's distinct q-grams (the ≤q gram OCCURRENCES overlapping the
+    edit position; a gram type leaves the set only when its last
+    occurrence is destroyed, and substring content elsewhere is
+    shift-invariant), so ``|grams(a) \\ grams(b)| <= q*d``. Under any
+    global total order on gram types, take each string's first
+    ``q*d + 1`` grams (its PREFIX): if the prefixes were disjoint, every
+    one of a's ``q*d + 1`` prefix grams ≤ the larger prefix-max would be
+    missing from b entirely — contradicting the bound. So matching pairs
+    share a prefix gram, and the candidate join is an equi-join on the
+    prefix gram (ordered rare-first so postings stay small).
+
+    The prefix bound needs ``|grams| >= q*d + 1``. Strings below it go to
+    the SHORT channel: if ``|grams(a)| <= q*d`` and ``ed(a,b) <= d`` then
+    ``|grams(b)| <= 2*q*d``, so all-pairs among strings with
+    ``|grams| <= 2*q*d`` (joined on ±d length buckets, verified exactly)
+    covers every pair involving a below-bound string. Strings with
+    ``q*d < |grams| <= 2*q*d`` sit in both channels; the final distinct
+    dedups them.
+
+    Completeness of the qgram path (set semantics): one edit changes at
+    most ``q`` of a string's distinct q-grams (the ≤q gram OCCURRENCES
+    overlapping the edit position; a gram type leaves the set only when
+    its last occurrence is destroyed, and substring content elsewhere is
+    shift-invariant), so ``|grams(a) \\ grams(b)| <= q*d``. Under any
+    global total order on gram types, take each string's first
+    ``q*d + 1`` grams (its PREFIX): if the prefixes were disjoint, every
+    one of a's ``q*d + 1`` prefix grams ≤ the larger prefix-max would be
+    missing from b entirely — contradicting the bound. So matching pairs
+    share a prefix gram. Strings below ``|grams| >= q*d + 1`` go to the
+    SHORT channel: if ``|grams(a)| <= q*d`` and ``ed(a,b) <= d`` then
+    ``|grams(b)| <= 2*q*d``, so all-pairs among strings with
+    ``|grams| <= 2*q*d`` (joined on ±d length buckets) covers every pair
+    involving a below-bound string.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``,
+    ``dist = levenshtein`` ≤ ``max_edits``.
+    """
+    d = max_edits
+    if method == "auto":
+        method = "deletion" if d <= 2 else "qgram"
+    s = F.col("__s")
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s"))
+        .filter(s.isNotNull())
+        .withColumn("__len", F.length(s).cast("long"))
+    )
+
+    def verified(cands: DataFrame) -> DataFrame:
+        dist = F.levenshtein(F.col("a.__s"), F.col("b.__s")).cast("long")
+        return (
+            cands.filter(F.col("a.__id") < F.col("b.__id"))
+            .filter(
+                F.abs(F.col("a.__len") - F.col("b.__len")) <= d
+            )
+            .filter(dist <= d)
+            .select(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                dist.alias("dist"),
+            )
+        )
+
+    if method == "deletion":
+        member = base.select(
+            "__id",
+            "__s",
+            "__len",
+            F.explode(_deletion_variants(s, d)).alias("__var"),
+        ).select("__id", "__s", "__len", F.xxhash64("__var").alias("vh"))
+        cands = member.alias("a").join(member.alias("b"), "vh")
+        return verified(cands).distinct()
+
+    if method != "qgram":
+        raise ValueError(f"unknown method {method!r}")
+    base = base.withColumn("__grams", _distinct_qgrams(s, q)).withColumn(
+        "__ng", F.size("__grams").cast("long")
+    )
+    # main channel: prefix filter over strings with enough distinct grams
+    plen = q * d + 1
+    main = base.filter(F.col("__ng") >= plen)
+    tok = main.select("__id", "__s", "__len", F.explode("__grams").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("__id").orderBy("freq", "tok")
+    pref = (
+        tok.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= plen)
+        .select("__id", "__s", "__len", "tok")
+    )
+    # persisted: both sides of the self-join consume it, and an
+    # unpersisted window subtree pushes the (potentially large) candidate
+    # verify out of whole-stage codegen — measured 25× slower at sf0.1.
+    # Lifetime goes to the session pin registry (released on the next
+    # registry-query entry), same contract as dedup.lsh_band_buckets.
+    from ecommerce_analytics_platform_spark.session import pin
+
+    pref = pref.persist()
+    pin(pref)
+    main_pairs = verified(pref.alias("a").join(pref.alias("b"), "tok"))
+
+    # short channel: strings a matching pair could involve when one side
+    # is below the prefix bound; equi-join on ±d length buckets
+    short = base.filter(F.col("__ng") <= 2 * q * d)
+    sa = short.select(
+        "__id", "__s", "__len",
+        F.explode(
+            F.sequence(F.col("__len") - d, F.col("__len") + d)
+        ).alias("lb"),
+    )
+    sb = short.withColumn("lb", F.col("__len"))
+    short_pairs = verified(sa.alias("a").join(sb.alias("b"), "lb"))
+
+    return main_pairs.union(short_pairs).distinct()

@@ -6701,6 +6701,237 @@ FROM est e JOIN exact x USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# r9: exact fuzzy joins (operators/fuzzy.py) + Gopher repetition signals
+# ---------------------------------------------------------------------------
+
+_HAM_BITS, _HAM_D = 48, 3
+
+
+def q_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup join: all document pairs whose
+    48-bit SimHash signatures differ in ≤ 3 bit positions — EXACT via the
+    pigeonhole band index (operators/fuzzy.py::hamming_neardup_pairs):
+    4 disjoint 12-bit bands, ≤3 differing bits leave ≥1 band identical,
+    so candidates are an equi-join on (band, value) and verification is
+    one xor+popcount per candidate. The third near-dup candidate geometry
+    beside MinHash-LSH banding (Jaccard) and PPJoin prefixes (exact
+    sets). The twin replays the signature, the band explode, the
+    candidate join and the popcount verify — full hash-match."""
+    from ecommerce_analytics_platform_spark.operators.fuzzy import (
+        hamming_neardup_pairs,
+    )
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text")).filter(
+        F.size(tokens(F.col("text"))) > 0
+    )
+    sigs = docs.select(
+        "doc_id", simhash64(F.col("text"), bits=_HAM_BITS).alias("sig")
+    )
+    return hamming_neardup_pairs(sigs, "doc_id", "sig", _HAM_BITS, _HAM_D)
+
+
+def _hamming_neardup_sql(bits: int = _HAM_BITS, d: int = _HAM_D) -> str:
+    h = "('0x' || substr(md5(w), 1, 15))::BIGINT"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(toks, w -> CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    width = bits // (d + 1)
+    assert bits % (d + 1) == 0
+    band_vals = ", ".join(f"({b}, {b * width})" for b in range(d + 1))
+    return rf"""
+WITH tokd AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents WHERE trim(text) <> ''
+), sh AS (
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sig FROM tokd
+), member AS (
+    SELECT doc_id, sig, bd.band, (sig >> bd.lo) & {(1 << width) - 1} AS val
+    FROM sh CROSS JOIN (VALUES {band_vals}) AS bd(band, lo)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM member a JOIN member b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.sig, sb.sig)) <= {d}
+"""
+
+
+_EDJ_Q, _EDJ_D = 4, 1
+
+
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance self-join over customer names at threshold 1
+    (operators/fuzzy.py::edit_similarity_join): Ed-Join-style q-gram
+    prefix filtering — each string's q·d+1 globally-rarest distinct
+    4-grams form its prefix; strings within distance d MUST share a
+    prefix gram (completeness proof in the operator docstring), so the
+    candidate join touches rare grams only and equals the brute-force
+    all-pairs result. Unlike the blockey-based fuzzy_pairs query this
+    needs NO blocking key and misses NO cross-block pairs. The twin
+    replays both channels (prefix + short-string) in SQL."""
+    from ecommerce_analytics_platform_spark.operators.fuzzy import (
+        edit_similarity_join,
+    )
+
+    cust = fan_out(_t(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    return edit_similarity_join(
+        cust, "c_custkey", "c_name", max_edits=_EDJ_D, q=_EDJ_Q
+    )
+
+
+def _edit_distance_join_sql(q: int = _EDJ_Q, d: int = _EDJ_D) -> str:
+    plen = q * d + 1
+    return f"""
+WITH sized AS (
+    SELECT c_custkey AS id, c_name AS s, CAST(len(c_name) AS BIGINT) AS l,
+           list_distinct(list_transform(range(1, len(c_name) - {q} + 2),
+                                        i -> substr(c_name, i, {q}))) AS grams,
+           CAST(len(list_distinct(list_transform(range(1, len(c_name) - {q} + 2),
+                                        i -> substr(c_name, i, {q})))) AS BIGINT) AS ng
+    FROM customer WHERE c_name IS NOT NULL
+), tok AS (
+    SELECT id, s, l, unnest(grams) AS tok FROM sized WHERE ng >= {plen}
+), freq AS (
+    SELECT tok, count(*) AS freq FROM tok GROUP BY tok
+), pref AS (
+    SELECT id, s, l, tok FROM (
+        SELECT tok.id, tok.s, tok.l, tok.tok,
+               row_number() OVER (PARTITION BY tok.id ORDER BY freq.freq, tok.tok) AS rn
+        FROM tok JOIN freq USING (tok)
+    ) WHERE rn <= {plen}
+), main_pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM pref a JOIN pref b ON a.tok = b.tok AND a.id < b.id
+    WHERE abs(a.l - b.l) <= {d} AND levenshtein(a.s, b.s) <= {d}
+), shorts AS (
+    SELECT id, s, l FROM sized WHERE ng <= {2 * q * d}
+), short_pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM shorts a JOIN shorts b ON a.id < b.id
+    WHERE abs(a.l - b.l) <= {d} AND levenshtein(a.s, b.s) <= {d}
+)
+SELECT id_a, id_b, dist FROM main_pairs
+UNION
+SELECT id_a, id_b, dist FROM short_pairs
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1),
+    the rule family pretraining pipelines run BEFORE dedup: word count,
+    mean word length, duplicate-word fraction, top-bigram position
+    fraction, duplicated-trigram position fraction, and the combined keep
+    flag. Every signal is a pure per-row array expression — the whole
+    query is scan-local (zero shuffles), the shape that matters at
+    100 TB. Ratios are int/int double divisions, bit-identical
+    cross-engine."""
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text")).filter(
+        F.trim(F.col("text")) != ""
+    )
+    tk = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.size(tk).cast("long").alias("n_words"),
+    )
+
+    def grams(width: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.col("n_words") - width),
+            lambda i: F.concat_ws(
+                " ", *[F.get(F.col("tk"), i + j) for j in range(width)]
+            ),
+        )
+
+    n = F.col("n_words")
+    total_chars = F.aggregate(
+        F.col("tk"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    big, tri = F.col("big"), F.col("tri")
+    top_big_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(big),
+            lambda b: F.size(F.filter(big, lambda x: x == b)),
+        )
+    )
+    dup_tri_cnt = F.size(
+        F.filter(
+            tri, lambda t: F.size(F.filter(tri, lambda x: x == t)) > 1
+        )
+    )
+    sig = (
+        base.withColumn("big", F.when(n >= 2, grams(2)))
+        .withColumn("tri", F.when(n >= 3, grams(3)))
+        .select(
+            "doc_id",
+            "n_words",
+            (total_chars / n).alias("mean_word_len"),
+            (F.lit(1.0) - F.size(F.array_distinct("tk")) / n).alias(
+                "frac_dup_words"
+            ),
+            F.when(n >= 2, top_big_cnt / (n - 1))
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+            F.when(n >= 3, dup_tri_cnt / (n - 2))
+            .otherwise(F.lit(0.0))
+            .alias("dup_trigram_frac"),
+        )
+    )
+    keep = (
+        F.col("n_words").between(20, 80)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("frac_dup_words") <= 0.6)
+        & (F.col("top_bigram_frac") <= 0.08)
+        & (F.col("dup_trigram_frac") <= 0.02)
+    )
+    return sig.withColumn("gopher_keep", keep)
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH tokd AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+    FROM documents WHERE trim(text) <> ''
+), base AS (
+    SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_words,
+           CASE WHEN len(tk) >= 2 THEN
+               list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+           END AS big,
+           CASE WHEN len(tk) >= 3 THEN
+               list_transform(range(1, len(tk) - 1),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+           END AS tri
+    FROM tokd
+), sig AS (
+    SELECT doc_id, n_words,
+           list_sum(list_transform(tk, w -> len(w))) / n_words AS mean_word_len,
+           1.0 - len(list_distinct(tk)) / n_words AS frac_dup_words,
+           CASE WHEN n_words >= 2 THEN
+               list_max(list_transform(list_distinct(big),
+                   b -> len(list_filter(big, x -> x = b)))) / (n_words - 1)
+           ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN n_words >= 3 THEN
+               len(list_filter(tri,
+                   t -> len(list_filter(tri, x -> x = t)) > 1)) / (n_words - 2)
+           ELSE 0.0 END AS dup_trigram_frac
+    FROM base
+)
+SELECT doc_id, n_words, mean_word_len, frac_dup_words, top_bigram_frac,
+       dup_trigram_frac,
+       (n_words BETWEEN 20 AND 80
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND frac_dup_words <= 0.6
+        AND top_bigram_frac <= 0.08
+        AND dup_trigram_frac <= 0.02) AS gopher_keep
+FROM sig
+"""
+
+
 QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "daily_kpis": (q_daily_kpis, SQL_DAILY_KPIS),
@@ -6869,6 +7100,11 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # recursive-CTE Viterbi DP under the previous round's vocab
     "unigram_vocab": (q_unigram_vocab, _unigram_vocab_sql()),
     "unigram_token_count": (q_unigram_token_count, _unigram_token_count_sql()),
+    # r9: exact fuzzy joins (pigeonhole Hamming bands; Ed-Join q-gram
+    # prefixes) + the Gopher repetition-signal family — full twins
+    "hamming_neardup": (q_hamming_neardup, _hamming_neardup_sql()),
+    "edit_distance_join": (q_edit_distance_join, _edit_distance_join_sql()),
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
 }
 
 # ---------------------------------------------------------------------------
@@ -6898,27 +7134,33 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 # repairs (HUGEINT family), the r7-new queries, and the r7 perf-weak
 # trio (zorder_key/salted_rollup/product_catalog) for visibility.
 _DRIVER_WINDOW = [
-    # NEVER SAMPLED (20): exact-similarity clustering heavyweights first
+    # r9 rotation: the 3 NEW queries lead; every row sampled ≤2 rounds is
+    # kept (the r8 first-timer block + the two r7-new queries); the
+    # remaining 25 slots go to NEVER-sampled queries (51 remained before
+    # this round, computed from git history of this list), prioritized by
+    # operator-family diversity. Rotated out: rows at 2-3 green rounds
+    # (sketch family, sampling family, codec pair, LM pair, r6 stalwarts)
+    # — all still verified every round by scripts/check_parity.py.
+    "hamming_neardup", "edit_distance_join", "gopher_quality",
+    # kept (1 sampled round): r8 first-timer block
     "entity_clusters", "cluster_keepers",
     "unigram_token_count", "bigram_logprob",
     "feature_snapshot", "sketch_merge", "multi_touch", "shipping_priority",
     "inverted_index", "decontaminate", "rfm_segments", "grouping_sets",
     "session_windows", "gap_fill", "state_transitions", "funnel_ordered",
     "basket_pairs", "range_frame", "sliding_uniques", "psi_drift",
-    # kept from r7 (≤2 green rounds or named perf-weak)
+    # kept (2 sampled rounds): r7-new
     "content_chunks", "bpe_encode",
-    "span_dedup", "incremental_neardup",
-    "set_sim_join", "sorted_neighborhood",
-    "ann_pq", "cohort_retention",
-    "portable_hll", "dds_quantiles", "approx_sketches",
-    "robust_outliers", "table_stats",
-    "token_budget_sample", "dsir_sample", "domain_mixture",
-    "corpus_shuffle",
-    "attribution", "unigram_logprob", "bpe_merges", "unigram_vocab",
-    "audio_features",
-    "video_frames_gif", "jpeg_roundtrip",
-    "sequence_pack", "span_mask", "corpus_funnel", "zorder_key",
-    "salted_rollup", "product_catalog",
+    # NEVER SAMPLED (25): similarity/ANN/dedup variants first, then
+    # corpus/sampling/temporal/OLAP coverage
+    "ann_int8", "neardup_clusters_star", "neardup_verified",
+    "neardup_pairs_capped", "embedding_neardup_lsh", "embedding_quantize",
+    "embedding_stats", "doc_chunks", "doc_fingerprint", "bpe_token_count",
+    "tfidf_topk", "token_zipf", "repetition_ratio", "pii_scrub",
+    "lang_balanced_sample", "stratified_sample", "train_val_split",
+    "weighted_sample", "source_mix", "random_projection",
+    "interval_merge", "ewma_features", "fuzzy_pairs", "incremental_dedup",
+    "sliding_window_rollup",
 ]
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
