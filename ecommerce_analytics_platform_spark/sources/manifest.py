@@ -122,7 +122,10 @@ class ManifestTable:
             res = apply_fn(base, m)
             if res is None:
                 return base
-            if len(res) == 3:
+            dv = self._UNSET
+            if len(res) == 4:
+                files, txns, schema_json, dv = res
+            elif len(res) == 3:
                 files, txns, schema_json = res
             else:
                 files, txns = res
@@ -131,6 +134,19 @@ class ManifestTable:
                 # write classes that don't evolve carry the declared
                 # schema forward unchanged
                 schema_json = m.get("schema")
+            if dv is self._UNSET:
+                # default deletion-vector semantics: entries carry forward
+                # for data files still in the snapshot; a commit that
+                # removes/rewrites a file (replace_partitions,
+                # replace_files, compaction, merge) implicitly drops its
+                # DV — the rewritten file already excludes those rows or
+                # redefines them
+                fileset = set(files)
+                dv = {
+                    f: lst
+                    for f, lst in (m.get("dv", {}) if m else {}).items()
+                    if f in fileset
+                }
             import time
 
             doc = {
@@ -146,6 +162,12 @@ class ManifestTable:
                 # the snapshot's declared read schema (additive evolution
                 # — see sources/evolution.py); absent in legacy manifests
                 doc["schema"] = schema_json
+            if dv:
+                # deletion vectors: {data_file: [dv parquet files]} — rows
+                # of a data file whose (file, pos) appear in its DV files
+                # are logically deleted (applied at read; materialized by
+                # materialize_deletes)
+                doc["dv"] = {f: sorted(set(lst)) for f, lst in dv.items()}
             tmp = os.path.join(self.manifest_dir, f"{uuid.uuid4().hex}.tmp")
             with open(tmp, "w") as f:
                 f.write(json.dumps(doc, indent=1))
@@ -458,7 +480,17 @@ class ManifestTable:
         that ever committed, or a replayed batch would re-append after a
         restore."""
         target = self._read_manifest(version)
-        return self._publish(lambda _base, m: (list(target["files"]), self._base_txns(m)))
+        return self._publish(
+            lambda _base, m: (
+                list(target["files"]),
+                self._base_txns(m),
+                None,
+                # restore the TARGET's deletion vectors, not the current
+                # ones pruned: the restored snapshot's logical content is
+                # the target's (files minus its DVs)
+                dict(target.get("dv", {})),
+            )
+        )
 
     @staticmethod
     def _prune_by_partition_values(
@@ -485,12 +517,167 @@ class ManifestTable:
                 out.append(f)
         return out
 
+    # -- deletion vectors ---------------------------------------------------
+
+    _DV_SCHEMA = "__dv_file string, __dv_pos long"
+
+    def _rel_file_col(self):
+        """The scan's ``_metadata.file_path`` (a ``file:`` URI) as a
+        table-relative path — the SAME normalization on the write side
+        (delete_where) and the read side (the anti-join), so matching is
+        by construction."""
+        p = F.regexp_replace(F.col("_metadata.file_path"), r"^file:/+", "/")
+        return F.regexp_replace(p, "^" + re.escape(self.path + os.sep), "")
+
+    def _with_position(self, df: DataFrame) -> DataFrame:
+        """Attach (``__dv_file``, ``__dv_pos``): the row's data file
+        (table-relative) and its row index within that file — the stable
+        physical address deletion vectors are keyed by."""
+        return df.select(
+            "*",
+            self._rel_file_col().alias("__dv_file"),
+            F.col("_metadata.row_index").cast("long").alias("__dv_pos"),
+        )
+
+    def deleted_positions(self, version: int | None = None) -> DataFrame:
+        """The snapshot's deletion-vector relation
+        ``(__dv_file, __dv_pos)`` — empty (typed) when no DVs exist."""
+        v = version if version is not None else self.latest_version()
+        m = self._read_manifest(v) if v is not None else {}
+        dv_files = sorted({d for lst in m.get("dv", {}).values() for d in lst})
+        if not dv_files:
+            return self.spark.createDataFrame([], self._DV_SCHEMA)
+        return self.spark.read.schema(self._DV_SCHEMA).parquet(
+            *[os.path.join(self.path, d) for d in dv_files]
+        )
+
+    def delete_where(
+        self,
+        condition,
+        txn_id: str | None = None,
+        partition_values: dict | None = None,
+    ) -> int:
+        """DELETE WHERE without rewriting a single data file: find the
+        matching LIVE rows' physical addresses (file, row_index), write
+        them as a deletion-vector parquet, and commit a manifest whose
+        ``dv`` map points the touched data files at it. Cost is
+        O(matching rows) + one pushdown-pruned scan — at 100 TB a GDPR
+        erasure of one user touches KBs of DV data instead of rewriting
+        every file that holds one of their rows (the Delta/Iceberg
+        deletion-vector design; ``materialize_deletes`` is the
+        OPTIMIZE-style rewrite that folds DVs back in).
+
+        ``condition``: a Column or SQL string over the table's columns.
+        ``partition_values`` prunes the scan's FILE LIST first (same
+        contract as :meth:`read`) — pass it when the predicate implies
+        partitions. ``txn_id`` makes the delete exactly-once.
+
+        Concurrency: commutes with appends and with deletes of OTHER
+        rows (two DV commits on the same file union their lists on
+        rebase). A concurrent commit that removed/rewrote a touched data
+        file invalidates this delete's addresses →
+        :class:`ConcurrentWriteConflict`."""
+        read_version = self.latest_version()
+        if read_version is None:
+            raise FileNotFoundError(f"no committed manifest under {self.path}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        # raw scan (``_metadata`` resolves on file scans only), positions
+        # attached FIRST, then already-deleted rows excluded so DVs stay
+        # minimal and "matching LIVE rows" is literal
+        raw = self.read(
+            version=read_version,
+            partition_values=partition_values,
+            apply_deletes=False,
+        )
+        hits = (
+            self._with_position(raw)
+            .join(
+                self.deleted_positions(read_version),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
+            )
+            .filter(cond)
+            .select("__dv_file", "__dv_pos")
+        )
+        stage = os.path.join("_dv", uuid.uuid4().hex[:12])
+        os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
+        hits.write.parquet(os.path.join(self.path, stage))
+        dv_files = [
+            os.path.join(stage, fn)
+            for fn in os.listdir(os.path.join(self.path, stage))
+            if fn.endswith(".parquet")
+        ]
+        touched = sorted(
+            r["__dv_file"]  # attribute access would name-mangle in-class
+            for r in self.spark.read.schema(self._DV_SCHEMA)
+            .parquet(*[os.path.join(self.path, d) for d in dv_files])
+            .select("__dv_file")
+            .distinct()
+            .collect()
+        ) if dv_files else []
+        if not touched:
+            # nothing matched: no-op commit (but still honor txn_id by
+            # recording it so a redelivery stays a no-op)
+            if txn_id is None:
+                return read_version
+            return self._publish(
+                lambda _b, m: None
+                if (m and txn_id in m.get("txns", []))
+                else (list(m["files"]) if m else [], [*self._base_txns(m), txn_id])
+            )
+
+        def apply(base, m):
+            if txn_id is not None and m and txn_id in m.get("txns", []):
+                return None
+            cur = set(m["files"]) if m else set()
+            missing = [f for f in touched if f not in cur]
+            if missing:
+                raise ConcurrentWriteConflict(
+                    f"data files were removed/rewritten by a concurrent "
+                    f"commit; deletion addresses are stale: {missing[:3]}"
+                )
+            dv = {
+                f: list(lst)
+                for f, lst in (m.get("dv", {}) if m else {}).items()
+                if f in cur
+            }
+            for f in touched:
+                dv[f] = dv.get(f, []) + dv_files
+            txns = self._base_txns(m)
+            if txn_id is not None:
+                txns.append(txn_id)
+            return list(m["files"]) if m else [], txns, None, dv
+
+        return self._publish(apply)
+
+    def materialize_deletes(self, files: list[str] | None = None) -> int:
+        """OPTIMIZE-style DV fold-in: rewrite the data files that carry
+        deletion vectors (or just ``files``) WITHOUT their deleted rows
+        and drop their DV entries — bounded by the touched files, never
+        table size. Readers flip atomically; ``vacuum`` later reclaims
+        the replaced data files and unreferenced DV parquet."""
+        v = self.latest_version()
+        if v is None:
+            return 0
+        m = self._read_manifest(v)
+        dvmap = m.get("dv", {})
+        targets = sorted(dvmap) if files is None else [
+            f for f in files if f in dvmap
+        ]
+        if not targets:
+            return v
+        cleaned = self.read(version=v, keep_files=set(targets))
+        return self.replace_files(
+            targets, cleaned, partition_by=self.partition_columns(v) or None
+        )
+
     def read(
         self,
         version: int | None = None,
         as_of_ts: float | None = None,
         partition_values: dict | None = None,
         keep_files: set | None = None,
+        apply_deletes: bool = True,
     ) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, read exactly its
         files. ``basePath`` makes Spark parse hive-style partition values
@@ -513,7 +700,15 @@ class ManifestTable:
         — the hook for data-skipping indexes (``file_bloom_index`` point
         lookups) whose verdicts are per-FILE, not per-partition. The
         caller owns no-false-negative discipline; unknown names are
-        simply ignored."""
+        simply ignored.
+
+        ``apply_deletes``: rows addressed by the snapshot's deletion
+        vectors (:meth:`delete_where`) are excluded via an anti-join on
+        (file, row_index) — restricted to the DV files of the data files
+        actually being read, so partition/file pruning prunes the DV side
+        too. The DV side is deleted-rows-sized (small), so AQE broadcasts
+        it: no shuffle of the data side. ``apply_deletes=False`` exposes
+        the raw physical rows (audit tooling)."""
         if as_of_ts is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of_ts, not both")
@@ -541,7 +736,22 @@ class ManifestTable:
             # evolution back-fill NULL for the columns they lack, with no
             # mergeSchema footer sweep (sources/evolution.py)
             reader = reader.schema(StructType.fromJson(m["schema"]))
-        return reader.parquet(*paths)
+        df = reader.parquet(*paths)
+        dvmap = m.get("dv", {}) if apply_deletes else {}
+        dv_files = sorted({d for f in files for d in dvmap.get(f, [])})
+        if dv_files:
+            cols = df.columns
+            dv = (
+                self.spark.read.schema(self._DV_SCHEMA)
+                .parquet(*[os.path.join(self.path, d) for d in dv_files])
+                .filter(F.col("__dv_file").isin(files))
+            )
+            df = (
+                self._with_position(df)
+                .join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+                .select(*cols)
+            )
+        return df
 
     def merge_delete_insert(
         self,
@@ -655,7 +865,12 @@ class ManifestTable:
         keep = vs[-keep_versions:]
         live: set[str] = set()
         for v in keep:
-            live.update(self._read_manifest(v)["files"])
+            mk = self._read_manifest(v)
+            live.update(mk["files"])
+            # deletion-vector parquet referenced by kept snapshots is as
+            # live as the data files it addresses
+            for lst in mk.get("dv", {}).values():
+                live.update(lst)
         removed = 0
         for root, _dirs, files in os.walk(self.path):
             if os.path.basename(root) == "_manifests":

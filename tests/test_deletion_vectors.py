@@ -1,0 +1,178 @@
+"""Deletion vectors on ManifestTable: DELETE WHERE without data-file
+rewrites, read-side application, time travel/restore semantics, OPTIMIZE
+fold-in, vacuum protection, and conflict detection."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from ecommerce_analytics_platform_spark.sources.manifest import (
+    ConcurrentWriteConflict,
+    ManifestTable,
+)
+
+
+def _mk(spark, path, n=20, parts=False):
+    t = ManifestTable(spark, str(path))
+    df = spark.createDataFrame(
+        [(i, f"u{i % 5}", f"d{i % 3}") for i in range(n)], ["k", "user", "d"]
+    )
+    t.overwrite(df, partition_by=["d"] if parts else None)
+    return t
+
+
+def _manifest(path, v):
+    return json.load(open(os.path.join(str(path), "_manifests", f"v{v}.json")))
+
+
+def test_delete_where_is_logical_not_physical(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    m1 = _manifest(tmp_path / "t", 1)
+    v = t.delete_where("user = 'u0'")
+    assert v == 2
+    m2 = _manifest(tmp_path / "t", 2)
+    # no data file rewritten: identical file list, only the dv map is new
+    assert m1["files"] == m2["files"]
+    assert set(m2["dv"]) <= set(m2["files"]) and m2["dv"]
+    got = {r.k for r in t.read().collect()}
+    assert got == {i for i in range(20) if i % 5 != 0}
+
+
+def test_deletes_accumulate_and_stay_minimal(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.delete_where("user = 'u0'")
+    n_dv1 = t.deleted_positions().count()
+    t.delete_where("user = 'u1'")
+    assert {r.k for r in t.read().collect()} == {
+        i for i in range(20) if i % 5 not in (0, 1)
+    }
+    # re-deleting already-deleted rows adds NOTHING (live-rows contract)
+    v_before = t.latest_version()
+    assert t.delete_where("user = 'u0'") == v_before
+    assert t.deleted_positions().count() == n_dv1 + t.read(version=2).filter(
+        "user = 'u1'"
+    ).count()
+
+
+def test_delete_where_txn_exactly_once(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    v = t.delete_where("k = 7", txn_id="del-7")
+    assert t.delete_where("k = 7", txn_id="del-7") == v  # redelivery no-op
+    assert t.read().filter("k = 7").count() == 0
+    # a no-match delete with a txn id still records it
+    v2 = t.delete_where("k = 777", txn_id="del-777")
+    assert t.delete_where("k = 777", txn_id="del-777") == v2
+
+
+def test_time_travel_and_restore_cross_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.delete_where("user = 'u0'")
+    assert t.read(version=1).count() == 20  # pre-delete snapshot intact
+    assert t.read(version=2).count() == 16
+    t.restore(1)
+    assert t.read().count() == 20  # resurrection via restore
+    t.restore(2)
+    assert t.read().count() == 16  # and the deletion state restores too
+
+
+def test_append_carries_deletes_forward(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.delete_where("k < 5")
+    extra = spark.createDataFrame([(100, "u0", "d0")], ["k", "user", "d"])
+    t.append(extra)
+    got = {r.k for r in t.read().collect()}
+    assert got == set(range(5, 20)) | {100}
+
+
+def test_replace_partitions_drops_only_its_dv(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", parts=True)
+    t.delete_where("k IN (0, 1)")  # k=0 -> d0, k=1 -> d1
+    assert t.read().count() == 18
+    # rewrite partition d1 from the LIVE read (deletes materialized there)
+    d1 = t.read().filter("d = 'd1'")
+    t.replace_partitions(d1, ["d"])
+    m = _manifest(tmp_path / "t", t.latest_version())
+    assert all("d=d1" not in f for f in m.get("dv", {}))  # d1 dv dropped
+    assert any("d=d0" in f for f in m.get("dv", {}))  # d0 dv survives
+    assert {r.k for r in t.read().collect()} == set(range(2, 20))
+
+
+def test_materialize_deletes_folds_dv_into_files(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", parts=True)
+    t.delete_where("user = 'u2'")
+    before = {r.k for r in t.read().collect()}
+    t.materialize_deletes()
+    m = _manifest(tmp_path / "t", t.latest_version())
+    assert "dv" not in m or not m["dv"]
+    assert {r.k for r in t.read().collect()} == before
+    # rewritten files landed back in their hive partition dirs
+    assert all("d=" in f for f in m["files"])
+    # physical rows now equal logical rows
+    assert t.read(apply_deletes=False).count() == len(before)
+
+
+def test_vacuum_protects_referenced_dv_then_reclaims(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.delete_where("user = 'u3'")
+    t.vacuum(keep_versions=1)
+    # dv parquet referenced by the kept snapshot survives vacuum
+    assert {r.k for r in t.read().collect()} == {
+        i for i in range(20) if i % 5 != 3
+    }
+    t.materialize_deletes()
+    t.vacuum(keep_versions=1)
+    # nothing references the dv files now -> reclaimed
+    dv_left = glob.glob(str(tmp_path / "t" / "_dv" / "**" / "*.parquet"),
+                        recursive=True)
+    assert dv_left == []
+    assert t.read().count() == 16
+
+
+def test_delete_where_partition_values_prunes_scan(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", parts=True)
+    t.delete_where("k = 3", partition_values={"d": ["d0"]})
+    assert t.read().filter("k = 3").count() == 0
+    assert t.read().count() == 19
+
+
+def test_delete_conflict_when_touched_file_rewritten(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    rival = ManifestTable(spark, str(tmp_path / "t"))
+    orig_publish = t._publish
+
+    def racing_publish(apply_fn):
+        # a compaction rewrites every data file between this delete's
+        # address computation and its commit -> addresses are stale
+        snap = rival.read()
+        rival.replace_files(list(_manifest(tmp_path / "t", 1)["files"]), snap)
+        return orig_publish(apply_fn)
+
+    t._publish = racing_publish
+    with pytest.raises(ConcurrentWriteConflict):
+        t.delete_where("k = 0")
+
+
+def test_two_sequential_deletes_union_on_same_file(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(i, "x") for i in range(10)], ["k", "v"])
+    t.overwrite(df.coalesce(1))  # one data file -> both deletes touch it
+    t.delete_where("k = 1")
+    t.delete_where("k = 2")
+    m = _manifest(tmp_path / "t", t.latest_version())
+    (f,) = [f for f in m["dv"]]
+    assert len(m["dv"][f]) >= 2  # both dv files listed for the one data file
+    assert {r.k for r in t.read().collect()} == set(range(10)) - {1, 2}
+
+
+def test_merge_after_delete_respects_deletions(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", parts=True)
+    t.delete_where("k = 6")  # k=6 -> d0
+    batch = spark.createDataFrame([(9, "u9", "d0")], ["k", "user", "d"])
+    t.merge_delete_insert(batch, unique_key=["k"], partition_by=["d"])
+    got = {r.k for r in t.read().filter("d = 'd0'").collect()}
+    assert 6 not in got and 9 in got
+    assert {r.user for r in t.read().filter("k = 9").collect()} == {"u9"}
