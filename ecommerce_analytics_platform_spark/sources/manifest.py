@@ -72,6 +72,11 @@ class ManifestTable:
         self.spark = spark
         self.path = os.path.abspath(path)
         self.manifest_dir = os.path.join(self.path, "_manifests")
+        # stats staged by _write_files for files not yet published
+        # (consumed + pruned by _publish); config override for the
+        # set_stats_columns commit
+        self._staged_stats: dict[str, dict] = {}
+        self._pending_stats_columns = self._UNSET
 
     # -- log ---------------------------------------------------------------
 
@@ -147,6 +152,19 @@ class ManifestTable:
                     for f, lst in (m.get("dv", {}) if m else {}).items()
                     if f in fileset
                 }
+            # per-file column stats: carry forward for surviving files,
+            # merge in whatever this commit collected for its new files
+            # (self._staged_stats, set by _write_files); stats_columns
+            # config carries forward unchanged
+            fileset = set(files)
+            stats = {
+                f: s
+                for f, s in (m.get("stats", {}) if m else {}).items()
+                if f in fileset
+            }
+            stats.update(
+                {f: s for f, s in self._staged_stats.items() if f in fileset}
+            )
             import time
 
             doc = {
@@ -168,6 +186,17 @@ class ManifestTable:
                 # are logically deleted (applied at read; materialized by
                 # materialize_deletes)
                 doc["dv"] = {f: sorted(set(lst)) for f, lst in dv.items()}
+            if stats:
+                # per-file column min/max: manifest-level data skipping
+                # (read(stats_predicates=...)) with no parquet footer I/O
+                doc["stats"] = stats
+            sc = (
+                self._pending_stats_columns
+                if self._pending_stats_columns is not self._UNSET
+                else (m.get("stats_columns") if m else None)
+            )
+            if sc:
+                doc["stats_columns"] = sc
             tmp = os.path.join(self.manifest_dir, f"{uuid.uuid4().hex}.tmp")
             with open(tmp, "w") as f:
                 f.write(json.dumps(doc, indent=1))
@@ -176,6 +205,9 @@ class ManifestTable:
                 # atomic publish; fails iff a concurrent writer took the slot
                 os.link(tmp, target)
                 os.unlink(tmp)
+                for f in list(self._staged_stats):
+                    if f in fileset:
+                        del self._staged_stats[f]
                 return (base or 0) + 1
             except FileExistsError:
                 os.unlink(tmp)  # lost the race → rebase on the new latest
@@ -229,7 +261,127 @@ class ManifestTable:
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
+        cols = [
+            c for c in (self.stats_columns() or []) if c in df.columns
+        ]
+        if cols and out:
+            self._staged_stats.update(self._collect_stats(out, cols))
         return out
+
+    # -- per-file column stats (manifest-level data skipping) ---------------
+
+    def stats_columns(self, version: int | None = None) -> list[str]:
+        """Columns this table collects per-file min/max for (set via
+        :meth:`set_stats_columns`; empty for tables that never opted in)."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            return (
+                []
+                if self._pending_stats_columns is self._UNSET
+                else list(self._pending_stats_columns or [])
+            )
+        return list(self._read_manifest(v).get("stats_columns", []))
+
+    def set_stats_columns(self, cols: list[str] | None) -> int:
+        """Table-config commit: collect per-file min/max for ``cols`` on
+        every subsequent write (Delta's ``dataSkippingStatsColumns``).
+        Existing files keep no stats and are conservatively included by
+        pruning; rewrite them (compaction / ``write_zordered`` ingest) to
+        backfill. ``None``/``[]`` turns collection off (existing stats
+        remain usable)."""
+        self._pending_stats_columns = list(cols) if cols else None
+        try:
+            return self._publish(
+                lambda _b, m: (list(m["files"]) if m else [], self._base_txns(m))
+            )
+        finally:
+            self._pending_stats_columns = self._UNSET
+
+    @staticmethod
+    def _stat_value(v):
+        """JSON-safe, order-preserving canonical form: numbers stay
+        numbers; dates/timestamps become ISO strings (lexicographic order
+        == chronological order); everything else stringifies."""
+        import datetime as _dt
+
+        if v is None or isinstance(v, (int, float, str, bool)):
+            return v
+        if isinstance(v, _dt.datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return str(v)
+
+    def _collect_stats(self, rel_files: list[str], cols: list[str]) -> dict:
+        """One Spark scan of the NEWLY WRITTEN files (bounded by commit
+        size, never table size) → ``{file: {col: [min, max]}}``."""
+        df = self.spark.read.option("basePath", self.path).parquet(
+            *[os.path.join(self.path, f) for f in rel_files]
+        )
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            return {}
+        agg = df.groupBy(self._rel_file_col().alias("__f")).agg(
+            *[F.min(c).alias(f"__mn_{c}") for c in present],
+            *[F.max(c).alias(f"__mx_{c}") for c in present],
+        )
+        out: dict[str, dict] = {}
+        for r in agg.collect():
+            out[r["__f"]] = {
+                c: [
+                    self._stat_value(r[f"__mn_{c}"]),
+                    self._stat_value(r[f"__mx_{c}"]),
+                ]
+                for c in present
+            }
+        return out
+
+    @classmethod
+    def _prune_by_stats(
+        cls, files: list[str], stats: dict, predicates: list[tuple]
+    ) -> list[str]:
+        """Keep files whose [min, max] ranges CAN satisfy every predicate.
+        Files without stats for a predicate's column are kept
+        conservatively (legacy commits, all-NULL ranges). Pure function —
+        a false positive costs a scan, a false negative would lose rows,
+        so every branch defaults to keep."""
+        out = []
+        for f in files:
+            fstats = stats.get(f, {})
+            keep = True
+            for p in predicates:
+                col, op, *vals = p
+                rng = fstats.get(col)
+                if not rng or rng[0] is None or rng[1] is None:
+                    continue  # no usable stats -> conservative keep
+                mn, mx = rng
+                v = cls._stat_value(vals[0])
+                try:
+                    keep = cls._range_can_satisfy(mn, mx, op, v, vals)
+                except TypeError:
+                    keep = True  # incomparable types -> conservative keep
+                if not keep:
+                    break
+            if keep:
+                out.append(f)
+        return out
+
+    @classmethod
+    def _range_can_satisfy(cls, mn, mx, op, v, vals) -> bool:
+        if op == "=":
+            return mn <= v <= mx
+        if op == ">=":
+            return mx >= v
+        if op == ">":
+            return mx > v
+        if op == "<=":
+            return mn <= v
+        if op == "<":
+            return mn < v
+        if op == "between":
+            hi = cls._stat_value(vals[1])
+            return mx >= v and mn <= hi
+        raise ValueError(f"unknown stats predicate op {op!r}")
 
     # -- public API --------------------------------------------------------
 
@@ -678,6 +830,7 @@ class ManifestTable:
         partition_values: dict | None = None,
         keep_files: set | None = None,
         apply_deletes: bool = True,
+        stats_predicates: list[tuple] | None = None,
     ) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, read exactly its
         files. ``basePath`` makes Spark parse hive-style partition values
@@ -702,6 +855,16 @@ class ManifestTable:
         caller owns no-false-negative discipline; unknown names are
         simply ignored.
 
+        ``stats_predicates`` (``[(col, op, value)`` or ``(col,
+        "between", lo, hi)]``, op ∈ {=, <, <=, >, >=, between}) prunes by
+        the manifest's per-file column min/max (:meth:`set_stats_columns`)
+        — file skipping with ZERO parquet footer I/O, the complement to
+        hive-partition pruning for columns too fine to partition by (and
+        the payoff of ``sources/layout.py`` range/Z-order clustering:
+        tight per-file ranges). Files without stats are conservatively
+        included, and pruning is an OPTIMIZATION, not a filter — apply
+        the real ``.filter`` to the returned frame as usual.
+
         ``apply_deletes``: rows addressed by the snapshot's deletion
         vectors (:meth:`delete_where`) are excluded via an anti-join on
         (file, row_index) — restricted to the DV files of the data files
@@ -724,6 +887,10 @@ class ManifestTable:
             files = self._prune_by_partition_values(files, partition_values)
         if keep_files is not None:
             files = [f for f in files if f in keep_files]
+        if stats_predicates:
+            files = self._prune_by_stats(
+                files, m.get("stats", {}), stats_predicates
+            )
         if not files:
             # empty result with the snapshot's declared columns (incl.
             # the partition columns, which live in paths, not footers)

@@ -1,0 +1,129 @@
+"""Manifest-level per-file column min/max stats + read-side file skipping
+(`set_stats_columns` / `read(stats_predicates=...)`)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+
+def _manifest(path, v):
+    return json.load(open(os.path.join(str(path), "_manifests", f"v{v}.json")))
+
+
+def _clustered(spark, n=1000, parts=4):
+    # disjoint k-ranges per file: the layout stats skipping pays off on
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("v"),
+            F.date_add(F.lit("2026-01-01"), (F.col("id") / 100).cast("int")).alias("d"),
+        )
+        .repartitionByRange(parts, "k")
+        .sortWithinPartitions("k")
+    )
+
+
+def test_stats_collected_and_prune_file_list(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k", "d"])
+    t.overwrite(_clustered(spark))
+    m = _manifest(tmp_path / "t", t.latest_version())
+    assert set(m["stats"]) == set(m["files"]) and m["stats_columns"] == ["k", "d"]
+    full = t.read()
+    pruned = t.read(stats_predicates=[("k", "between", 10, 20)])
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = {r.k for r in pruned.filter("k between 10 and 20").collect()}
+    assert got == set(range(10, 21))
+    # point lookup prunes to a single file
+    one = t.read(stats_predicates=[("k", "=", 999)])
+    assert len(one.inputFiles()) == 1
+    assert one.filter("k = 999").count() == 1
+
+
+def test_date_stats_prune_chronologically(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["d"])
+    t.overwrite(_clustered(spark))
+    pruned = t.read(
+        stats_predicates=[("d", ">=", dt.date(2026, 1, 9))]
+    )
+    assert len(pruned.inputFiles()) < 4
+    assert pruned.filter("d >= '2026-01-09'").count() == 200
+
+
+def test_legacy_files_conservatively_included(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(_clustered(spark, n=100))  # no stats config yet
+    t.set_stats_columns(["k"])
+    t.append(_clustered(spark, n=100).withColumn("k", F.col("k") + 1000))
+    m = _manifest(tmp_path / "t", t.latest_version())
+    assert 0 < len(m.get("stats", {})) < len(m["files"])
+    # predicate targeting the NEW range: legacy files still included
+    # (conservative), stats-bearing files outside the range pruned
+    r = t.read(stats_predicates=[("k", ">=", 1090)])
+    legacy = {f for f in m["files"] if f not in m.get("stats", {})}
+    kept = {os.path.relpath(p.replace("file:", ""), str(tmp_path / "t"))
+            for p in r.inputFiles()}
+    assert legacy <= kept
+    assert r.filter("k >= 1090").count() == 10
+
+
+def test_stats_carry_forward_and_drop_with_files(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    df = _clustered(spark, n=200).withColumn("p", (F.col("k") / 100).cast("int"))
+    t.overwrite(df, partition_by=["p"])
+    m1 = _manifest(tmp_path / "t", t.latest_version())
+    # a delete commit (no file changes) carries stats forward verbatim
+    t.delete_where("k = 5")
+    m2 = _manifest(tmp_path / "t", t.latest_version())
+    assert m2["stats"] == m1["stats"]
+    # replacing partition p=1 drops the replaced files' stats, keeps p=0's
+    t.replace_partitions(
+        t.read().filter("p = 1").withColumn("k", F.col("k")), ["p"]
+    )
+    m3 = _manifest(tmp_path / "t", t.latest_version())
+    assert set(m3["stats"]) == set(m3["files"])  # new files re-collected
+    assert all(
+        m3["stats"][f] == m1["stats"][f]
+        for f in m3["stats"]
+        if f in m1["stats"]
+    )
+
+
+def test_prune_pure_function_semantics():
+    stats = {
+        "a": {"k": [0, 10]},
+        "b": {"k": [11, 20]},
+        "c": {},  # no stats for k
+        "d": {"k": [None, None]},  # all-NULL file
+    }
+    files = ["a", "b", "c", "d"]
+    P = ManifestTable._prune_by_stats
+    assert P(files, stats, [("k", "=", 5)]) == ["a", "c", "d"]
+    assert P(files, stats, [("k", ">", 10)]) == ["b", "c", "d"]
+    assert P(files, stats, [("k", "between", 8, 12)]) == ["a", "b", "c", "d"]
+    assert P(files, stats, [("k", "<", 0)]) == ["c", "d"]
+    # incomparable probe type -> conservative keep, not an error
+    assert P(files, stats, [("k", "=", "zzz")]) == files
+    with pytest.raises(ValueError):
+        P(files, stats, [("k", "~", 1)])
+
+
+def test_stats_and_deletion_vectors_compose(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    t.overwrite(_clustered(spark, n=400))
+    t.delete_where("k = 15")
+    r = t.read(stats_predicates=[("k", "between", 10, 20)])
+    assert len(r.inputFiles()) < 4 + 1  # pruned data files (+ dv file)
+    got = {x.k for x in r.filter("k between 10 and 20").collect()}
+    assert got == set(range(10, 21)) - {15}
