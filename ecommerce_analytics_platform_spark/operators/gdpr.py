@@ -89,12 +89,54 @@ def forget(
     }
 
 
+def forget_soft(
+    spark: SparkSession,
+    table: ManifestTable,
+    key_col: str,
+    keys: DataFrame,
+    txn_id: str | None = None,
+) -> dict:
+    """Two-phase erasure, phase 1: INSTANT logical erasure via deletion
+    vectors — ``delete_where`` writes the matching rows' physical
+    addresses (KBs) instead of rewriting data files, so every read from
+    commit time on excludes the subject's rows, at O(matching rows) cost.
+    Phase 2 (``materialize_deletes`` + ``vacuum``, run on the compaction
+    cadence) makes the removal physical; ``assert_forgotten`` is the
+    audit that proves it. This is the Delta/Iceberg DV erasure pattern:
+    compliance reads immediately, byte deletion amortized into
+    maintenance.
+
+    Returns {"rows_deleted": n, "version": v}.
+    """
+    vals = [r[0] for r in keys.select(keys.columns[0]).distinct().collect()]
+    before = table.read().count()
+    version = table.delete_where(F.col(key_col).isin(vals), txn_id=txn_id)
+    return {
+        "rows_deleted": before - table.read(version=version).count(),
+        "version": version,
+    }
+
+
+def forget_hard(spark: SparkSession, table: ManifestTable) -> dict:
+    """Two-phase erasure, phase 2: fold every deletion vector into
+    rewritten data files and vacuum — after this the forgotten bytes are
+    physically unreachable AND deleted (``assert_forgotten`` passes)."""
+    version = table.materialize_deletes()
+    table.vacuum(keep_versions=1)
+    return {"version": version}
+
+
 def assert_forgotten(spark: SparkSession, table_path: str, key_col: str, keys: list) -> bool:
     """Audit: read EVERY parquet file physically present under the table
     directory (not via the manifest) and verify none contains a target
-    key — the 'bytes are gone' check an erasure audit actually runs."""
+    key — the 'bytes are gone' check an erasure audit actually runs.
+    Deletion-vector files (``_dv/``) hold physical row ADDRESSES, never
+    column data, so they are excluded from the column scan."""
     data_files = []
     for root, _dirs, names in os.walk(table_path):
+        rel = os.path.relpath(root, table_path)
+        if rel == "_dv" or rel.startswith("_dv" + os.sep):
+            continue
         data_files += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
     if not data_files:
         return True

@@ -176,3 +176,26 @@ def test_merge_after_delete_respects_deletions(spark, tmp_path):
     got = {r.k for r in t.read().filter("d = 'd0'").collect()}
     assert 6 not in got and 9 in got
     assert {r.user for r in t.read().filter("k = 9").collect()} == {"u9"}
+
+
+def test_two_phase_gdpr_erasure(spark, tmp_path):
+    from ecommerce_analytics_platform_spark.operators.gdpr import (
+        assert_forgotten,
+        forget_hard,
+        forget_soft,
+    )
+
+    t = _mk(spark, tmp_path / "t", parts=True)
+    keys = spark.createDataFrame([("u1",)], ["user"])
+    out = forget_soft(spark, t, "user", keys, txn_id="erasure-42")
+    assert out["rows_deleted"] == 4
+    assert t.read().filter("user = 'u1'").count() == 0  # instant logical
+    # redelivered erasure request is a no-op
+    assert forget_soft(spark, t, "user", keys, txn_id="erasure-42")[
+        "rows_deleted"
+    ] == 0
+    # bytes still physically present until phase 2
+    assert not assert_forgotten(spark, str(tmp_path / "t"), "user", ["u1"])
+    forget_hard(spark, t)
+    assert assert_forgotten(spark, str(tmp_path / "t"), "user", ["u1"])
+    assert t.read().count() == 16
