@@ -1005,6 +1005,83 @@ class ManifestTable:
                 last_conflict = e  # stale read → re-derive on the new snapshot
         raise last_conflict or ConcurrentWriteConflict("merge retries exhausted")
 
+    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+        """Change Data Feed: the ROW-LEVEL difference between two
+        committed snapshots as a DataFrame of the table's columns plus
+        ``_change_type`` ∈ {'insert', 'delete'} (an update surfaces as
+        delete(old row) + insert(new row), Delta CDF's
+        preimage/postimage pair).
+
+        Cost is bounded by the CHANGED files, never table size: files
+        present in both snapshots contribute nothing (immutable files ⇒
+        identical rows cancel by construction) except where their
+        deletion vectors differ — those contribute exactly the
+        newly-deleted / resurrected positions. Added-vs-removed file rows
+        go through a multiset difference (``exceptAll``), so a rewrite
+        that preserves rows — compaction, Z-order clustering, DV
+        materialization — nets to ZERO changes without any
+        ``dataChange=false`` commit flag: change-freeness is PROVED from
+        the data, not asserted by the writer.
+
+        Schema evolution between the versions is handled by aligning the
+        older side to the union schema (added columns back-fill NULL,
+        exactly what a reader of the old snapshot would see today)."""
+        if not v_from <= v_to:
+            raise ValueError("v_from must be <= v_to")
+        m1, m2 = self._read_manifest(v_from), self._read_manifest(v_to)
+        f1, f2 = set(m1["files"]), set(m2["files"])
+        added, removed, common = f2 - f1, f1 - f2, f1 & f2
+
+        union = evolve_schema(
+            self.declared_schema(v_from) or self.read(version=v_from).schema,
+            self.declared_schema(v_to) or self.read(version=v_to).schema,
+        )
+
+        def aligned(df: DataFrame) -> DataFrame:
+            return align_to_schema(df, union)
+
+        ins_raw = aligned(self.read(version=v_to, keep_files=added))
+        del_raw = aligned(self.read(version=v_from, keep_files=removed))
+        inserts = ins_raw.exceptAll(del_raw)
+        deletes = del_raw.exceptAll(ins_raw)
+
+        # common files: only deletion-vector deltas matter
+        def _dv_pos(m: dict) -> DataFrame:
+            lst = sorted(
+                {d for f in common for d in m.get("dv", {}).get(f, [])}
+            )
+            if not lst:
+                return self.spark.createDataFrame([], self._DV_SCHEMA)
+            return (
+                self.spark.read.schema(self._DV_SCHEMA)
+                .parquet(*[os.path.join(self.path, d) for d in lst])
+                .filter(F.col("__dv_file").isin(list(common)))
+                .distinct()
+            )
+
+        if common and (m1.get("dv") or m2.get("dv")):
+            pos1, pos2 = _dv_pos(m1), _dv_pos(m2)
+            newly_deleted = pos2.subtract(pos1)
+            resurrected = pos1.subtract(pos2)
+            raw = self._with_position(
+                self.read(version=v_to, keep_files=common, apply_deletes=False)
+            )
+            cols = [c for c in raw.columns if c not in ("__dv_file", "__dv_pos")]
+            dv_del = aligned(
+                raw.join(newly_deleted, ["__dv_file", "__dv_pos"], "left_semi")
+                .select(*cols)
+            )
+            dv_ins = aligned(
+                raw.join(resurrected, ["__dv_file", "__dv_pos"], "left_semi")
+                .select(*cols)
+            )
+            deletes = deletes.unionByName(dv_del)
+            inserts = inserts.unionByName(dv_ins)
+
+        return inserts.withColumn(
+            "_change_type", F.lit("insert")
+        ).unionByName(deletes.withColumn("_change_type", F.lit("delete")))
+
     def vacuum(self, keep_versions: int = 1, tmp_grace_sec: float = 3600.0) -> int:
         """Delete data files unreferenced by the newest ``keep_versions``
         manifests (and drop older manifests). Returns files removed.
