@@ -357,3 +357,31 @@ def test_r7_query_plan_shapes(spark):
     assert be.count("Join") >= 1
     assert "aggregate(" in be  # the fold
     # occurrences never shuffle their text: the join key is the word
+
+
+def test_r9_query_plan_shapes(spark):
+    """The r9 additions keep the physical shapes their docstrings claim:
+    gopher_quality is scan-local (zero exchanges, zero joins — pure
+    per-row array expressions); hamming_neardup and edit_distance_join
+    build candidates with EQUI-joins only (never a cartesian /
+    broadcast-nested-loop product) and read only the columns they use."""
+    from ecommerce_analytics_platform_spark.plans.testdata_queries import (
+        q_edit_distance_join,
+        q_gopher_quality,
+        q_hamming_neardup,
+    )
+
+    gq = plan_of(q_gopher_quality(spark, SF_DIR))
+    assert "Join" not in gq
+    assert gq.count(") Scan parquet") == 1
+    # fan_out's round-robin spread is the only exchange
+    assert gq.count(") Exchange") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in gq
+
+    hn = plan_of(q_hamming_neardup(spark, SF_DIR))
+    assert "NestedLoop" not in hn and "Cartesian" not in hn
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in hn
+
+    ed = plan_of(q_edit_distance_join(spark, SF_DIR))
+    assert "NestedLoop" not in ed and "Cartesian" not in ed
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in ed
