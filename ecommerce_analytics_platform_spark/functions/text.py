@@ -346,6 +346,35 @@ def simhash64(text: Column | str, bits: int = 16) -> Column:
     )
 
 
+def simhash_by_agg(df, id_col: str, text_col: str, bits: int = 48):
+    """Relation-level SimHash: explode tokens, ONE flat aggregate per doc
+    (count + per-bit ones-sums; bit b set iff ``2*ones_b > n`` — exactly
+    the fold's ``±1 sum > 0``). Bit-identical to :func:`simhash64` (tie
+    semantics included; equality verified at 48 bits over the corpus) but
+    ~2× faster at wide ``bits``: 48 independent SUM aggregates stay in
+    whole-stage codegen with map-side partial aggregation, where the
+    fold's 48-field struct accumulator is one giant per-token expression.
+    Costs one exchange on ``id_col`` (the fold is scan-local) — the right
+    trade for wide signatures; prefer :func:`simhash64` for narrow ones.
+
+    Returns ``(id_col, sig)``. Docs with zero tokens produce no row (the
+    same docs :func:`simhash64` callers filter out)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    ).select(id_col, portable_hash60(F.col("__w")).alias("__h"))
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1))).alias(f"__s{b}")
+        for b in range(bits)
+    ]
+    g = tok.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"__s{b}") * 2 > F.col("__n"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    return g.select(id_col, sig.alias("sig"))
+
+
 def with_materialized(df, col: Column, name: str):
     """Materialize an expensive expression exactly once per row.
 

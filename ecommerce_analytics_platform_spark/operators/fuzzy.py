@@ -101,6 +101,14 @@ def hamming_neardup_pairs(
     member = sigs.select(
         F.col(id_col).alias("__id"), sig.alias("__sig"), bb
     ).select("__id", "__sig", "bb.band", "bb.val")
+    # persisted: both sides of the self-join consume it, and the upstream
+    # signature computation (a per-token aggregate) is the expensive part
+    # — without the cache it runs twice. Lifetime: session pin registry
+    # (released on the next registry-query entry), as in dedup.py.
+    from ecommerce_analytics_platform_spark.session import pin
+
+    member = member.persist()
+    pin(member)
     if max_bucket is not None:
         sizes = member.groupBy("band", "val").agg(F.count(F.lit(1)).alias("__n"))
         member = member.join(

@@ -6718,16 +6718,15 @@ def q_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside MinHash-LSH banding (Jaccard) and PPJoin prefixes (exact
     sets). The twin replays the signature, the band explode, the
     candidate join and the popcount verify — full hash-match."""
+    from ecommerce_analytics_platform_spark.functions.text import simhash_by_agg
     from ecommerce_analytics_platform_spark.operators.fuzzy import (
         hamming_neardup_pairs,
     )
 
-    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text")).filter(
-        F.size(tokens(F.col("text"))) > 0
-    )
-    sigs = docs.select(
-        "doc_id", simhash64(F.col("text"), bits=_HAM_BITS).alias("sig")
-    )
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # flat-aggregate signature (bit-identical to simhash64, ~2x faster at
+    # 48 bits); zero-token docs drop out of the aggregate naturally
+    sigs = simhash_by_agg(docs, "doc_id", "text", bits=_HAM_BITS)
     return hamming_neardup_pairs(sigs, "doc_id", "sig", _HAM_BITS, _HAM_D)
 
 
