@@ -6821,6 +6821,99 @@ SELECT id_a, id_b, dist FROM short_pairs
 """
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the basket-pair support counts (the
+    Agrawal/Srikant support-confidence-lift framework): every directed
+    rule ante → cons from the undirected pair relation, with
+    support = pair_n / n_baskets, confidence = pair_n / ante_n,
+    lift = (pair_n · n_baskets) / (ante_n · cons_n). All three are
+    single divisions of exact BIGINTs (products stay < 2^63), so the
+    doubles are bit-identical cross-engine. Scale shape: inherits
+    basket_pairs' one-wide-shuffle plan; the rule derivation is pure
+    arithmetic on the catalog-sized pair relation."""
+    from ecommerce_analytics_platform_spark.operators.analytics import basket_pairs
+
+    bp = basket_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=2, max_basket=100,
+    )
+
+    def rules(ante, cons, ante_n, cons_n):
+        return bp.select(
+            F.col(ante).alias("ante"),
+            F.col(cons).alias("cons"),
+            "pair_n",
+            (F.col("pair_n") / F.col("n_baskets")).alias("support"),
+            (F.col("pair_n") / F.col(ante_n)).alias("confidence"),
+            (
+                (F.col("pair_n") * F.col("n_baskets"))
+                / (F.col(ante_n) * F.col(cons_n))
+            ).alias("lift"),
+        )
+
+    return rules("item_a", "item_b", "a_n", "b_n").unionByName(
+        rules("item_b", "item_a", "b_n", "a_n")
+    )
+
+
+SQL_ASSOC_RULES = (
+    "WITH bp AS (" + SQL_BASKET_PAIRS + """)
+SELECT item_a AS ante, item_b AS cons, pair_n,
+       pair_n / n_baskets AS support,
+       pair_n / a_n AS confidence,
+       (pair_n * n_baskets) / (a_n * b_n) AS lift
+FROM bp
+UNION ALL
+SELECT item_b AS ante, item_a AS cons, pair_n,
+       pair_n / n_baskets AS support,
+       pair_n / b_n AS confidence,
+       (pair_n * n_baskets) / (b_n * a_n) AS lift
+FROM bp
+"""
+)
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (BPE tokens per word under the
+    trained merges) — the routine tokenizer-evaluation report a
+    pretraining pipeline runs per corpus slice: a language whose
+    fertility balloons is under-served by the merge table and gets its
+    sampling weight or vocab budget revisited. Composition: the memoized
+    bpe_encode per-doc relation joined to each doc's language, exact
+    BIGINT sums, one int/int double division."""
+    from ecommerce_analytics_platform_spark.operators.bpe import bpe_segment
+
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
+    merges = _bpe_trained_merges(spark, sf_dir)
+    enc = bpe_segment(docs.select("doc_id", "text"), merges, "text", "doc_id")
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.sum("words").alias("words"),
+        )
+        .select(
+            "lang",
+            "bpe_tokens",
+            "words",
+            (F.col("bpe_tokens") / F.col("words")).alias("fertility"),
+        )
+    )
+
+
+SQL_BPE_FERTILITY = (
+    "WITH enc AS (" + SQL_BPE_ENCODE + """)
+SELECT d.lang,
+       CAST(sum(enc.bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(sum(enc.words) AS BIGINT) AS words,
+       sum(enc.bpe_tokens) / sum(enc.words) AS fertility
+FROM enc JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1),
     the rule family pretraining pipelines run BEFORE dedup: word count,
@@ -7104,6 +7197,8 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "hamming_neardup": (q_hamming_neardup, _hamming_neardup_sql()),
     "edit_distance_join": (q_edit_distance_join, _edit_distance_join_sql()),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "assoc_rules": (q_assoc_rules, SQL_ASSOC_RULES),
+    "bpe_fertility": (q_bpe_fertility, SQL_BPE_FERTILITY),
 }
 
 # ---------------------------------------------------------------------------
@@ -7141,6 +7236,7 @@ _DRIVER_WINDOW = [
     # (sketch family, sampling family, codec pair, LM pair, r6 stalwarts)
     # — all still verified every round by scripts/check_parity.py.
     "hamming_neardup", "edit_distance_join", "gopher_quality",
+    "assoc_rules", "bpe_fertility",
     # kept (1 sampled round): r8 first-timer block
     "entity_clusters", "cluster_keepers",
     "unigram_token_count", "bigram_logprob",
@@ -7158,8 +7254,7 @@ _DRIVER_WINDOW = [
     "tfidf_topk", "token_zipf", "repetition_ratio", "pii_scrub",
     "lang_balanced_sample", "stratified_sample", "train_val_split",
     "weighted_sample", "source_mix", "random_projection",
-    "interval_merge", "ewma_features", "fuzzy_pairs", "incremental_dedup",
-    "sliding_window_rollup",
+    "interval_merge", "ewma_features", "fuzzy_pairs",
 ]
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
