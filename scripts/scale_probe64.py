@@ -409,6 +409,129 @@ def skew_probes(spark) -> dict[str, float]:
     return out
 
 
+def r9_probes(spark, sf_dir: str) -> None:
+    """r9 surface probes.
+
+    - hamming_neardup / edit_distance_join at 1x vs 64x (complete-filter
+      fuzzy joins; the amplification preserves within-replica match
+      structure and forbids cross-replica matches — edit-join replicas get
+      a doubled-char prefix c1c1c2c2, pairwise ed >= 2 > threshold, so
+      output grows exactly 64x).
+    - deletion vectors vs physical rewrite for a spread-out erasure at
+      64x (the DV pitch quantified).
+    - IVF index search at 1x vs 64x corpus with lists scaled to keep list
+      size constant: probed volume — hence search wall — should stay
+      ~flat while the index grows 64x.
+    """
+    import shutil
+
+    from ecommerce_analytics_platform_spark.operators.fuzzy import (
+        edit_similarity_join,
+        hamming_neardup_pairs,
+    )
+    from ecommerce_analytics_platform_spark.functions.text import simhash_by_agg
+    from ecommerce_analytics_platform_spark.operators.gdpr import forget, forget_soft
+    from ecommerce_analytics_platform_spark.session import release_pinned
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+    from ecommerce_analytics_platform_spark.streaming.annindex import (
+        ann_index_search,
+        process_ann_batch,
+        train_quantizer,
+    )
+
+    # 64x customer with cross-replica edit distance >= 2 (prefix c1c1c2c2)
+    cust_path = os.path.join(OUT_DIR, "customer.parquet")
+    if not os.path.isdir(cust_path):
+        cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+        rep = cust.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("__r")
+        )
+        c1 = F.chr(F.lit(65) + (F.col("__r") / 8).cast("int"))
+        c2 = F.chr(F.lit(65) + F.pmod(F.col("__r"), F.lit(8)))
+        rep = rep.select(
+            (F.col("c_custkey") + F.col("__r").cast("long") * F.lit(100_000_000)).alias("c_custkey"),
+            F.concat(c1, c1, c2, c2, F.col("c_name")).alias("c_name"),
+        )
+        rep.repartition(32).write.mode("overwrite").parquet(cust_path)
+        print(f"built {cust_path}", flush=True)
+
+    rows: list[tuple[str, float, float]] = []
+
+    def fuzzy_probe(d, use_out):
+        docs = fan_out(
+            (spark.read.parquet(os.path.join(OUT_DIR, "documents.parquet"))
+             if use_out else _t(spark, d, "documents")).select("doc_id", "text")
+        )
+        sigs = simhash_by_agg(docs, "doc_id", "text", bits=48)
+        ham = lambda: hamming_neardup_pairs(sigs, "doc_id", "sig", 48, 3)  # noqa: E731
+        cust = (
+            spark.read.parquet(cust_path)
+            if use_out else _t(spark, d, "customer").select("c_custkey", "c_name")
+        )
+        edj = lambda: edit_similarity_join(cust, "c_custkey", "c_name", 1, q=4)  # noqa: E731
+        return [("hamming_neardup", ham), ("edit_distance_join", edj)]
+
+    res: dict[str, list[float]] = {}
+    for scale, d, use_out in ((1, sf_dir, False), (COPIES, OUT_DIR, True)):
+        for name, build in fuzzy_probe(d, use_out):
+            dt = timed(build, runs=2 if scale == 1 else 1)
+            res.setdefault(name, []).append(dt)
+            print(f"{scale}x {name}: {dt:.2f}s", flush=True)
+            spark.catalog.clearCache()
+            release_pinned()
+
+    # DV vs physical rewrite at 64x: erase one base user's events (spread
+    # across every file by the row layout)
+    ev = spark.read.parquet(os.path.join(OUT_DIR, "events.parquet"))
+    for mode in ("dv", "rewrite"):
+        p = os.path.join(OUT_DIR, f"_erase_{mode}")
+        shutil.rmtree(p, ignore_errors=True)
+        t = ManifestTable(spark, p)
+        t.overwrite(ev.repartition(64))
+        keys = spark.createDataFrame([(7,)], ["user_id"])
+        t0 = time.perf_counter()
+        if mode == "dv":
+            out = forget_soft(spark, t, "user_id", keys)
+        else:
+            out = forget(spark, t, "user_id", keys, vacuum=False)
+        dt = time.perf_counter() - t0
+        res[f"erase_{mode}_64x"] = [dt]
+        print(f"erase {mode} 64x: {dt:.2f}s ({out})", flush=True)
+
+    # IVF search: list size held constant (n_lists scales with corpus) ->
+    # probed volume per query is scale-free
+    for scale, src, n_lists in (
+        (1, _t(spark, sf_dir, "embeddings"), 16),
+        (COPIES, spark.read.parquet(os.path.join(OUT_DIR, "embeddings.parquet")), 16 * COPIES),
+    ):
+        emb = src.select("vec_id", "embedding")
+        cents = train_quantizer(emb, "vec_id", "embedding", n_lists=n_lists, kmeans_iters=3)
+        p = os.path.join(OUT_DIR, f"_annidx_{scale}")
+        shutil.rmtree(p, ignore_errors=True)
+        idx = ManifestTable(spark, p)
+        t0 = time.perf_counter()
+        process_ann_batch(spark, emb, idx, cents, "vec_id", "embedding", txn_id="b0")
+        ing = time.perf_counter() - t0
+        queries = emb.filter(F.col("vec_id") < 100)
+        t0 = time.perf_counter()
+        n = ann_index_search(
+            spark, idx, cents, queries, "vec_id", "embedding", k=5, n_probe=4
+        ).count()
+        srch = time.perf_counter() - t0
+        res[f"ann_ingest_{scale}x"] = [ing]
+        res[f"ann_search_{scale}x"] = [srch]
+        print(f"{scale}x ann ingest {ing:.2f}s search {srch:.2f}s ({n} rows)", flush=True)
+
+    print(f"\n| probe | 1x | {COPIES}x (disk) | ratio |")
+    print("| --- | --- | --- | --- |")
+    for name, ts in res.items():
+        if len(ts) == 2:
+            print(f"| {name} | {ts[0]:.2f} s | {ts[1]:.2f} s | {ts[1] / ts[0]:.1f}x |")
+    for name, ts in res.items():
+        if len(ts) == 1:
+            print(f"| {name} | — | {ts[0]:.2f} s | — |")
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -474,6 +597,11 @@ def main() -> None:
         for name, ts in r7.items():
             if len(ts) == 2:
                 print(f"| {name} | {ts[0]:.2f} s | {ts[1]:.2f} s | {ts[1] / ts[0]:.1f}x |")
+        spark.stop()
+        return
+
+    if "--r9-only" in sys.argv:
+        r9_probes(spark, sf_dir)
         spark.stop()
         return
 
