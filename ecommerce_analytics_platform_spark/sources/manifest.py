@@ -444,6 +444,7 @@ class ManifestTable:
         the declared schema). New columns land additively per the
         reference's ``on_schema_change: append_new_columns`` contract
         (dbt_project.yml:29); type changes raise."""
+        self._check_partition_layout(partition_by)
         df, union = self._evolved(df, on_schema_change)
         files = self._write_files(df, partition_by)
         return self._publish(
@@ -533,6 +534,7 @@ class ManifestTable:
         rebases, re-checks, and finds the id already committed → no-op.
         (The files it staged become unreferenced orphans; ``vacuum``
         reclaims them.)"""
+        self._check_partition_layout(partition_by)
         staged: list[list[str]] = []
         aligned, union = self._evolved(df)
 
@@ -587,6 +589,20 @@ class ManifestTable:
             return kept + new_files, self._base_txns(m), self._rebased_schema_json(m, union)
 
         return self._publish(apply)
+
+    def _check_partition_layout(self, partition_by: list[str] | None) -> None:
+        """Appending UNPARTITIONED files into a hive-partitioned table (or
+        with a different partition spec) produces a mixed layout whose
+        basePath read silently mis-resolves the partition columns — rows
+        appear to vanish. Delta/Iceberg reject a partition-spec mismatch
+        at commit time for the same reason; so do we."""
+        existing = self.partition_columns()
+        if existing and list(partition_by or []) != existing:
+            raise ValueError(
+                f"table is hive-partitioned by {existing}; append with "
+                f"partition_by={existing} (got {partition_by!r}) — a mixed "
+                f"layout would silently corrupt partition resolution"
+            )
 
     def partition_columns(self, version: int | None = None) -> list[str]:
         """Partition columns inferred from the hive-style ``col=value/``
@@ -1004,6 +1020,57 @@ class ManifestTable:
             except ConcurrentWriteConflict as e:
                 last_conflict = e  # stale read → re-derive on the new snapshot
         raise last_conflict or ConcurrentWriteConflict("merge retries exhausted")
+
+    def clone_to(self, dest_path: str, version: int | None = None) -> "ManifestTable":
+        """CLONE TABLE at O(metadata) cost: hardlink the snapshot's data
+        and DV files into ``dest_path`` and publish a fresh v1 manifest
+        there (same file list, schema, stats, deletion vectors; a FRESH
+        txn set — the clone is a new pipeline destination, not a resumed
+        one). Hardlinks make this a DEEP clone at shallow-clone cost on
+        one filesystem: the clone owns its bytes (link count), so
+        vacuuming either table can never invalidate the other — the
+        cross-table dangling-file hazard shallow clones carry by design
+        simply doesn't exist. Parquet files are never mutated in place
+        (manifest tables write-once), so shared inodes are safe.
+
+        Classic uses: zero-cost dev/staging copies of a production table,
+        snapshot hand-off to an experiment, pre-migration backups."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed manifest under {self.path}")
+        m = self._read_manifest(v)
+        dest = ManifestTable(self.spark, dest_path)
+        if dest.latest_version() is not None:
+            raise FileExistsError(f"{dest_path} already has a committed manifest")
+        to_link = list(m["files"]) + sorted(
+            {d for lst in m.get("dv", {}).values() for d in lst}
+        )
+        for rel in to_link:
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(dest.path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                import shutil
+
+                shutil.copy2(src, dst)  # cross-device fallback
+        doc_stats = m.get("stats", {})
+        dest._staged_stats.update(doc_stats)
+        if m.get("stats_columns"):
+            dest._pending_stats_columns = list(m["stats_columns"])
+        try:
+            dest._publish(
+                lambda _b, _m: (
+                    list(m["files"]),
+                    [],
+                    m.get("schema"),
+                    {f: list(lst) for f, lst in m.get("dv", {}).items()},
+                )
+            )
+        finally:
+            dest._pending_stats_columns = dest._UNSET
+        return dest
 
     def changes_between(self, v_from: int, v_to: int) -> DataFrame:
         """Change Data Feed: the ROW-LEVEL difference between two

@@ -27,7 +27,10 @@ def _changes(t, a, b):
 
 def test_append_yields_inserts_only(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
-    t.append(spark.createDataFrame([(100, "new", "d0")], ["k", "v", "d"]))
+    t.append(
+        spark.createDataFrame([(100, "new", "d0")], ["k", "v", "d"]),
+        partition_by=["d"],
+    )
     assert _changes(t, 1, 2) == {(100, "new", "insert")}
 
 
@@ -77,7 +80,8 @@ def test_restore_resurrection_is_an_insert(spark, tmp_path):
 def test_schema_evolution_aligns_old_side(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     t.append(
-        spark.createDataFrame([(200, "x", "d0", 9.5)], ["k", "v", "d", "score"])
+        spark.createDataFrame([(200, "x", "d0", 9.5)], ["k", "v", "d", "score"]),
+        partition_by=["d"],
     )
     ch = t.changes_between(1, 2)
     assert "score" in ch.columns
@@ -90,3 +94,38 @@ def test_identity_span_is_empty(spark, tmp_path):
     assert t.changes_between(1, 1).count() == 0
     with pytest.raises(ValueError):
         t.changes_between(2, 1)
+
+
+def test_clone_is_independent_and_cheap(spark, tmp_path):
+    import os
+
+    t = _mk(spark, tmp_path / "t")
+    t.delete_where("k = 1")
+    clone = t.clone_to(str(tmp_path / "c"))
+    assert {r.k for r in clone.read().collect()} == {
+        r.k for r in t.read().collect()
+    }
+    # hardlinked, not copied: same inode for a data file
+    m = t._read_manifest(t.latest_version())
+    f = m["files"][0]
+    assert os.stat(os.path.join(t.path, f)).st_ino == os.stat(
+        os.path.join(clone.path, f)
+    ).st_ino
+    # stats/schema/dv travel; txns do NOT (fresh destination)
+    cm = clone._read_manifest(1)
+    assert cm.get("dv") and cm.get("schema") and cm.get("txns") == []
+    # divergence + vacuum on either side never breaks the other
+    clone.delete_where("k = 2")
+    extra = spark.createDataFrame([(50, "x", "d0")], ["k", "v", "d"])
+    # partition-layout guard: unpartitioned append into a hive-partitioned
+    # table is rejected (mixed layout would silently lose rows on read)
+    with pytest.raises(ValueError):
+        t.append(extra)
+    t.append(extra, partition_by=["d"])
+    t.materialize_deletes()
+    t.vacuum(keep_versions=1)
+    clone.vacuum(keep_versions=1)
+    assert {r.k for r in clone.read().collect()} == set(range(12)) - {1, 2}
+    assert 50 in {r.k for r in t.read().collect()}
+    with pytest.raises(FileExistsError):
+        t.clone_to(str(tmp_path / "c"))
