@@ -6945,18 +6945,15 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_chars = F.aggregate(
         F.col("tk"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
     )
+    from ecommerce_analytics_platform_spark.functions.text import gram_dup_stats
+
+    # O(n log n)/doc (array_sort + one run-length aggregate pass), replacing
+    # the r9 size(filter)-inside-transform shape that was O(n²) per document
+    # (VERDICT r9 "what's wrong" #4): identical outputs, survives book-length
+    # (10⁵-word) documents in a single task.
     big, tri = F.col("big"), F.col("tri")
-    top_big_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(big),
-            lambda b: F.size(F.filter(big, lambda x: x == b)),
-        )
-    )
-    dup_tri_cnt = F.size(
-        F.filter(
-            tri, lambda t: F.size(F.filter(tri, lambda x: x == t)) > 1
-        )
-    )
+    top_big_cnt = gram_dup_stats(big)["max_count"]
+    dup_tri_cnt = gram_dup_stats(tri)["dup_positions"]
     sig = (
         base.withColumn("big", F.when(n >= 2, grams(2)))
         .withColumn("tri", F.when(n >= 3, grams(3)))
@@ -7228,33 +7225,41 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 # repairs (HUGEINT family), the r7-new queries, and the r7 perf-weak
 # trio (zorder_key/salted_rollup/product_catalog) for visibility.
 _DRIVER_WINDOW = [
-    # r9 rotation: the 3 NEW queries lead; every row sampled ≤2 rounds is
-    # kept (the r8 first-timer block + the two r7-new queries); the
-    # remaining 25 slots go to NEVER-sampled queries (51 remained before
-    # this round, computed from git history of this list), prioritized by
-    # operator-family diversity. Rotated out: rows at 2-3 green rounds
-    # (sketch family, sampling family, codec pair, LM pair, r6 stalwarts)
-    # — all still verified every round by scripts/check_parity.py.
+    # r10 rotation (VERDICT r9 directive #2: exhaust the never-sampled
+    # set). Reconciled against git history this round: counting every
+    # round-final window (the commit each "round N" artifact commit sits
+    # on), exactly 25 registry queries have never been in ANY round's
+    # 50-row hard signal — the 15 reference-core/OLAP rows displaced when
+    # r5 front-loaded family representatives, plus 10 that never fit
+    # (sliding_window_rollup, event_gaps, customer_quartiles,
+    # value_histogram, incremental_dedup, late_suppliers,
+    # status_intervals, kpi_unpivot, array_setops, video_frames). ALL 25
+    # are in this window → after r10 the never-sampled count is 0.
+    # NEVER SAMPLED (25):
+    "user_lifecycle", "product_performance", "order_items_array",
+    "distinct_event_types", "json_props", "vocab_topk",
+    "time_bucket_rollup", "event_rank", "set_ops", "sales_rollup",
+    "semi_join", "percentile_stats", "top_revenue_customers",
+    "part_outlier_revenue", "profile_summary", "sliding_window_rollup",
+    "event_gaps", "customer_quartiles", "value_histogram",
+    "incremental_dedup", "late_suppliers", "status_intervals",
+    "kpi_unpivot", "array_setops", "video_frames",
+    # kept (1 sampled round): the r9-new block — gopher_quality's
+    # duplicate-gram expressions were reshaped to O(n log n) THIS round
+    # (VERDICT r9 wrong #4), so it must re-prove under the driver gate;
+    # edit_distance_join gained auto method dispatch (directive #8).
     "hamming_neardup", "edit_distance_join", "gopher_quality",
     "assoc_rules", "bpe_fertility",
-    # kept (1 sampled round): r8 first-timer block
-    "entity_clusters", "cluster_keepers",
-    "unigram_token_count", "bigram_logprob",
-    "feature_snapshot", "sketch_merge", "multi_touch", "shipping_priority",
-    "inverted_index", "decontaminate", "rfm_segments", "grouping_sets",
-    "session_windows", "gap_fill", "state_transitions", "funnel_ordered",
-    "basket_pairs", "range_frame", "sliding_uniques", "psi_drift",
-    # kept (2 sampled rounds): r7-new
-    "content_chunks", "bpe_encode",
-    # NEVER SAMPLED (25): similarity/ANN/dedup variants first, then
-    # corpus/sampling/temporal/OLAP coverage
-    "ann_int8", "neardup_clusters_star", "neardup_verified",
-    "neardup_pairs_capped", "embedding_neardup_lsh", "embedding_quantize",
-    "embedding_stats", "doc_chunks", "doc_fingerprint", "bpe_token_count",
-    "tfidf_topk", "token_zipf", "repetition_ratio", "pii_scrub",
-    "lang_balanced_sample", "stratified_sample", "train_val_split",
-    "weighted_sample", "source_mix", "random_projection",
-    "interval_merge", "ewma_features", "fuzzy_pairs",
+    # once-sampled in an OLD round only (r5-r7 era code, never re-proved
+    # since): all 17 such rows.
+    "ann_pq", "sorted_neighborhood", "span_mask", "token_budget_sample",
+    "domain_mixture", "set_sim_join", "corpus_shuffle", "scd2_history",
+    "window_frames", "image_features", "bloom_filter", "heavy_hitters",
+    "dsir_sample", "kmv_intersect", "table_stats", "robust_outliers",
+    "embedding_centroids",
+    # remaining slots: fuzzy_pairs (operators/fuzzy.py changes this
+    # round) + the r7-new pair for a 3rd green round.
+    "fuzzy_pairs", "content_chunks", "bpe_encode",
 ]
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50

@@ -1,0 +1,375 @@
+"""Change Data Feed as a replayable Structured Streaming SOURCE.
+
+VERDICT r9 missing #4: ``ManifestTable.changes_between`` (sources/manifest.py)
+gives batch version diffs, but incremental consumers (gold refreshers, index
+maintainers) had to hand-roll foreachBatch polling. This module closes the
+loop: ``spark.readStream.format("manifest_cdf").option("path", t.path)``
+streams the table's row-level deltas with **offsets = manifest versions** —
+the Spark 4 Python DataSource streaming API (same machinery as
+sources/pysource.py, but the full ``DataSourceStreamReader`` so change rows
+are produced ON EXECUTORS, one task per changed file in the common case).
+
+Contract (mirrors Delta's CDF streaming read):
+
+- Each emitted row is a table row plus ``_change_type`` ∈ {insert, delete}
+  and ``_commit_version`` (the manifest version whose commit produced it).
+- The union of rows across any chopping of micro-batches equals the union
+  over versions of ``changes_between(v-1, v)`` — per-version semantics, so
+  rewrite CANCELLATION holds: a compaction / Z-order / DV-materialization
+  commit nets to zero rows (proved from data, not a writer-set flag).
+- Offsets are JSON dicts ``{"version": N}``; ``partitions(start, end)`` is a
+  pure function of the committed manifests, so checkpoint recovery replays
+  any range bit-identically (exactly-once under redelivery).
+- Schema is pinned at stream start (latest declared schema + the two CDF
+  columns). Columns added by later commits back-fill NULL for old rows at
+  batch read time and are simply absent from an already-running stream —
+  Delta's CDF streaming has the same restart-to-widen rule.
+
+Scale shape: a pure APPEND transition (the overwhelmingly common commit at
+100 TB: streaming ingest) plans ONE partition PER ADDED FILE — fully
+distributed, no cross-file work. Only transitions that remove/rewrite files
+or flip deletion vectors need multiset cancellation, and that partition's
+cost is bounded by the CHANGED files of that one commit, never table size
+(the same bound ``changes_between`` proves batch-side).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+from collections import Counter
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_CDF_COLS = ("_change_type", "_commit_version")
+
+
+# ---------------------------------------------------------------------------
+# executor-side helpers: pure functions of (table_path, partition spec) so
+# the pickled task carries no SparkSession / manifest object
+# ---------------------------------------------------------------------------
+
+
+def _hive_values(rel_file: str) -> dict[str, str]:
+    """hive-style ``col=value`` path segments of a relative file path."""
+    return {
+        k: urllib.parse.unquote(v)
+        for k, v in (
+            seg.split("=", 1)
+            for seg in rel_file.split(os.sep)[:-1]
+            if "=" in seg and not seg.startswith("_")
+        )
+    }
+
+
+def _coerce(raw: str, type_name: str):
+    """Coerce a hive partition-dir string to the declared column type.
+    Matches Spark's own partition-value parsing for the types manifest
+    tables partition by (identity-partitioned scalar columns)."""
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    t = type_name.lower()
+    if t in ("tinyint", "smallint", "int", "bigint", "long", "integer", "short", "byte"):
+        return int(raw)
+    if t in ("float", "double"):
+        return float(raw)
+    if t == "boolean":
+        return raw.lower() == "true"
+    if t == "date":
+        import datetime as dt
+
+        return dt.date.fromisoformat(raw)
+    if t == "timestamp" or t == "timestamp_ntz":
+        import datetime as dt
+
+        return dt.datetime.fromisoformat(raw)
+    return raw
+
+
+def _dv_positions(table_path: str, dv_files: list[str]) -> dict[str, set[int]]:
+    """Read deletion-vector parquet(s) → {data_file: {deleted positions}}."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, set[int]] = {}
+    for d in sorted(set(dv_files)):
+        tbl = pq.read_table(os.path.join(table_path, d))
+        for rec in tbl.to_pylist():
+            out.setdefault(rec["__dv_file"], set()).add(rec["__dv_pos"])
+    return out
+
+
+def _file_rows(
+    table_path: str,
+    rel_file: str,
+    fields: list[tuple[str, str]],
+    deleted: set[int] | None,
+) -> Iterator[tuple]:
+    """LIVE rows of one data file projected onto the declared columns, in
+    file order. Hive partition columns come from the path; columns the file
+    predates back-fill None (exactly what a snapshot read would show).
+    ``deleted`` = this snapshot's DV positions for the file."""
+    import pyarrow.parquet as pq
+
+    part_vals = _hive_values(rel_file)
+    tbl = pq.read_table(
+        os.path.join(table_path, rel_file),
+        columns=None,
+    )
+    names = set(tbl.schema.names)
+    # project once, column-wise, then zip — avoids per-row dict lookups
+    cols = []
+    for name, type_name in fields:
+        if name in names:
+            cols.append(tbl.column(name).to_pylist())
+        elif name in part_vals:
+            v = _coerce(part_vals[name], type_name)
+            cols.append([v] * tbl.num_rows)
+        else:
+            cols.append([None] * tbl.num_rows)
+    for pos, row in enumerate(zip(*cols) if cols else []):
+        if deleted and pos in deleted:
+            continue
+        yield row
+
+
+def _freeze(row: tuple) -> tuple:
+    """Hashable view of a row (array columns arrive as lists)."""
+    return tuple(tuple(v) if isinstance(v, list) else v for v in row)
+
+
+def _thaw(row: tuple) -> tuple:
+    return tuple(list(v) if isinstance(v, tuple) else v for v in row)
+
+
+class _InsertFile(InputPartition):
+    """Pure-append transition: every live row of ONE added file is an
+    insert. One task per file — the distributed fast path."""
+
+    def __init__(self, version: int, rel_file: str, fields, dv_files: list[str]):
+        self.version = version
+        self.rel_file = rel_file
+        self.fields = fields
+        self.dv_files = dv_files  # normally empty for fresh appends
+
+
+class _FullDiff(InputPartition):
+    """General transition (rewrite / delete / DV flip): one task computes
+    the whole version's row-level diff with multiset cancellation. Cost is
+    bounded by the transition's CHANGED files."""
+
+    def __init__(
+        self,
+        version: int,
+        fields,
+        added: list[tuple[str, list[str]]],  # (file, v_to dv files)
+        removed: list[tuple[str, list[str]]],  # (file, v_from dv files)
+        dv_delta: list[tuple[str, list[str], list[str]]],  # (common file, dv1, dv2)
+    ):
+        self.version = version
+        self.fields = fields
+        self.added = added
+        self.removed = removed
+        self.dv_delta = dv_delta
+
+
+def _read_partition(table_path: str, part) -> Iterator[tuple]:
+    if isinstance(part, _InsertFile):
+        deleted = _dv_positions(table_path, part.dv_files).get(part.rel_file)
+        for row in _file_rows(table_path, part.rel_file, part.fields, deleted):
+            yield (*row, "insert", part.version)
+        return
+
+    assert isinstance(part, _FullDiff)
+    all_dv = [d for _, dvs in part.added + part.removed for d in dvs]
+    all_dv += [d for _, dv1, dv2 in part.dv_delta for d in dv1 + dv2]
+    # one read per distinct DV parquet, shared across the partition
+    dv_pos = _dv_positions(table_path, all_dv) if all_dv else {}
+
+    def live(rel_file: str, dvs: list[str]) -> Iterator[tuple]:
+        deleted = dv_pos.get(rel_file) if dvs else None
+        return _file_rows(table_path, rel_file, part.fields, deleted)
+
+    ins = Counter()
+    for f, dvs in part.added:
+        ins.update(_freeze(r) for r in live(f, dvs))
+    dels = Counter()
+    for f, dvs in part.removed:
+        dels.update(_freeze(r) for r in live(f, dvs))
+
+    # multiset cancellation (the streaming twin of changes_between's
+    # exceptAll pair): a rewrite that preserves rows nets to zero
+    net_ins = ins - dels
+    net_del = dels - ins
+    for row, n in net_ins.items():
+        for _ in range(n):
+            yield (*_thaw(row), "insert", part.version)
+    for row, n in net_del.items():
+        for _ in range(n):
+            yield (*_thaw(row), "delete", part.version)
+
+    # common files whose deletion vectors changed: newly-deleted positions
+    # are deletes, resurrected positions are inserts (appended WITHOUT
+    # cancelling against file-level rows — same as changes_between)
+    for f, dv1, dv2 in part.dv_delta:
+        p1 = {p for p in dv_pos.get(f, set()) if _pos_in(table_path, dv1, f, p)}
+        p2 = {p for p in dv_pos.get(f, set()) if _pos_in(table_path, dv2, f, p)}
+        newly_deleted = sorted(p2 - p1)
+        resurrected = sorted(p1 - p2)
+        if not newly_deleted and not resurrected:
+            continue
+        want = set(newly_deleted) | set(resurrected)
+        by_pos = {}
+        for pos, row in enumerate(_file_rows(table_path, f, part.fields, None)):
+            if pos in want:
+                by_pos[pos] = row
+        for pos in newly_deleted:
+            yield (*by_pos[pos], "delete", part.version)
+        for pos in resurrected:
+            yield (*by_pos[pos], "insert", part.version)
+
+
+# per-(dv file set, data file) position membership; tiny and per-task, so a
+# simple memo keyed by the dv-file tuple suffices
+_POS_MEMO: dict[tuple, dict[str, set[int]]] = {}
+
+
+def _pos_in(table_path: str, dv_files: list[str], rel_file: str, pos: int) -> bool:
+    key = (table_path, tuple(sorted(set(dv_files))))
+    if key not in _POS_MEMO:
+        _POS_MEMO[key] = _dv_positions(table_path, dv_files)
+    return pos in _POS_MEMO[key].get(rel_file, set())
+
+
+# ---------------------------------------------------------------------------
+# driver-side: offset management over the manifest log
+# ---------------------------------------------------------------------------
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    mf = os.path.join(path, "_manifests", f"v{version}.json")
+    try:
+        with open(mf) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"manifest v{version} of {path} is missing (vacuumed?) — "
+            "CDF streams cannot start before the oldest retained version"
+        ) from None
+
+
+def _latest_version(path: str) -> int:
+    mdir = os.path.join(path, "_manifests")
+    if not os.path.isdir(mdir):
+        return 0
+    best = 0
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                best = max(best, int(name[1:-5]))
+            except ValueError:
+                pass
+    return best
+
+
+class ManifestCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_cdf requires .option('path', <table dir>)")
+        self.path = os.path.abspath(self.path)
+        start = str(options.get("start_version", "0"))
+        self.start_version = (
+            _latest_version(self.path) if start == "latest" else int(start)
+        )
+        self.fields = [
+            (f.name, f.dataType.simpleString())
+            for f in schema.fields
+            if f.name not in _CDF_COLS
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": max(_latest_version(self.path), self.start_version)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m1 = _read_manifest(self.path, v - 1) if v > 1 else {}
+            m2 = _read_manifest(self.path, v)
+            f1, f2 = set(m1.get("files", [])), set(m2.get("files", []))
+            added, removed, common = f2 - f1, f1 - f2, f1 & f2
+            dv1, dv2 = m1.get("dv", {}), m2.get("dv", {})
+            dv_delta = [
+                (f, dv1.get(f, []), dv2.get(f, []))
+                for f in sorted(common)
+                if sorted(dv1.get(f, [])) != sorted(dv2.get(f, []))
+            ]
+            pure_append = (
+                not removed
+                and not dv_delta
+                and not any(dv2.get(f) for f in added)
+            )
+            if pure_append:
+                parts += [
+                    _InsertFile(v, f, self.fields, []) for f in sorted(added)
+                ]
+            elif added or removed or dv_delta:
+                parts.append(
+                    _FullDiff(
+                        v,
+                        self.fields,
+                        [(f, dv2.get(f, [])) for f in sorted(added)],
+                        [(f, dv1.get(f, [])) for f in sorted(removed)],
+                        dv_delta,
+                    )
+                )
+        return parts
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        return _read_partition(self.path, partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class ManifestCDFDataSource(DataSource):
+    """``spark.readStream.format("manifest_cdf").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_cdf"
+
+    def schema(self) -> StructType:
+        path = os.path.abspath(self.options.get("path", ""))
+        v = _latest_version(path)
+        if v == 0:
+            raise ValueError(f"no committed manifest under {path}")
+        sj = _read_manifest(path, v).get("schema")
+        if not sj:
+            raise ValueError(
+                f"{path} has no declared schema (legacy manifest) — "
+                "commit once with a current writer before streaming CDF"
+            )
+        base = StructType.fromJson(sj)
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_version", LongType(), False),
+            ]
+        )
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return ManifestCDFStreamReader(schema, self.options)
