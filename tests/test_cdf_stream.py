@@ -1,0 +1,184 @@
+"""Streaming Change Data Feed (sources/cdf_stream.py): readStream over a
+ManifestTable's version log — offsets = manifest versions, per-version
+row-level deltas with rewrite cancellation, exactly-once under redelivery.
+
+Each test drives availableNow passes over one checkpoint (the deflake
+protocol from test_cdc_stream.py): one pass = one micro-batch covering every
+version committed since the last pass, then clean self-termination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.operators.gdpr import compact
+from ecommerce_analytics_platform_spark.sources.cdf_stream import (
+    ManifestCDFDataSource,
+    ManifestCDFStreamReader,
+    _InsertFile,
+)
+from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(ManifestCDFDataSource)
+
+
+def _rows(df):
+    """Multiset of (k, v, d, _change_type) tuples."""
+    return sorted(
+        (r["k"], r["v"], r["d"], r["_change_type"])
+        for r in df.select("k", "v", "d", "_change_type").collect()
+    )
+
+
+def _batch_changes(spark, t: ManifestTable, v: int):
+    """Per-version batch truth: changes_between(v-1, v); v=1 = initial
+    snapshot as inserts (there is no v0 manifest to diff against)."""
+    if v == 1:
+        return t.read(version=1).withColumn("_change_type", F.lit("insert"))
+    return t.changes_between(v - 1, v)
+
+
+def _run_pass(spark, path: str, ckpt: str) -> list:
+    got = []
+
+    def sink(df, _epoch):
+        got.extend(df.collect())
+
+    q = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", path)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return got
+
+
+def _mk(spark, path) -> ManifestTable:
+    t = ManifestTable(spark, str(path))
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"d{i % 2}") for i in range(8)], ["k", "v", "d"]
+    )
+    t.overwrite(df, partition_by=["d"])  # v1
+    return t
+
+
+def _collected_multiset(rows):
+    return sorted((r["k"], r["v"], r["d"], r["_change_type"]) for r in rows)
+
+
+def test_stream_equals_batch_changes_across_choppings(spark, tmp_path):
+    """Interleave commits with stream passes; the union of streamed rows
+    must equal the union of per-version batch changes_between regardless
+    of how versions chop into micro-batches."""
+    t = _mk(spark, tmp_path / "t1")
+    ckpt = str(tmp_path / "ckpt1")
+    got = _run_pass(spark, t.path, ckpt)  # batch covering v1
+
+    # v2: append (pure-append fast path)
+    t.append(
+        spark.createDataFrame([(100, "n0", "d0"), (101, "n1", "d1")], ["k", "v", "d"]),
+        partition_by=["d"],
+    )
+    # v3: DV delete (no file rewritten)
+    t.delete_where(F.col("k").isin([1, 3]))
+    got += _run_pass(spark, t.path, ckpt)  # batch covering v2..v3
+
+    # v4: materialize deletes (rewrite-cancellation: only DV'd rows differ)
+    t.materialize_deletes()
+    # v5: append again
+    t.append(spark.createDataFrame([(200, "m0", "d0")], ["k", "v", "d"]), partition_by=["d"])
+    got += _run_pass(spark, t.path, ckpt)  # batch covering v4..v5
+
+    latest = t.latest_version()
+    assert latest == 5
+    want = []
+    for v in range(1, latest + 1):
+        want += _rows(_batch_changes(spark, t, v))
+    assert _collected_multiset(got) == sorted(want)
+
+    # per-version tags are correct: group streamed rows by _commit_version
+    by_v = {}
+    for r in got:
+        by_v.setdefault(r["_commit_version"], []).append(r)
+    for v, rows in by_v.items():
+        assert _collected_multiset(rows) == _rows(_batch_changes(spark, t, v))
+    # v4 (materialize_deletes) must net to zero streamed rows
+    assert 4 not in by_v
+
+
+def test_exactly_once_under_redelivery(spark, tmp_path):
+    """A second pass over the same checkpoint with no new commits delivers
+    nothing; a pass after one new commit delivers exactly that commit."""
+    t = _mk(spark, tmp_path / "t2")
+    ckpt = str(tmp_path / "ckpt2")
+    first = _run_pass(spark, t.path, ckpt)
+    assert len(first) == 8
+    assert _run_pass(spark, t.path, ckpt) == []  # redelivery: nothing new
+
+    t.append(spark.createDataFrame([(300, "x", "d0")], ["k", "v", "d"]), partition_by=["d"])
+    second = _run_pass(spark, t.path, ckpt)
+    assert _collected_multiset(second) == [(300, "x", "d0", "insert")]
+    assert _run_pass(spark, t.path, ckpt) == []
+
+
+def test_compaction_nets_zero(spark, tmp_path):
+    """An OPTIMIZE-style compaction commit (pure rewrite) streams ZERO
+    rows — cancellation proved from data, no dataChange flag needed."""
+    t = ManifestTable(spark, str(tmp_path / "t3"))
+    for i in range(4):  # 4 tiny appends → small-file buildup
+        t.append(spark.createDataFrame([(i, f"v{i}")], ["k", "v"]))
+    ckpt = str(tmp_path / "ckpt3")
+    got = _run_pass(spark, t.path, ckpt)
+    assert len(got) == 4
+
+    res = compact(spark, t, target_bytes=1 << 30, min_files=2)
+    assert res["files_in"] == 4 and res["files_out"] < 4
+    assert t.latest_version() == 5
+    assert _run_pass(spark, t.path, ckpt) == []  # the compaction netted 0
+
+
+def test_pure_append_plans_one_partition_per_file(spark, tmp_path):
+    """Scale shape: an append transition fans out one InputPartition per
+    added file (distributed), never a single full-diff task."""
+    t = _mk(spark, tmp_path / "t4")  # v1: partitioned by d → ≥2 files
+    t.append(
+        spark.createDataFrame([(500, "a", "d0"), (501, "b", "d1")], ["k", "v", "d"]),
+        partition_by=["d"],
+    )  # v2: two files (one per partition)
+    ds = ManifestCDFDataSource(options={"path": t.path})
+    reader = ManifestCDFStreamReader(ds.schema(), {"path": t.path})
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    assert len(parts) == 2
+    assert all(isinstance(p, _InsertFile) for p in parts)
+
+
+def test_start_version_latest_skips_history(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t5")
+    t.append(spark.createDataFrame([(9, "z", "d1")], ["k", "v", "d"]), partition_by=["d"])
+    reader = ManifestCDFStreamReader(
+        ManifestCDFDataSource(options={"path": t.path}).schema(),
+        {"path": t.path, "start_version": "latest"},
+    )
+    assert reader.initialOffset() == {"version": 2}
+    assert reader.partitions(reader.initialOffset(), reader.latestOffset()) == []
+
+
+def test_schema_evolution_backfills_null(spark, tmp_path):
+    """Old files lack a later-added column: streamed rows for them carry
+    NULL, matching what a snapshot read shows."""
+    t = ManifestTable(spark, str(tmp_path / "t6"))
+    t.append(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    t.append(spark.createDataFrame([(2, "b", 9.5)], ["k", "v", "w"]))
+    ckpt = str(tmp_path / "ckpt6")
+    got = _run_pass(spark, t.path, ckpt)
+    by_k = {r["k"]: r for r in got}
+    assert by_k[1]["w"] is None
+    assert by_k[2]["w"] == 9.5
+    assert all(r["_change_type"] == "insert" for r in got)
