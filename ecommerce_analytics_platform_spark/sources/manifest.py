@@ -942,6 +942,8 @@ class ManifestTable:
         unique_key: list[str],
         partition_by: list[str],
         txn_id: str | None = None,
+        delete_mode: str = "rewrite",
+        dv_threshold: float = 0.1,
     ) -> int:
         """The incremental contract on the manifest log: read ONLY the
         affected partitions of the current snapshot, anti-join on the key,
@@ -949,6 +951,23 @@ class ManifestTable:
         the pre-merge snapshot are never disturbed; the partition-stable
         key contract matches operators/incremental.py. ``txn_id`` gives
         foreachBatch exactly-once (duplicate delivery → no-op).
+
+        ``delete_mode`` picks how matched OLD rows are removed:
+
+        - ``"rewrite"`` (default, the historical path): affected
+          partitions are anti-joined and rewritten — cost ∝ bytes of
+          TOUCHED partitions, even when the batch updates one row each.
+        - ``"dv"``: matched rows are tombstoned via deletion vectors
+          (:meth:`delete_where` machinery) and the batch files are
+          APPENDED, all in ONE atomic commit — cost ∝ CHANGED rows (the
+          forget_soft two-phase shape: ``materialize_deletes`` /
+          compaction folds the DVs in later). At 100 TB this is the
+          difference between a trickle-update batch rewriting every
+          touched 1 GB file and writing KBs of addresses.
+        - ``"auto"``: one counting pass over the affected partitions
+          picks ``dv`` when matched_rows ≤ ``dv_threshold`` × live rows
+          there, else ``rewrite`` (a high matched fraction means the
+          rewrite amortizes and keeps reads DV-free).
 
         The version the anti-join READ is pinned and handed to
         :meth:`replace_partitions` as ``expected_base``, so a commit
@@ -1011,15 +1030,130 @@ class ManifestTable:
             target = align_to_schema(self.read(read_version), union)
             affected = target.filter(pred)
             keys = aligned_batch.select(*unique_key).distinct()
-            kept = affected.join(F.broadcast(keys), on=unique_key, how="left_anti")
-            merged = kept.select(*aligned_batch.columns).unionByName(aligned_batch)
+
+            mode = delete_mode
+            if mode == "auto":
+                # ONE counting pass over the affected partitions decides:
+                # DV when the batch touches a small fraction of live rows
+                row = (
+                    affected.join(
+                        F.broadcast(keys.withColumn("__m", F.lit(1))),
+                        on=unique_key,
+                        how="left",
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("total"),
+                        F.count("__m").alias("matched"),
+                    )
+                    .first()
+                )
+                mode = (
+                    "dv"
+                    if row["total"] > 0 and row["matched"] <= dv_threshold * row["total"]
+                    else "rewrite"
+                )
             try:
+                if mode == "dv":
+                    return self._merge_via_dv(
+                        read_version,
+                        aligned_batch,
+                        union,
+                        unique_key,
+                        partition_by,
+                        part_vals,
+                        txn_id,
+                    )
+                kept = affected.join(F.broadcast(keys), on=unique_key, how="left_anti")
+                merged = kept.select(*aligned_batch.columns).unionByName(aligned_batch)
                 return self.replace_partitions(
                     merged, partition_by, txn_id=txn_id, expected_base=read_version
                 )
             except ConcurrentWriteConflict as e:
                 last_conflict = e  # stale read → re-derive on the new snapshot
         raise last_conflict or ConcurrentWriteConflict("merge retries exhausted")
+
+    def _merge_via_dv(
+        self,
+        read_version: int,
+        aligned_batch: DataFrame,
+        union: StructType,
+        unique_key: list[str],
+        partition_by: list[str],
+        part_vals,
+        txn_id: str | None,
+    ) -> int:
+        """DV half of MERGE: tombstone matched LIVE rows by physical
+        address and append the batch files — ONE atomic manifest commit,
+        so readers never see the delete without the insert (or vice
+        versa). Cost ∝ matched rows + batch bytes; zero data-file
+        rewrites. Conflicts (a concurrent commit rewrote a tombstoned
+        file) raise :class:`ConcurrentWriteConflict` for the caller's
+        re-derive loop, same contract as the rewrite path."""
+        partition_values = {
+            c: sorted({r[c] for r in part_vals}, key=str) for c in partition_by
+        }
+        raw = self.read(
+            version=read_version,
+            partition_values=partition_values,
+            apply_deletes=False,
+        )
+        keys = aligned_batch.select(*unique_key).distinct()
+        hits = (
+            self._with_position(raw)
+            .join(
+                self.deleted_positions(read_version),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
+            )
+            .join(F.broadcast(keys), on=unique_key, how="left_semi")
+            .select("__dv_file", "__dv_pos")
+        )
+        stage = os.path.join("_dv", uuid.uuid4().hex[:12])
+        os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
+        hits.write.parquet(os.path.join(self.path, stage))
+        dv_files = [
+            os.path.join(stage, fn)
+            for fn in os.listdir(os.path.join(self.path, stage))
+            if fn.endswith(".parquet")
+        ]
+        touched = sorted(
+            r["__dv_file"]
+            for r in self.spark.read.schema(self._DV_SCHEMA)
+            .parquet(*[os.path.join(self.path, d) for d in dv_files])
+            .select("__dv_file")
+            .distinct()
+            .collect()
+        ) if dv_files else []
+        files_new = self._write_files(aligned_batch, partition_by)
+
+        def apply(base, m):
+            if txn_id is not None and m and txn_id in m.get("txns", []):
+                return None
+            cur = set(m["files"]) if m else set()
+            missing = [f for f in touched if f not in cur]
+            if missing:
+                raise ConcurrentWriteConflict(
+                    f"merge(dv): tombstoned data files were removed/"
+                    f"rewritten by a concurrent commit: {missing[:3]}"
+                )
+            dv = {
+                f: list(lst)
+                for f, lst in (m.get("dv", {}) if m else {}).items()
+                if f in cur
+            }
+            for f in touched:
+                dv[f] = dv.get(f, []) + dv_files
+            txns = self._base_txns(m)
+            if txn_id is not None:
+                txns.append(txn_id)
+            return (
+                (list(m["files"]) if m else []) + files_new,
+                txns,
+                self._rebased_schema_json(m, union),
+                dv,
+            )
+
+        return self._publish(apply)
 
     def clone_to(self, dest_path: str, version: int | None = None) -> "ManifestTable":
         """CLONE TABLE at O(metadata) cost: hardlink the snapshot's data

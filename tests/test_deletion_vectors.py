@@ -199,3 +199,106 @@ def test_two_phase_gdpr_erasure(spark, tmp_path):
     forget_hard(spark, t)
     assert assert_forgotten(spark, str(tmp_path / "t"), "user", ["u1"])
     assert t.read().count() == 16
+
+
+# -- DV-backed MERGE (VERDICT r9 directive #6) -------------------------------
+
+
+def _merge_batch(spark):
+    return spark.createDataFrame(
+        [(3, "UPD", "d0"), (99, "NEW", "d0")], ["k", "user", "d"]
+    )
+
+
+def test_merge_dv_mode_tombstones_instead_of_rewriting(spark, tmp_path):
+    """delete_mode='dv': matched rows become deletion-vector tombstones and
+    the batch appends — NO data file is removed/rewritten, and the final
+    content equals the rewrite path's."""
+    t_dv = _mk(spark, tmp_path / "dv", parts=True)
+    t_rw = _mk(spark, tmp_path / "rw", parts=True)
+    m1 = _manifest(tmp_path / "dv", 1)
+
+    t_dv.merge_delete_insert(
+        _merge_batch(spark), unique_key=["k"], partition_by=["d"], delete_mode="dv"
+    )
+    t_rw.merge_delete_insert(
+        _merge_batch(spark), unique_key=["k"], partition_by=["d"], delete_mode="rewrite"
+    )
+    want = sorted((r.k, r.user, r.d) for r in t_rw.read().collect())
+    got = sorted((r.k, r.user, r.d) for r in t_dv.read().collect())
+    assert got == want and (3, "UPD", "d0") in got and (3, "u3", "d0") not in got
+
+    m2 = _manifest(tmp_path / "dv", 2)
+    # every original file survives (append-only files + dv map), vs the
+    # rewrite twin which replaced the whole touched partition
+    assert set(m1["files"]) <= set(m2["files"])
+    assert m2.get("dv"), "matched rows must be DV tombstones"
+    m2_rw = _manifest(tmp_path / "rw", 2)
+    assert not m2_rw.get("dv")
+    assert not set(f for f in m1["files"] if "d=d0" in f) <= set(m2_rw["files"])
+
+
+def test_merge_dv_exactly_once(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", parts=True)
+    v = t.merge_delete_insert(
+        _merge_batch(spark),
+        unique_key=["k"],
+        partition_by=["d"],
+        delete_mode="dv",
+        txn_id="merge-7",
+    )
+    n = t.read().count()
+    v2 = t.merge_delete_insert(
+        _merge_batch(spark),
+        unique_key=["k"],
+        partition_by=["d"],
+        delete_mode="dv",
+        txn_id="merge-7",
+    )
+    assert v2 == v and t.read().count() == n
+
+
+def test_merge_auto_dispatch(spark, tmp_path):
+    """auto: a trickle batch (small matched fraction) routes through DVs; a
+    batch replacing most of the affected rows routes through rewrite."""
+    t = _mk(spark, tmp_path / "t", n=60, parts=True)
+    trickle = spark.createDataFrame([(0, "UPD", "d0")], ["k", "user", "d"])
+    t.merge_delete_insert(
+        trickle, unique_key=["k"], partition_by=["d"], delete_mode="auto"
+    )
+    assert _manifest(tmp_path / "t", 2).get("dv")
+
+    bulk = spark.createDataFrame(
+        [(k, "BULK", "d1") for k in range(1, 60, 3)], ["k", "user", "d"]
+    )  # every d1 key
+    t.merge_delete_insert(
+        bulk, unique_key=["k"], partition_by=["d"], delete_mode="auto"
+    )
+    m3 = _manifest(tmp_path / "t", 3)
+    # rewrite path: d1's old files are gone; no NEW dv entries on d1 files
+    assert not any("d=d1" in f for f in m3.get("dv", {}))
+    assert t.read().filter("d = 'd1' and user != 'BULK'").count() == 0
+
+
+def test_merge_dv_folds_in_at_compaction(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", parts=True)
+    t.merge_delete_insert(
+        _merge_batch(spark), unique_key=["k"], partition_by=["d"], delete_mode="dv"
+    )
+    want = sorted((r.k, r.user) for r in t.read().collect())
+    t.materialize_deletes()
+    assert not _manifest(tmp_path / "t", t.latest_version()).get("dv")
+    assert sorted((r.k, r.user) for r in t.read().collect()) == want
+
+
+def test_merge_dv_change_feed_shows_update_pair(spark, tmp_path):
+    """CDF interop: a DV-merge update surfaces as delete(old)+insert(new)."""
+    t = _mk(spark, tmp_path / "t", parts=True)
+    t.merge_delete_insert(
+        _merge_batch(spark), unique_key=["k"], partition_by=["d"], delete_mode="dv"
+    )
+    ch = {
+        (r.k, r.user, r._change_type)
+        for r in t.changes_between(1, 2).select("k", "user", "_change_type").collect()
+    }
+    assert ch == {(3, "u3", "delete"), (3, "UPD", "insert"), (99, "NEW", "insert")}
