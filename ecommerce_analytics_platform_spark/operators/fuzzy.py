@@ -180,6 +180,72 @@ def _deletion_variants(s: Column, max_edits: int) -> Column:
     raise ValueError("deletion neighborhood supports max_edits in {1, 2}")
 
 
+def _choose_method(base: DataFrame, d: int, q: int) -> str:
+    """Stats-driven fastss-vs-qgram dispatch (VERDICT r9 directive #8).
+
+    The measured geometry lesson (SCALE.md r9 probes): on a low-entropy
+    fixed-format key corpus, qgram candidates degenerate (every prefix
+    gram shared) — 498 s where the deletion neighborhood took 7.6 s; on
+    long free text the deletion neighborhood explodes (O(L^d) variants of
+    length L each) while qgram stays O(L) entries per string. The caller
+    shouldn't need to know that; ONE cheap stats pass over the join
+    column decides:
+
+    - ``avg_len``: mean string length (deletion cost driver — the
+      neighborhood materializes ~L^d · L characters per row).
+    - ``postings / vocab``: average q-gram posting-list length (qgram
+      cost driver — candidate pairs grow with the SQUARE of the posting
+      list; a fixed-format corpus has tiny vocab and huge postings).
+
+    Deletion wins whenever its neighborhood is bounded (``avg_len`` ≤
+    256 chars for d=1, 48 for d=2 — ≈10⁵ materialized chars/row); above
+    the cutoff qgram wins unless its postings are provably degenerate
+    (avg posting > 64) AND the neighborhood is still tolerable (d=1,
+    ``avg_len`` ≤ 1024). The exploded stats are re-weighted by 1/ngrams
+    so ``avg_len`` is per-ROW, not per-gram."""
+    if d > 2:
+        return "qgram"  # deletion neighborhood unsupported/explosive
+    g = F.explode_outer(_distinct_qgrams(F.col("__s"), q)).alias("g")
+    w = F.lit(1.0) / F.greatest(F.col("__ng"), F.lit(1)).cast("double")
+    row = (
+        base.select(
+            "__len", F.size(_distinct_qgrams(F.col("__s"), q)).alias("__ng"), g
+        )
+        .agg(
+            (F.sum(F.col("__len") * w) / F.sum(w)).alias("avg_len"),
+            F.approx_count_distinct("g").alias("vocab"),
+            F.count("g").alias("postings"),
+        )
+        .first()
+    )
+    avg_len = row["avg_len"] or 0.0
+    cutoff = 256 if d == 1 else 48
+    if avg_len <= cutoff:
+        return "deletion"
+    if (
+        d == 1
+        and avg_len <= 1024
+        and row["vocab"]
+        and row["postings"] / row["vocab"] > 64
+    ):
+        return "deletion"
+    return "qgram"
+
+
+def choose_edit_join_method(
+    df: DataFrame, str_col: str, max_edits: int = 1, q: int = 4
+) -> str:
+    """Public view of the ``method="auto"`` dispatch — what
+    :func:`edit_similarity_join` would pick for this column."""
+    s = F.col("__s")
+    base = (
+        df.select(F.col(str_col).alias("__s"))
+        .filter(s.isNotNull())
+        .withColumn("__len", F.length(s).cast("long"))
+    )
+    return _choose_method(base, max_edits, q)
+
+
 def edit_similarity_join(
     df: DataFrame,
     id_col: str,
@@ -211,9 +277,12 @@ def edit_similarity_join(
       regardless of d, the right geometry for LONG strings where the
       deletion neighborhood explodes.
 
-    ``"auto"`` picks deletion for ``max_edits <= 2`` (its candidate
-    quality dominates and the neighborhood stays small for key-like
-    strings), else qgram.
+    ``"auto"`` dispatches from ONE cheap stats pre-pass over the column
+    (:func:`_choose_method`): deletion when the neighborhood is bounded
+    (short key-like strings) or when q-gram postings are provably
+    degenerate (fixed-format corpora), qgram for long free text where
+    the neighborhood would explode. Both methods are exact, so the
+    dispatch changes cost, never output.
 
     Completeness (set semantics): one edit changes at most ``q`` of a
     string's distinct q-grams (the ≤q gram OCCURRENCES overlapping the
@@ -254,14 +323,18 @@ def edit_similarity_join(
     ``dist = levenshtein`` ≤ ``max_edits``.
     """
     d = max_edits
-    if method == "auto":
-        method = "deletion" if d <= 2 else "qgram"
     s = F.col("__s")
     base = (
         df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s"))
         .filter(s.isNotNull())
         .withColumn("__len", F.length(s).cast("long"))
     )
+    if method == "auto":
+        # stats-driven dispatch (one cheap pre-pass; see _choose_method):
+        # fastss for bounded neighborhoods / degenerate-gram corpora,
+        # qgram for long text — replaces the r9 "deletion iff d<=2" rule
+        # that relied on caller knowledge to dodge the 498 s geometry
+        method = _choose_method(base, d, q)
 
     def verified(cands: DataFrame) -> DataFrame:
         dist = F.levenshtein(F.col("a.__s"), F.col("b.__s")).cast("long")

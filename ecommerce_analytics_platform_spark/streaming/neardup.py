@@ -341,6 +341,130 @@ def process_neardup_batch(
             s.unpersist()
 
 
+def process_neardup_batch_hamming(
+    batch_df: DataFrame,
+    batch_id: int,
+    decisions: ManifestTable,
+    index: ManifestTable,
+    bits: int = 48,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    n_bucket_parts: int = _N_BUCKET_PARTS,
+) -> None:
+    """SimHash Hamming-distance streaming near-dup — the third index mode
+    beside LSH (Jaccard, approximate) and PPJoin (exact sets): a doc is a
+    near-dup iff some EARLIER doc's ``bits``-wide SimHash is within
+    ``max_hamming`` of its own, decided EXACTLY (pigeonhole band
+    candidates + popcount verify, operators/fuzzy.py::
+    hamming_neardup_pairs streamed).
+
+    State: one index row per (doc, band) — ``(doc_id, sig, band, bucket,
+    bucket_part)`` where ``bucket`` is the band's bit-slice value; the
+    signature rides along so verification never re-reads documents. Same
+    scale discipline as the LSH path: every index read is pruned at the
+    manifest level to the batch's own ``bucket_part`` values, the single
+    shuffle is the (band, bucket) equi-join, and ``max_bucket`` caps
+    degenerate signature families (boilerplate → identical sigs).
+
+    Batch-split invariance: band rows of EVERY signable doc enter the
+    index (dup or not), the verified pair set is a pure function of the
+    corpus, and the smaller-id rule orients pairs identically under any
+    chopping. Exactly-once: both commits carry the batch txn; a
+    half-committed replay sees its own rows in the index, which the
+    ``cand < id`` + distinct decision scores identically (same argument
+    as :func:`process_neardup_batch`)."""
+    from ecommerce_analytics_platform_spark.functions.text import simhash_by_agg
+    from ecommerce_analytics_platform_spark.operators.fuzzy import _band_bounds
+
+    sigs = simhash_by_agg(
+        batch_df.select("doc_id", "text"), "doc_id", "text", bits=bits
+    )
+    sig = F.col("sig")
+    bb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(sig, lo)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                    .cast("long")
+                    .alias("bucket"),
+                )
+                for b, (lo, w) in enumerate(_band_bounds(bits, max_hamming + 1))
+            ]
+        )
+    ).alias("bb")
+    nb = (
+        sigs.select(F.col("doc_id").alias("__id"), sig.alias("__sig"), bb)
+        .select("__id", "__sig", "bb.band", "bb.bucket")
+        .persist()
+    )
+    try:
+        parts = _batch_parts(nb, n_bucket_parts)
+        corpus = _read_index(index, parts)
+        all_rows = nb.select("__id", "__sig", "band", "bucket")
+        if corpus is not None:
+            all_rows = all_rows.union(
+                corpus.select(
+                    F.col("doc_id").alias("__id"),
+                    F.col("sig").alias("__sig"),
+                    "band",
+                    "bucket",
+                )
+            )
+        ham = F.bit_count(F.col("i.__sig").bitwiseXOR(F.col("c.__sig"))).cast(
+            "long"
+        )
+        cand = (
+            nb.alias("i")
+            .join(
+                all_rows.alias("c"),
+                on=[
+                    F.col("i.band") == F.col("c.band"),
+                    F.col("i.bucket") == F.col("c.bucket"),
+                    F.col("c.__id") < F.col("i.__id"),
+                ],
+            )
+            .filter(ham <= max_hamming)
+            .select(F.col("i.__id").alias("__id"), F.col("c.__id").alias("cand"))
+            .distinct()
+        )
+        batch_decisions = (
+            nb.select("__id")
+            .distinct()
+            .join(cand, "__id", "left")
+            .groupBy("__id")
+            .agg(
+                F.count("cand").alias("n_candidates"),
+                F.min("cand").alias("matched_doc_id"),
+            )
+            .select(
+                F.col("__id").alias("doc_id"),
+                "n_candidates",
+                "matched_doc_id",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        decisions.append_once(
+            batch_decisions, txn_id=f"neardup-hamming-decisions-{batch_id}"
+        )
+        new_index_rows = nb.select(
+            F.col("__id").alias("doc_id"),
+            F.col("__sig").alias("sig"),
+            "band",
+            "bucket",
+        ).withColumn("bucket_part", _bucket_part(n_bucket_parts))
+        if max_bucket is not None:
+            new_index_rows = _capped_index_rows(new_index_rows, corpus, max_bucket)
+        index.append_once(
+            new_index_rows,
+            txn_id=f"neardup-hamming-index-{batch_id}",
+            partition_by=["bucket_part"],
+        )
+    finally:
+        nb.unpersist()
+
+
 def start_streaming_neardup(
     spark: SparkSession,
     raw_dir: str,
@@ -355,6 +479,8 @@ def start_streaming_neardup(
     mode: str = "lsh",
     t10: int = 6,
     shingle_words: int = 3,
+    bits: int = 48,
+    max_hamming: int = 3,
     available_now: bool = True,
 ) -> StreamingQuery:
     """NDJSON document feed → per-micro-batch near-dup decisions.
@@ -381,6 +507,22 @@ def start_streaming_neardup(
                 t10=t10,
                 shingle_words=shingle_words,
                 n_parts=n_bucket_parts,
+            )
+    elif mode == "hamming":
+        ham_index = ManifestTable(
+            spark, os.path.join(state_root, "neardup_simhash_index")
+        )
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            process_neardup_batch_hamming(
+                batch_df,
+                batch_id,
+                decisions,
+                ham_index,
+                bits=bits,
+                max_hamming=max_hamming,
+                max_bucket=max_bucket,
+                n_bucket_parts=n_bucket_parts,
             )
     elif mode == "lsh":
         index = ManifestTable(spark, os.path.join(state_root, "neardup_index"))

@@ -154,3 +154,74 @@ def test_hamming_max_bucket_drops_degenerate_bucket(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (100, 101) in got
     assert not any(a < 50 and b < 50 for a, b in got)
+
+
+# -- stats-driven auto dispatch (VERDICT r9 directive #8) --------------------
+
+
+def test_auto_dispatch_picks_fastss_on_fixed_format_keys(spark):
+    from ecommerce_analytics_platform_spark.operators.fuzzy import (
+        choose_edit_join_method,
+    )
+
+    keys = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}") for i in range(500)], "id long, s string"
+    )
+    assert choose_edit_join_method(keys, "s", max_edits=1) == "deletion"
+    assert choose_edit_join_method(keys, "s", max_edits=2) == "deletion"
+
+
+def test_auto_dispatch_picks_qgram_on_long_free_text(spark):
+    import random
+
+    from ecommerce_analytics_platform_spark.operators.fuzzy import (
+        choose_edit_join_method,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"word{j}" for j in range(2000)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(80)))  # ~550 chars
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "id long, s string")
+    assert choose_edit_join_method(docs, "s", max_edits=1) == "qgram"
+    assert choose_edit_join_method(docs, "s", max_edits=3) == "qgram"
+
+
+def test_auto_dispatch_degenerate_long_keys_prefer_fastss(spark):
+    """Mid-length strings with a giant shared region: qgram postings
+    degenerate (tiny vocab), so d=1 routes to the deletion neighborhood."""
+    from ecommerce_analytics_platform_spark.operators.fuzzy import (
+        choose_edit_join_method,
+    )
+
+    base = "ab" * 150  # 300 chars over a 2-letter alphabet: ≤16 gram types
+    rows = [
+        (i, base[: 2 * (i % 150)] + "z" + base[2 * (i % 150) + 1 :])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    assert choose_edit_join_method(df, "s", max_edits=1) == "deletion"
+
+
+def test_auto_output_equals_forced_methods(spark):
+    from ecommerce_analytics_platform_spark.operators.fuzzy import (
+        edit_similarity_join,
+    )
+
+    rows = [(i, f"Customer#{i:09d}") for i in range(60)]
+    rows += [(100, "Customer#000000001x"), (101, "Customer#000000059")]
+    df = spark.createDataFrame(rows, "id long, s string")
+
+    def got(method):
+        return sorted(
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_similarity_join(
+                df, "id", "s", max_edits=1, method=method
+            ).collect()
+        )
+
+    auto = got("auto")
+    assert auto == got("deletion") == got("qgram")
+    assert (1, 100, 1) in auto  # the planted one-insert pair

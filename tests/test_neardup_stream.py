@@ -483,3 +483,145 @@ def test_exact_neardup_streaming_query_end_to_end(spark, tmp_path):
         for r in dec.read().collect()
     )
     assert got == _exact_decision_truth(spark, [(d, t) for d, t, _s in rows], 6)
+
+
+# -- streaming Hamming near-dup mode (VERDICT r9 directive #7) ---------------
+
+_HB, _HD = 16, 3  # 16-bit sigs, d<=3 → 4-bit bands: dense collisions
+
+
+def _hamming_decision_truth(spark, rows):
+    """Whole-corpus truth from the batch operator: per signable doc, the
+    exact count/min of smaller-id docs within Hamming distance _HD."""
+    from ecommerce_analytics_platform_spark.functions.text import simhash_by_agg
+    from ecommerce_analytics_platform_spark.operators.fuzzy import (
+        hamming_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    sigs = simhash_by_agg(df, "doc_id", "text", bits=_HB)
+    pairs = hamming_neardup_pairs(sigs, "doc_id", "sig", _HB, _HD)
+    return (
+        sigs.select("doc_id")
+        .join(pairs.withColumnsRenamed({"id_b": "doc_id"}), "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("id_a").alias("n_candidates"),
+            F.min("id_a").alias("matched_doc_id"),
+        )
+    )
+
+
+def _drive_hamming(spark, tmp_path, name, choppings):
+    from ecommerce_analytics_platform_spark.streaming.neardup import (
+        process_neardup_batch_hamming,
+    )
+
+    decisions = ManifestTable(spark, str(tmp_path / f"{name}_dec"))
+    index = ManifestTable(spark, str(tmp_path / f"{name}_idx"))
+    for bid, chunk in enumerate(choppings):
+        df = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in chunk], "doc_id long, text string"
+        )
+        process_neardup_batch_hamming(
+            df, bid, decisions, index, bits=_HB, max_hamming=_HD
+        )
+    return decisions, index
+
+
+def test_hamming_stream_matches_batch_truth_any_chopping(spark, tmp_path):
+    rows = _docs_rows()
+    want = _canon(_hamming_decision_truth(spark, rows))
+    assert any(r[1] > 0 for r in want), "fixture must contain hamming near-dups"
+
+    d1, _ = _drive_hamming(spark, tmp_path, "a", [rows])  # one batch
+    d3, _ = _drive_hamming(
+        spark, tmp_path, "b", [rows[:40], rows[40:90], rows[90:]]
+    )  # three batches
+    assert _canon(d1.read()) == want
+    assert _canon(d3.read()) == want
+
+
+def test_hamming_redelivered_batch_is_noop(spark, tmp_path):
+    from ecommerce_analytics_platform_spark.streaming.neardup import (
+        process_neardup_batch_hamming,
+    )
+
+    rows = _docs_rows()[:60]
+    decisions, index = _drive_hamming(spark, tmp_path, "r", [rows[:30], rows[30:]])
+    dv, iv = decisions.latest_version(), index.latest_version()
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows[30:]], "doc_id long, text string"
+    )
+    process_neardup_batch_hamming(df, 1, decisions, index, bits=_HB, max_hamming=_HD)
+    assert decisions.latest_version() == dv and index.latest_version() == iv
+
+
+def test_hamming_index_reads_are_pruned(spark, tmp_path):
+    """Per-batch index reads touch only the batch's bucket_part
+    partitions — file count strictly below the full snapshot's."""
+    from ecommerce_analytics_platform_spark.streaming.neardup import (
+        _batch_parts,
+        _read_index,
+    )
+    from ecommerce_analytics_platform_spark.functions.text import simhash_by_agg
+    from ecommerce_analytics_platform_spark.operators.fuzzy import _band_bounds
+
+    rows = _docs_rows()
+    _, index = _drive_hamming(
+        spark, tmp_path, "p", [rows[:40], rows[40:80], rows[80:]]
+    )
+    one = spark.createDataFrame(
+        [(rows[5]["doc_id"], rows[5]["text"])], "doc_id long, text string"
+    )
+    sig = F.col("sig")
+    nb = (
+        simhash_by_agg(one, "doc_id", "text", bits=_HB)
+        .select(
+            F.col("doc_id").alias("__id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(sig, lo)
+                            .bitwiseAND(F.lit((1 << w) - 1))
+                            .cast("long")
+                            .alias("bucket"),
+                        )
+                        for b, (lo, w) in enumerate(_band_bounds(_HB, _HD + 1))
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("__id", "bb.band", "bb.bucket")
+    )
+    parts = _batch_parts(nb, 256)
+    pruned = _read_index(index, parts)
+    assert 0 < len(pruned.inputFiles()) < len(index.read().inputFiles())
+
+
+def test_hamming_streaming_query_end_to_end(spark, tmp_path):
+    from ecommerce_analytics_platform_spark.streaming.neardup import (
+        start_streaming_neardup,
+    )
+
+    rows = _docs_rows()[:60]
+    raw = str(tmp_path / "raw")
+    _write_ndjson(rows[:30], os.path.join(raw, "b0.ndjson"))
+    _write_ndjson(rows[30:], os.path.join(raw, "b1.ndjson"))
+    q = start_streaming_neardup(
+        spark,
+        raw,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        mode="hamming",
+        bits=_HB,
+        max_hamming=_HD,
+    )
+    q.awaitTermination()
+    dec = ManifestTable(spark, str(tmp_path / "state" / "neardup_decisions"))
+    want = _canon(_hamming_decision_truth(spark, rows))
+    assert _canon(dec.read()) == want
