@@ -532,6 +532,59 @@ def r9_probes(spark, sf_dir: str) -> None:
             print(f"| {name} | — | {ts[0]:.2f} s | — |")
 
 
+def r10_probes(spark, sf_dir: str) -> None:
+    """r10: MERGE delete-mode geometry (VERDICT r9 directive #6 'done'
+    criterion). A trickle batch — one updated row per partition, spread
+    across EVERY date partition of the 64x events table — through the two
+    delete modes. rewrite must rewrite every touched partition (here: the
+    whole table); dv writes tombstone addresses + appends the batch.
+    Expected: dv cost tracks CHANGED rows (~flat in table size), rewrite
+    cost tracks TOUCHED bytes (grows with the table)."""
+    import shutil
+    import time
+
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+    ev = (
+        spark.read.parquet(os.path.join(OUT_DIR, "events.parquet"))
+        .withColumn("d", F.to_date("ts"))
+    )
+    # one batch row per partition: the worst case for partition-pruned
+    # rewrite (every partition touched) and the best case for DV
+    batch = (
+        ev.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("d").orderBy("event_id")),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("event_type", F.lit("MERGED"))
+    ).cache()
+    n_batch = batch.count()
+
+    res: dict[str, float] = {}
+    for mode in ("rewrite", "dv"):
+        p = os.path.join(OUT_DIR, f"_merge_{mode}")
+        shutil.rmtree(p, ignore_errors=True)
+        t = ManifestTable(spark, p)
+        t.overwrite(ev, partition_by=["d"])
+        t0 = time.perf_counter()
+        t.merge_delete_insert(
+            batch, unique_key=["event_id"], partition_by=["d"], delete_mode=mode
+        )
+        res[mode] = time.perf_counter() - t0
+        n = t.read().filter("event_type = 'MERGED'").count()
+        print(f"merge {mode}: {res[mode]:.2f}s ({n_batch} batch rows, {n} landed)", flush=True)
+        shutil.rmtree(p, ignore_errors=True)
+    batch.unpersist()
+    print(f"\n| probe | rewrite | dv | speedup |\n| --- | --- | --- | --- |")
+    print(
+        f"| merge trickle ({n_batch} rows, every partition touched, 64x events) "
+        f"| {res['rewrite']:.2f} s | {res['dv']:.2f} s | "
+        f"{res['rewrite'] / res['dv']:.1f}x |"
+    )
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -602,6 +655,11 @@ def main() -> None:
 
     if "--r9-only" in sys.argv:
         r9_probes(spark, sf_dir)
+        spark.stop()
+        return
+
+    if "--r10-only" in sys.argv:
+        r10_probes(spark, sf_dir)
         spark.stop()
         return
 
