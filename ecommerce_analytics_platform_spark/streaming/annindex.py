@@ -133,11 +133,24 @@ def process_ann_batch(
 ) -> int:
     """Ingest one micro-batch into the IVF index: one broadcast-BLAS
     assignment pass, one ``append_once`` partitioned by ``list_id``.
-    Exactly-once under foreachBatch redelivery (txn no-op)."""
-    assigned = assign_to_lists(batch, id_col, vec_col, centroids).select(
-        F.col("__id").alias("cid"),
-        F.col("__nvec").alias("cvec"),
-        "list_id",
+    Exactly-once under foreachBatch redelivery (txn no-op).
+
+    The batch is CLUSTERED by ``list_id`` before the partitioned write
+    (one extra batch-bounded shuffle): without it every input task
+    writes a file into every touched list dir — at 1024 lists × 32
+    tasks that's 32k small files per batch, and the r10 probe measured
+    search wall 25 s instead of ~flat because the pruned read paid one
+    file-open per tiny file. Clustered, each list's rows land in ONE
+    file per batch, so a probed read opens n_probe·files-per-batch
+    files, not n_probe·tasks."""
+    assigned = (
+        assign_to_lists(batch, id_col, vec_col, centroids)
+        .select(
+            F.col("__id").alias("cid"),
+            F.col("__nvec").alias("cvec"),
+            "list_id",
+        )
+        .repartition("list_id")
     )
     if txn_id is not None:
         return index.append_once(assigned, txn_id, partition_by=["list_id"])

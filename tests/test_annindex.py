@@ -176,3 +176,20 @@ def test_compaction_preserves_search_results(spark, tmp_path, emb, centroids):
 def test_quantizer_roundtrip(spark, tmp_path, centroids):
     save_quantizer(spark, centroids, str(tmp_path / "q"))
     assert load_quantizer(spark, str(tmp_path / "q")) == centroids
+
+
+def test_ingest_writes_one_file_per_list_per_batch(spark, tmp_path, emb, centroids):
+    """Small-file guard (r10): the partitioned index write is clustered by
+    list_id first, so one micro-batch adds at most ONE file per touched
+    list — not one per input task per list (32x amplification measured at
+    the 64x probe: 32k files, search wall 25 s instead of ~flat)."""
+    import os
+    from collections import Counter
+
+    t = ManifestTable(spark, str(tmp_path / "idx"))
+    process_ann_batch(
+        spark, emb.repartition(8), t, centroids, "vec_id", "embedding", txn_id="b0"
+    )
+    files = t._read_manifest(t.latest_version())["files"]
+    per_list = Counter(os.path.dirname(f) for f in files)
+    assert per_list and max(per_list.values()) == 1
