@@ -327,7 +327,11 @@ def process_neardup_batch(
             # batch appends to
             new_index_rows = _capped_index_rows(new_index_rows, corpus, max_bucket)
         v = index.append_once(
-            new_index_rows, txn_id=f"neardup-index-{batch_id}",
+            # clustered by the partition col: one file per touched part per
+            # batch, not one per input task per part (the r10 64x probe
+            # measured 32x file amplification on the unclustered write)
+            new_index_rows.repartition("bucket_part"),
+            txn_id=f"neardup-index-{batch_id}",
             partition_by=["bucket_part"],
         )
         if bloom is not None:
@@ -457,7 +461,7 @@ def process_neardup_batch_hamming(
         if max_bucket is not None:
             new_index_rows = _capped_index_rows(new_index_rows, corpus, max_bucket)
         index.append_once(
-            new_index_rows,
+            new_index_rows.repartition("bucket_part"),
             txn_id=f"neardup-hamming-index-{batch_id}",
             partition_by=["bucket_part"],
         )
