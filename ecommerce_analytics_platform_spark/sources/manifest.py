@@ -757,16 +757,18 @@ class ManifestTable:
             partition_values=partition_values,
             apply_deletes=False,
         )
-        hits = (
-            self._with_position(raw)
-            .join(
+        # condition first, already-deleted anti-join on the survivors
+        # (same measured ordering lesson as _merge_via_dv: the anti key
+        # is the per-row __dv_file regexp); no-DV snapshots skip the
+        # anti-join entirely
+        hits = self._with_position(raw).filter(cond)
+        if self._read_manifest(read_version).get("dv"):
+            hits = hits.join(
                 self.deleted_positions(read_version),
                 ["__dv_file", "__dv_pos"],
                 "left_anti",
             )
-            .filter(cond)
-            .select("__dv_file", "__dv_pos")
-        )
+        hits = hits.select("__dv_file", "__dv_pos")
         stage = os.path.join("_dv", uuid.uuid4().hex[:12])
         os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
         hits.write.parquet(os.path.join(self.path, stage))
@@ -1098,16 +1100,21 @@ class ManifestTable:
             apply_deletes=False,
         )
         keys = aligned_batch.select(*unique_key).distinct()
-        hits = (
-            self._with_position(raw)
-            .join(
+        # key semi-join FIRST, already-deleted anti-join on the survivors:
+        # the anti-join's key is __dv_file (a per-row regexp over
+        # _metadata.file_path) — below the semi it runs on matched rows
+        # only; above it, on every row (measured 11.5 s vs 2.3 s over 38M
+        # rows). Skipped entirely when the snapshot carries no DVs.
+        hits = self._with_position(raw).join(
+            F.broadcast(keys), on=unique_key, how="left_semi"
+        )
+        if self._read_manifest(read_version).get("dv"):
+            hits = hits.join(
                 self.deleted_positions(read_version),
                 ["__dv_file", "__dv_pos"],
                 "left_anti",
             )
-            .join(F.broadcast(keys), on=unique_key, how="left_semi")
-            .select("__dv_file", "__dv_pos")
-        )
+        hits = hits.select("__dv_file", "__dv_pos")
         stage = os.path.join("_dv", uuid.uuid4().hex[:12])
         os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
         hits.write.parquet(os.path.join(self.path, stage))

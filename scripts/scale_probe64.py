@@ -534,55 +534,83 @@ def r9_probes(spark, sf_dir: str) -> None:
 
 def r10_probes(spark, sf_dir: str) -> None:
     """r10: MERGE delete-mode geometry (VERDICT r9 directive #6 'done'
-    criterion). A trickle batch — one updated row per partition, spread
-    across EVERY date partition of the 64x events table — through the two
-    delete modes. rewrite must rewrite every touched partition (here: the
-    whole table); dv writes tombstone addresses + appends the batch.
-    Expected: dv cost tracks CHANGED rows (~flat in table size), rewrite
-    cost tracks TOUCHED bytes (grows with the table)."""
+    criterion): hold CHANGED ROWS constant (one updated row per partition,
+    every partition touched — the trickle-update worst case for
+    partition-pruned rewrite) while the TABLE grows 1x → 64x. The claim
+    under test: rewrite cost tracks touched bytes (grows with the table),
+    dv cost tracks changed rows (stays ~flat — its scan is shared by both
+    modes; only the WRITE differs: KB tombstones + a 48-row append vs
+    rewriting every partition)."""
     import shutil
     import time
 
     from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
 
-    ev = (
-        spark.read.parquet(os.path.join(OUT_DIR, "events.parquet"))
-        .withColumn("d", F.to_date("ts"))
-    )
-    # one batch row per partition: the worst case for partition-pruned
-    # rewrite (every partition touched) and the best case for DV
-    batch = (
-        ev.withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy("d").orderBy("event_id")),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .withColumn("event_type", F.lit("MERGED"))
-    ).cache()
-    n_batch = batch.count()
-
-    res: dict[str, float] = {}
+    res: dict[str, dict[int, float]] = {"rewrite": {}, "dv": {}}
+    n_parts = 48
+    for scale, src in (
+        (1, _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")),
+        (COPIES, spark.read.parquet(os.path.join(OUT_DIR, "lineitem.parquet"))),
+    ):
+        li = src.withColumn(
+            "d", F.pmod(F.col("l_orderkey"), F.lit(n_parts)).cast("int")
+        ).withColumn("v", F.lit("old"))
+        batch = (
+            li.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("d").orderBy("l_orderkey", "l_partkey")
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("v", F.lit("new"))
+        ).cache()
+        n_batch = batch.count()
+        for mode in ("rewrite", "dv"):
+            p = os.path.join(OUT_DIR, f"_merge_{mode}_{scale}")
+            shutil.rmtree(p, ignore_errors=True)
+            t = ManifestTable(spark, p)
+            t.overwrite(li, partition_by=["d"])
+            t0 = time.perf_counter()
+            t.merge_delete_insert(
+                batch,
+                unique_key=["l_orderkey", "l_partkey"],
+                partition_by=["d"],
+                delete_mode=mode,
+            )
+            res[mode][scale] = time.perf_counter() - t0
+            # bytes the merge COMMIT added (new data files + dv parquet):
+            # the machine-independent view of 'cost tracks changed rows'
+            m1 = t._read_manifest(t.latest_version() - 1)
+            m2 = t._read_manifest(t.latest_version())
+            new_files = set(m2["files"]) - set(m1["files"])
+            new_dv = {
+                d
+                for lst in m2.get("dv", {}).values()
+                for d in lst
+            } - {d for lst in m1.get("dv", {}).values() for d in lst}
+            wrote = sum(
+                os.path.getsize(os.path.join(p, f)) for f in new_files | new_dv
+            )
+            res.setdefault(f"{mode}_bytes", {})[scale] = wrote
+            print(
+                f"{scale}x merge {mode}: {res[mode][scale]:.2f}s "
+                f"({n_batch} batch rows; commit wrote {wrote / 1e6:.2f} MB "
+                f"across {len(new_files | new_dv)} files)",
+                flush=True,
+            )
+            shutil.rmtree(p, ignore_errors=True)
+        batch.unpersist()
+    print("\n| mode | 1x | 64x (disk) | growth | 64x commit bytes |\n| --- | --- | --- | --- | --- |")
     for mode in ("rewrite", "dv"):
-        p = os.path.join(OUT_DIR, f"_merge_{mode}")
-        shutil.rmtree(p, ignore_errors=True)
-        t = ManifestTable(spark, p)
-        t.overwrite(ev, partition_by=["d"])
-        t0 = time.perf_counter()
-        t.merge_delete_insert(
-            batch, unique_key=["event_id"], partition_by=["d"], delete_mode=mode
+        r = res[mode]
+        print(
+            f"| merge trickle ({n_parts} changed rows, every partition touched) "
+            f"— {mode} | {r[1]:.2f} s | {r[COPIES]:.2f} s | "
+            f"{r[COPIES] / r[1]:.1f}x | "
+            f"{res[f'{mode}_bytes'][COPIES] / 1e6:.2f} MB |"
         )
-        res[mode] = time.perf_counter() - t0
-        n = t.read().filter("event_type = 'MERGED'").count()
-        print(f"merge {mode}: {res[mode]:.2f}s ({n_batch} batch rows, {n} landed)", flush=True)
-        shutil.rmtree(p, ignore_errors=True)
-    batch.unpersist()
-    print(f"\n| probe | rewrite | dv | speedup |\n| --- | --- | --- | --- |")
-    print(
-        f"| merge trickle ({n_batch} rows, every partition touched, 64x events) "
-        f"| {res['rewrite']:.2f} s | {res['dv']:.2f} s | "
-        f"{res['rewrite'] / res['dv']:.1f}x |"
-    )
 
 
 def main() -> None:
