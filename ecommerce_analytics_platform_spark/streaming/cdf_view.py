@@ -1,0 +1,157 @@
+"""Incremental materialized-view maintenance over the CDF stream.
+
+The canonical consumer of a Change Data Feed: keep an AGGREGATE view of a
+manifest table current by folding row-level deltas, never rescanning the
+base table. Inserts ADD to the group's accumulators, deletes SUBTRACT
+(retractable aggregates — SUM/COUNT here, the classes that admit exact
+retraction; MIN/MAX do not and need a rescan-on-retract strategy, which is
+why production engines restrict streaming-CDF views to additive aggs).
+
+Why this matters at 100 TB: a daily-refresh rollup over a 100 TB fact
+table costs a full scan per refresh; folding the day's CDF costs
+O(changed rows). Compaction / Z-order / DV materialization on the base
+emit ZERO change rows (`sources/cdf_stream.py` proves change-freeness
+from data), so maintenance commits never wake the view.
+
+Exactly-once: each micro-batch's fold lands via
+``merge_delete_insert(txn_id=f"{view}-{batch_id}")`` — foreachBatch
+redelivery no-ops, and the view is itself a ManifestTable, so downstream
+readers get snapshot isolation and can even stack ANOTHER CDF view on top.
+
+Correctness invariant (pytest-pinned): after ANY history of appends,
+merges (rewrite or DV mode), deletes, compactions on the base,
+``read_agg_view(view) == base.groupBy(keys).agg(sum, count)`` of the
+CURRENT snapshot. Groups whose count folds to zero become agg_count=0
+tombstone rows — filtered by ``read_agg_view``, reclaimed by
+``vacuum_zero_groups`` (a DV delete) on the maintenance cadence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.sources.cdf_stream import (
+    ManifestCDFDataSource,
+)
+from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+VIEW_PARTS = 16  # hash-partition count for the view table (prunes merges)
+
+
+def _fold_delta(changes: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """One micro-batch of CDF rows → per-group (d_sum, d_count): inserts
+    count +1, deletes −1. Pure map-side arithmetic + one hash aggregate."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    return (
+        changes.select(
+            *keys,
+            (sign * F.coalesce(F.col(value_col), F.lit(0))).alias("__dv"),
+            sign.alias("__dc"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.sum("__dv").alias("d_sum"),
+            F.sum("__dc").cast("long").alias("d_count"),
+        )
+    )
+
+
+def apply_view_delta(
+    view: ManifestTable,
+    delta: DataFrame,
+    keys: list[str],
+    txn_id: str,
+) -> None:
+    """Fold one delta into the view table exactly once.
+
+    Read ONLY the touched groups' partitions (the view is partitioned by a
+    key hash), add accumulators, drop groups whose count reaches zero, and
+    commit through the view's own merge (one atomic version). A redelivered
+    batch no-ops on the txn."""
+    if view.has_txn(txn_id):
+        return
+    part = F.pmod(F.xxhash64(*keys), F.lit(VIEW_PARTS)).cast("int")
+    delta = delta.withColumn("vpart", part)
+    if view.latest_version() is not None:
+        parts = [
+            r["vpart"] for r in delta.select("vpart").distinct().collect()
+        ]
+        cur = view.read(partition_values={"vpart": parts}).select(
+            *keys, "agg_sum", "agg_count"
+        )
+        merged = (
+            delta.join(cur, on=keys, how="left")
+            .select(
+                *keys,
+                "vpart",
+                (F.coalesce(F.col("agg_sum"), F.lit(0)) + F.col("d_sum")).alias(
+                    "agg_sum"
+                ),
+                (
+                    F.coalesce(F.col("agg_count"), F.lit(0)) + F.col("d_count")
+                ).cast("long").alias("agg_count"),
+            )
+        )
+    else:
+        merged = delta.select(
+            *keys,
+            "vpart",
+            F.col("d_sum").alias("agg_sum"),
+            F.col("d_count").cast("long").alias("agg_count"),
+        )
+    # Groups whose count reaches zero stay as agg_count=0 rows (a merge
+    # can only delete keys its batch carries, so dropping them here would
+    # leave the OLD row live); read_agg_view filters them out and
+    # vacuum_zero_groups reclaims them via deletion vectors on the
+    # maintenance cadence. Negative counts are impossible under
+    # per-version CDF semantics (a delete always retracts a prior insert).
+    view.merge_delete_insert(
+        merged,
+        unique_key=keys,
+        partition_by=["vpart"],
+        txn_id=txn_id,
+    )
+
+
+def read_agg_view(view: ManifestTable) -> DataFrame:
+    """The view's live groups (zero-count tombstone rows filtered)."""
+    return view.read().filter(F.col("agg_count") > 0).drop("vpart")
+
+
+def vacuum_zero_groups(view: ManifestTable) -> int:
+    """Reclaim dead groups (count folded to zero) — a DV delete, O(dead
+    groups), folded in physically by normal compaction."""
+    return view.delete_where(F.col("agg_count") <= 0)
+
+
+def start_cdf_agg_view(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+    available_now: bool = True,
+):
+    """readStream(manifest_cdf) → fold → exactly-once view merge.
+
+    Read the result through ``read_agg_view`` (filters zero-count
+    tombstones)."""
+    spark.dataSource.register(ManifestCDFDataSource)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        view = ManifestTable(batch.sparkSession, view_path)
+        delta = _fold_delta(batch, keys, value_col)
+        apply_view_delta(view, delta, keys, f"cdfview-{batch_id}")
+
+    writer = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", source_path)
+        .load()
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

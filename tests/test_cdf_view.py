@@ -1,0 +1,151 @@
+"""Incremental aggregate view over the CDF stream (streaming/cdf_view.py):
+after ANY history of appends / merges (both delete modes) / deletes /
+compactions on the base table, the view equals the batch groupBy of the
+CURRENT snapshot — maintained from row-level deltas, never a rescan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.operators.gdpr import compact
+from ecommerce_analytics_platform_spark.sources.cdf_stream import (
+    ManifestCDFDataSource,
+)
+from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+from ecommerce_analytics_platform_spark.streaming.cdf_view import (
+    read_agg_view,
+    start_cdf_agg_view,
+    vacuum_zero_groups,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(ManifestCDFDataSource)
+
+
+def _pass(spark, base_path, view_path, ckpt):
+    q = start_cdf_agg_view(
+        spark, base_path, view_path, ckpt, keys=["grp"], value_col="val"
+    )
+    q.awaitTermination()
+
+
+def _batch_truth(t: ManifestTable):
+    return sorted(
+        (r["grp"], r["s"], r["c"])
+        for r in t.read()
+        .groupBy("grp")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+
+
+def _view_rows(view: ManifestTable):
+    return sorted(
+        (r["grp"], r["agg_sum"], r["agg_count"])
+        for r in read_agg_view(view).collect()
+    )
+
+
+def test_view_tracks_base_through_arbitrary_history(spark, tmp_path):
+    base = ManifestTable(spark, str(tmp_path / "base"))
+    view_path = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [(i, f"g{i % 4}", i * 10, f"d{i % 2}") for i in range(20)]
+    base.overwrite(
+        spark.createDataFrame(rows, ["k", "grp", "val", "d"]), partition_by=["d"]
+    )
+    _pass(spark, base.path, view_path, ckpt)
+    view = ManifestTable(spark, view_path)
+    assert _view_rows(view) == _batch_truth(base)
+
+    # append + DV-mode merge (update two rows, insert one) in one pass
+    base.append(
+        spark.createDataFrame([(100, "g0", 7, "d0")], ["k", "grp", "val", "d"]),
+        partition_by=["d"],
+    )
+    base.merge_delete_insert(
+        spark.createDataFrame(
+            [(1, "g1", 999, "d1"), (101, "g3", 5, "d1")], ["k", "grp", "val", "d"]
+        ),
+        unique_key=["k"],
+        partition_by=["d"],
+        delete_mode="dv",
+    )
+    _pass(spark, base.path, view_path, ckpt)
+    assert _view_rows(view) == _batch_truth(base)
+
+    # rewrite-mode merge + plain delete, separate passes
+    base.merge_delete_insert(
+        spark.createDataFrame([(2, "g2", -50, "d0")], ["k", "grp", "val", "d"]),
+        unique_key=["k"],
+        partition_by=["d"],
+        delete_mode="rewrite",
+    )
+    _pass(spark, base.path, view_path, ckpt)
+    assert _view_rows(view) == _batch_truth(base)
+
+    base.delete_where("k in (4, 8, 12)")
+    _pass(spark, base.path, view_path, ckpt)
+    assert _view_rows(view) == _batch_truth(base)
+
+
+def test_maintenance_commits_do_not_wake_the_view(spark, tmp_path):
+    base = ManifestTable(spark, str(tmp_path / "base"))
+    view_path = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        base.append(
+            spark.createDataFrame([(i, "g", i, "d0")], ["k", "grp", "val", "d"]),
+            partition_by=["d"],
+        )
+    _pass(spark, base.path, view_path, ckpt)
+    view = ManifestTable(spark, view_path)
+    v = view.latest_version()
+
+    base.materialize_deletes()  # no-op here but commits nothing new
+    compact(spark, base, target_bytes=1 << 30, min_files=2)  # pure rewrite
+    _pass(spark, base.path, view_path, ckpt)
+    # the compaction netted zero CDF rows -> the view never committed
+    assert view.latest_version() == v
+    assert _view_rows(view) == _batch_truth(base)
+
+
+def test_zero_count_groups_tombstone_and_vacuum(spark, tmp_path):
+    base = ManifestTable(spark, str(tmp_path / "base"))
+    view_path = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    base.overwrite(
+        spark.createDataFrame(
+            [(1, "keep", 5, "d0"), (2, "dead", 9, "d0")], ["k", "grp", "val", "d"]
+        ),
+        partition_by=["d"],
+    )
+    _pass(spark, base.path, view_path, ckpt)
+    base.delete_where("grp = 'dead'")
+    _pass(spark, base.path, view_path, ckpt)
+    view = ManifestTable(spark, view_path)
+    assert _view_rows(view) == _batch_truth(base) == [("keep", 5, 1)]
+    # the dead group lingers as a tombstone row until vacuumed
+    assert view.read().filter("agg_count = 0").count() == 1
+    vacuum_zero_groups(view)
+    assert view.read().filter("agg_count = 0").count() == 0
+    assert _view_rows(view) == [("keep", 5, 1)]
+
+
+def test_redelivered_pass_is_exactly_once(spark, tmp_path):
+    base = ManifestTable(spark, str(tmp_path / "base"))
+    view_path = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    base.overwrite(
+        spark.createDataFrame([(1, "g", 4, "d0")], ["k", "grp", "val", "d"]),
+        partition_by=["d"],
+    )
+    _pass(spark, base.path, view_path, ckpt)
+    view = ManifestTable(spark, view_path)
+    v = view.latest_version()
+    _pass(spark, base.path, view_path, ckpt)  # nothing new
+    assert view.latest_version() == v and _view_rows(view) == [("g", 4, 1)]
