@@ -235,14 +235,18 @@ def _read_partition(table_path: str, part) -> Iterator[tuple]:
             yield (*by_pos[pos], "insert", part.version)
 
 
-# per-(dv file set, data file) position membership; tiny and per-task, so a
-# simple memo keyed by the dv-file tuple suffices
+# per-(dv file set, data file) position membership; tiny per task, but the
+# executor's Python worker is REUSED across tasks of a long-lived stream —
+# bound the memo so it cannot accrete one entry per DV generation forever
 _POS_MEMO: dict[tuple, dict[str, set[int]]] = {}
+_POS_MEMO_CAP = 64
 
 
 def _pos_in(table_path: str, dv_files: list[str], rel_file: str, pos: int) -> bool:
     key = (table_path, tuple(sorted(set(dv_files))))
     if key not in _POS_MEMO:
+        if len(_POS_MEMO) >= _POS_MEMO_CAP:
+            _POS_MEMO.clear()
         _POS_MEMO[key] = _dv_positions(table_path, dv_files)
     return pos in _POS_MEMO[key].get(rel_file, set())
 
