@@ -1290,6 +1290,43 @@ class ManifestTable:
             "_change_type", F.lit("insert")
         ).unionByName(deletes.withColumn("_change_type", F.lit("delete")))
 
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY: one row per retained version — commit
+        wall-clock, base version, files added/removed vs the base (or vs
+        the previous RETAINED version when the base was vacuumed), net
+        file count, whether the commit touched deletion vectors, and the
+        txn ids it introduced. Pure manifest metadata (KBs at any table
+        size); the operational commit-audit surface Delta exposes the
+        same way."""
+        rows = []
+        prev_files: set[str] = set()
+        prev_txns: set[str] = set()
+        prev_dv: dict = {}
+        for v in self._versions():
+            m = self._read_manifest(v)
+            cur = set(m["files"])
+            cur_txns = set(m.get("txns", []))
+            cur_dv = m.get("dv", {})
+            rows.append(
+                (
+                    v,
+                    m.get("ts"),
+                    m.get("base_version"),
+                    len(cur - prev_files),
+                    len(prev_files - cur),
+                    len(cur),
+                    cur_dv != prev_dv,
+                    sorted(cur_txns - prev_txns),
+                )
+            )
+            prev_files, prev_txns, prev_dv = cur, cur_txns, cur_dv
+        return self.spark.createDataFrame(
+            rows,
+            "version int, ts double, base_version int, files_added int, "
+            "files_removed int, files_total int, dv_changed boolean, "
+            "new_txns array<string>",
+        )
+
     def vacuum(self, keep_versions: int = 1, tmp_grace_sec: float = 3600.0) -> int:
         """Delete data files unreferenced by the newest ``keep_versions``
         manifests (and drop older manifests). Returns files removed.

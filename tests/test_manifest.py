@@ -345,3 +345,18 @@ def test_prune_by_partition_values_is_conservative():
     assert keep == ["p=1/b.parquet", "legacy.parquet", "q=7/p=1/c.parquet"]
     both = ManifestTable._prune_by_partition_values(files, {"p": [1], "q": [8]})
     assert both == ["p=1/b.parquet", "legacy.parquet"]
+
+
+def test_history_describes_commits(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(i, f"d{i % 2}") for i in range(8)], ["k", "d"])
+    t.overwrite(df, partition_by=["d"])                      # v1
+    t.append_once(df.limit(2), txn_id="tx-a", partition_by=["d"])  # v2
+    t.delete_where("k = 1")                                  # v3: DV only
+    h = {r["version"]: r for r in t.history().collect()}
+    assert set(h) == {1, 2, 3}
+    assert h[1]["files_added"] == h[1]["files_total"] > 0
+    assert h[2]["new_txns"] == ["tx-a"] and h[2]["files_removed"] == 0
+    assert h[3]["dv_changed"] and h[3]["files_added"] == 0
+    assert h[3]["files_total"] == h[2]["files_total"]
+    assert all(h[v]["ts"] is not None for v in h)
