@@ -24,6 +24,13 @@ merges (rewrite or DV mode), deletes, compactions on the base,
 CURRENT snapshot. Groups whose count folds to zero become agg_count=0
 tombstone rows — filtered by ``read_agg_view``, reclaimed by
 ``vacuum_zero_groups`` (a DV delete) on the maintenance cadence.
+
+Floating-point contract: incremental double sums fold in a different
+order than a one-shot groupBy, so they match the rescan within normal
+distributed-sum non-associativity (exact at 4+ decimals on the probe
+corpus; counts and integer/decimal sums are exact). This is the same
+contract any retraction-based engine (Flink, Materialize) gives for
+float aggregates.
 """
 
 from __future__ import annotations

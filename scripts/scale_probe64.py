@@ -613,6 +613,88 @@ def r10_probes(spark, sf_dir: str) -> None:
         )
 
 
+def r10_view_probe(spark) -> None:
+    """CDF aggregate-view refresh cost vs base size: a constant 1k-row
+    trickle commit folded through the CDF stream at 1x vs 64x base. The
+    claim: refresh cost is INDEPENDENT of base size (it reads the change
+    rows + touched view partitions), while the full-rescan twin grows
+    with the base — the crossover is wherever rescan exceeds the view's
+    fixed streaming+merge overhead. Equality is checked at 4 decimals
+    (incremental double sums fold in a different order than one-shot
+    groupBy — standard distributed-sum non-associativity, counts exact)."""
+    import shutil
+    import time
+
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+    from ecommerce_analytics_platform_spark.streaming.cdf_view import (
+        read_agg_view,
+        start_cdf_agg_view,
+    )
+
+    ev64 = spark.read.parquet(os.path.join(OUT_DIR, "events.parquet")).select(
+        "event_id", F.col("user_id").alias("grp"), F.col("value").alias("val")
+    )
+    rows = []
+    for scale in (1, COPIES):
+        ev = ev64 if scale == COPIES else ev64.filter(
+            F.col("event_id") < 100_000
+        )
+        root = os.path.join(OUT_DIR, f"_cdfview_{scale}")
+        shutil.rmtree(root, ignore_errors=True)
+        base = ManifestTable(spark, os.path.join(root, "base"))
+        base.overwrite(ev.repartition(32))
+
+        def one_pass():
+            q = start_cdf_agg_view(
+                spark,
+                base.path,
+                os.path.join(root, "view"),
+                os.path.join(root, "ckpt"),
+                keys=["grp"],
+                value_col="val",
+            )
+            q.awaitTermination()
+
+        one_pass()  # initial build (untimed here; the refresh is the claim)
+        trickle = ev.orderBy("event_id").limit(1000).withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000_000)
+        )
+        base.append(trickle.coalesce(1))
+        t0 = time.perf_counter()
+        one_pass()
+        incr = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        rescan = (
+            base.read()
+            .groupBy("grp")
+            .agg(
+                F.round(F.sum("val"), 4).alias("agg_sum"),
+                F.count(F.lit(1)).alias("agg_count"),
+            )
+        )
+        rescan.write.format("noop").mode("overwrite").save()
+        full = time.perf_counter() - t0
+
+        view = ManifestTable(spark, os.path.join(root, "view"))
+        got = read_agg_view(view).select(
+            "grp", F.round("agg_sum", 4).alias("agg_sum"), "agg_count"
+        )
+        diff = got.exceptAll(rescan).count() + rescan.exceptAll(got).count()
+        rows.append((scale, incr, full, diff))
+        print(
+            f"{scale}x: refresh {incr:.2f}s rescan {full:.2f}s "
+            f"mismatch_rows {diff}",
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+    print("\n| base | view refresh (1k-row commit) | full-rescan twin | equal |")
+    print("| --- | --- | --- | --- |")
+    for scale, incr, full, diff in rows:
+        print(f"| {scale}x | {incr:.2f} s | {full:.2f} s | {diff == 0} |")
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -688,6 +770,11 @@ def main() -> None:
 
     if "--r10-only" in sys.argv:
         r10_probes(spark, sf_dir)
+        spark.stop()
+        return
+
+    if "--r10-view-only" in sys.argv:
+        r10_view_probe(spark)
         spark.stop()
         return
 
