@@ -118,6 +118,11 @@ def apply_view_delta(
         unique_key=keys,
         partition_by=["vpart"],
         txn_id=txn_id,
+        # trickle view updates (few groups out of many) route through
+        # deletion vectors instead of rewriting whole view partitions;
+        # large folds (initial build, backfill) still rewrite — the same
+        # auto dispatch the base tables use
+        delete_mode="auto",
     )
 
 
