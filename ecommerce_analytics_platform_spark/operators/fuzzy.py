@@ -180,6 +180,12 @@ def _deletion_variants(s: Column, max_edits: int) -> Column:
     raise ValueError("deletion neighborhood supports max_edits in {1, 2}")
 
 
+# rows the auto-dispatch stats pass inspects; enough that avg length and
+# posting degeneracy are stable, small enough that the pre-pass never
+# rivals the join itself (limit() short-circuits the scan)
+_STATS_SAMPLE_ROWS = 100_000
+
+
 def _choose_method(base: DataFrame, d: int, q: int) -> str:
     """Stats-driven fastss-vs-qgram dispatch (VERDICT r9 directive #8).
 
@@ -202,13 +208,21 @@ def _choose_method(base: DataFrame, d: int, q: int) -> str:
     the cutoff qgram wins unless its postings are provably degenerate
     (avg posting > 64) AND the neighborhood is still tolerable (d=1,
     ``avg_len`` ≤ 1024). The exploded stats are re-weighted by 1/ngrams
-    so ``avg_len`` is per-ROW, not per-gram."""
+    so ``avg_len`` is per-ROW, not per-gram.
+
+    The stats pass runs on a BOUNDED sample (``limit``-ed to
+    ``_STATS_SAMPLE_ROWS``; ADVICE r10: an eager full explode+agg over
+    a large uncached input added a whole extra scan-and-shuffle before
+    the join, and the avg-length / posting-degeneracy signal survives
+    sampling — the dispatch compares order-of-magnitude geometry, not
+    exact counts)."""
     if d > 2:
         return "qgram"  # deletion neighborhood unsupported/explosive
     g = F.explode_outer(_distinct_qgrams(F.col("__s"), q)).alias("g")
     w = F.lit(1.0) / F.greatest(F.col("__ng"), F.lit(1)).cast("double")
     row = (
-        base.select(
+        base.limit(_STATS_SAMPLE_ROWS)
+        .select(
             "__len", F.size(_distinct_qgrams(F.col("__s"), q)).alias("__ng"), g
         )
         .agg(

@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +56,37 @@ from ecommerce_analytics_platform_spark.sources.evolution import (
 )
 
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _norm_part_value(v) -> str | None:
+    """A partition VALUE normalized for path-segment comparison: None
+    stays None (matched against the hive default-partition sentinel),
+    everything else via ``str`` (dates/ints/strings round-trip; the same
+    normalization Spark's partition writer uses for these types)."""
+    return None if v is None else str(v)
+
+
+def _decode_hive_seg(raw: str) -> str | None:
+    """A hive ``col=value`` path VALUE decoded for comparison: the null
+    sentinel becomes None; percent-escapes (Spark escapes ``/ : %`` etc.
+    with ``%XX`` on write) are unquoted. ADVICE r10: comparing raw
+    segments against ``str(value)`` silently pruned away the very files
+    holding NULL or escaped partition values."""
+    if raw == _HIVE_NULL:
+        return None
+    return urllib.parse.unquote(raw)
+
+
+def _hive_dir_values(dirname: str) -> dict[str, str | None]:
+    """Decoded ``{col: value}`` of a partition dir path ('' → {})."""
+    out: dict[str, str | None] = {}
+    for seg in dirname.split(os.sep):
+        if "=" in seg and not seg.startswith("_"):
+            k, v = seg.split("=", 1)
+            out[k] = _decode_hive_seg(v)
+    return out
 
 
 class ConcurrentWriteConflict(RuntimeError):
@@ -667,16 +699,21 @@ class ManifestTable:
         """Manifest-level partition pruning: keep files whose hive-style
         path segments match ``{col: allowed values}``. Files lacking a
         ``col=`` segment (pre-partitioning legacy commits) are kept
-        conservatively — they may hold any value."""
+        conservatively — they may hold any value.
+
+        Matching is over DECODED segments (``_decode_hive_seg``): a NULL
+        partition value matches the ``__HIVE_DEFAULT_PARTITION__``
+        sentinel and hive-escaped values (space, slash, colon) match
+        their unquoted form — ADVICE r10: the raw-segment-vs-``str(v)``
+        comparison pruned away exactly the files holding those rows."""
         allowed = {
-            col: {str(v) for v in vals} for col, vals in partition_values.items()
+            col: {_norm_part_value(v) for v in vals}
+            for col, vals in partition_values.items()
         }
         out = []
         for f in files:
             keep = True
-            segs = dict(
-                s.split("=", 1) for s in f.split(os.sep)[:-1] if "=" in s
-            )
+            segs = _hive_dir_values(os.path.dirname(f))
             for col, vals in allowed.items():
                 if col in segs and segs[col] not in vals:
                     keep = False
@@ -691,10 +728,20 @@ class ManifestTable:
 
     def _rel_file_col(self):
         """The scan's ``_metadata.file_path`` (a ``file:`` URI) as a
-        table-relative path — the SAME normalization on the write side
-        (delete_where) and the read side (the anti-join), so matching is
-        by construction."""
+        table-relative ON-DISK path — the SAME normalization on the write
+        side (delete_where) and the read side (the anti-join), so matching
+        is by construction.
+
+        The URI percent-encodes path characters (a hive-escaped dir
+        ``d=a%2Fb`` arrives as ``d=a%252Fb``, a space as ``%20``), while
+        the manifest stores the literal on-disk names — so the URI must
+        be DECODED before comparing against manifest entries (ADVICE-r10
+        fallout: DV addresses under NULL/escaped partition dirs never
+        matched their manifest files). ``url_decode`` also maps ``+`` to
+        space (URLDecoder semantics), which a filesystem path must NOT —
+        literal ``+`` is first re-escaped to ``%2B`` so it round-trips."""
         p = F.regexp_replace(F.col("_metadata.file_path"), r"^file:/+", "/")
+        p = F.url_decode(F.regexp_replace(p, r"\+", "%2B"))
         return F.regexp_replace(p, "^" + re.escape(self.path + os.sep), "")
 
     def _with_position(self, df: DataFrame) -> DataFrame:
@@ -1088,9 +1135,18 @@ class ManifestTable:
         address and append the batch files — ONE atomic manifest commit,
         so readers never see the delete without the insert (or vice
         versa). Cost ∝ matched rows + batch bytes; zero data-file
-        rewrites. Conflicts (a concurrent commit rewrote a tombstoned
-        file) raise :class:`ConcurrentWriteConflict` for the caller's
-        re-derive loop, same contract as the rewrite path."""
+        rewrites.
+
+        Conflict window (same contract as the rewrite path, ADVICE r10):
+        a commit is aborted with :class:`ConcurrentWriteConflict` when a
+        tombstoned data file left the snapshot (stale addresses) OR when
+        ANY commit in ``(read_version, commit base]`` touched an affected
+        partition dir — a racing append/merge may have inserted rows with
+        the same unique key that this merge's anti-state never saw;
+        committing over it would leave duplicate keys. The caller's
+        re-derive loop then recomputes against the new snapshot, exactly
+        as ``replace_partitions(expected_base=...)`` forces on the
+        rewrite path."""
         partition_values = {
             c: sorted({r[c] for r in part_vals}, key=str) for c in partition_by
         }
@@ -1133,6 +1189,27 @@ class ManifestTable:
         ) if dv_files else []
         files_new = self._write_files(aligned_batch, partition_by)
 
+        # decoded allowed values per partition column, for the
+        # concurrent-commit overlap check below
+        affected_vals = {
+            c: {_norm_part_value(r[c]) for r in part_vals} for c in partition_by
+        }
+
+        def _overlaps_affected(dirs: set[str]) -> list[str]:
+            hits = []
+            for d in dirs:
+                if d == "*":
+                    return ["*"]
+                segs = _hive_dir_values(d)
+                # a dir overlaps unless some partition column PROVES
+                # disjointness; dirs lacking the column are conservative
+                if all(
+                    c not in segs or segs[c] in vals
+                    for c, vals in affected_vals.items()
+                ):
+                    hits.append(d)
+            return hits
+
         def apply(base, m):
             if txn_id is not None and m and txn_id in m.get("txns", []):
                 return None
@@ -1142,6 +1219,16 @@ class ManifestTable:
                 raise ConcurrentWriteConflict(
                     f"merge(dv): tombstoned data files were removed/"
                     f"rewritten by a concurrent commit: {missing[:3]}"
+                )
+            raced = _overlaps_affected(self._touched_since(read_version, base))
+            if raced:
+                # a concurrent commit added/removed files in an affected
+                # partition — it may carry this merge's unique keys, which
+                # the anti-state derived at read_version never saw
+                raise ConcurrentWriteConflict(
+                    f"merge(dv): affected partitions were modified by a "
+                    f"concurrent commit (base v{read_version} -> v{base}): "
+                    f"{sorted(raced)[:3]}"
                 )
             dv = {
                 f: list(lst)

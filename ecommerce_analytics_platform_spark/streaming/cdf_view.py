@@ -47,19 +47,26 @@ VIEW_PARTS = 16  # hash-partition count for the view table (prunes merges)
 
 
 def _fold_delta(changes: DataFrame, keys: list[str], value_col: str) -> DataFrame:
-    """One micro-batch of CDF rows → per-group (d_sum, d_count): inserts
-    count +1, deletes −1. Pure map-side arithmetic + one hash aggregate."""
+    """One micro-batch of CDF rows → per-group (d_sum, d_count, d_nn):
+    inserts count +1, deletes −1. ``d_nn`` tracks NON-NULL values so the
+    view can reproduce SQL SUM's null semantics (ADVICE r10: coalescing
+    NULL to 0 alone made an all-NULL group read agg_sum=0 where the batch
+    truth is NULL). Pure map-side arithmetic + one hash aggregate."""
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
     return (
         changes.select(
             *keys,
             (sign * F.coalesce(F.col(value_col), F.lit(0))).alias("__dv"),
             sign.alias("__dc"),
+            F.when(F.col(value_col).isNotNull(), sign).otherwise(F.lit(0)).alias(
+                "__dn"
+            ),
         )
         .groupBy(*keys)
         .agg(
             F.sum("__dv").alias("d_sum"),
             F.sum("__dc").cast("long").alias("d_count"),
+            F.sum("__dn").cast("long").alias("d_nn"),
         )
     )
 
@@ -85,7 +92,7 @@ def apply_view_delta(
             r["vpart"] for r in delta.select("vpart").distinct().collect()
         ]
         cur = view.read(partition_values={"vpart": parts}).select(
-            *keys, "agg_sum", "agg_count"
+            *keys, "agg_sum", "agg_count", "agg_nn"
         )
         merged = (
             delta.join(cur, on=keys, how="left")
@@ -98,6 +105,9 @@ def apply_view_delta(
                 (
                     F.coalesce(F.col("agg_count"), F.lit(0)) + F.col("d_count")
                 ).cast("long").alias("agg_count"),
+                (
+                    F.coalesce(F.col("agg_nn"), F.lit(0)) + F.col("d_nn")
+                ).cast("long").alias("agg_nn"),
             )
         )
     else:
@@ -106,6 +116,7 @@ def apply_view_delta(
             "vpart",
             F.col("d_sum").alias("agg_sum"),
             F.col("d_count").cast("long").alias("agg_count"),
+            F.col("d_nn").cast("long").alias("agg_nn"),
         )
     # Groups whose count reaches zero stay as agg_count=0 rows (a merge
     # can only delete keys its batch carries, so dropping them here would
@@ -127,8 +138,18 @@ def apply_view_delta(
 
 
 def read_agg_view(view: ManifestTable) -> DataFrame:
-    """The view's live groups (zero-count tombstone rows filtered)."""
-    return view.read().filter(F.col("agg_count") > 0).drop("vpart")
+    """The view's live groups (zero-count tombstone rows filtered).
+    ``agg_sum`` follows SQL SUM null semantics: a group whose live rows
+    are all NULL-valued reads NULL, not the fold's internal 0 (the
+    non-null counter ``agg_nn`` disambiguates; ADVICE r10)."""
+    return (
+        view.read()
+        .filter(F.col("agg_count") > 0)
+        .withColumn(
+            "agg_sum", F.when(F.col("agg_nn") > 0, F.col("agg_sum"))
+        )
+        .drop("vpart", "agg_nn")
+    )
 
 
 def vacuum_zero_groups(view: ManifestTable) -> int:

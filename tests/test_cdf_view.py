@@ -149,3 +149,31 @@ def test_redelivered_pass_is_exactly_once(spark, tmp_path):
     v = view.latest_version()
     _pass(spark, base.path, view_path, ckpt)  # nothing new
     assert view.latest_version() == v and _view_rows(view) == [("g", 4, 1)]
+
+
+def test_all_null_value_group_reads_null_sum(spark, tmp_path):
+    """ADVICE r10: a group whose live rows all carry NULL values must read
+    agg_sum = NULL (SQL SUM semantics), matching the batch rescan — not
+    the fold's internal 0."""
+    base = ManifestTable(spark, str(tmp_path / "base"))
+    view_path = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    base.overwrite(
+        spark.createDataFrame(
+            [(1, "nullgrp", None, "d0"), (2, "mixed", None, "d0"), (3, "mixed", 7, "d0")],
+            "k int, grp string, val int, d string",
+        ),
+        partition_by=["d"],
+    )
+    _pass(spark, base.path, view_path, ckpt)
+    view = ManifestTable(spark, view_path)
+    assert _view_rows(view) == _batch_truth(base)
+    assert _view_rows(view) == [("mixed", 7, 2), ("nullgrp", None, 1)]
+
+    # deleting the non-null row flips 'mixed' to all-NULL -> NULL sum
+    base.delete_where("k = 3")
+    _pass(spark, base.path, view_path, ckpt)
+    assert _view_rows(view) == _batch_truth(base) == [
+        ("mixed", None, 1),
+        ("nullgrp", None, 1),
+    ]

@@ -302,3 +302,119 @@ def test_merge_dv_change_feed_shows_update_pair(spark, tmp_path):
         for r in t.changes_between(1, 2).select("k", "user", "_change_type").collect()
     }
     assert ch == {(3, "u3", "delete"), (3, "UPD", "insert"), (99, "NEW", "insert")}
+
+
+# -- ADVICE r10: DV-merge partition pruning vs NULL / hive-escaped values ----
+
+
+def _hostile_table(spark, path):
+    """Partition values the raw-segment prune used to mishandle: NULL
+    (written as __HIVE_DEFAULT_PARTITION__) and hive-escaped strings
+    (space, slash, colon percent-encode on write)."""
+    t = ManifestTable(spark, str(path))
+    rows = [
+        (1, "a", None),
+        (2, "b", None),
+        (3, "c", "has space"),
+        (4, "d", "a/b:c"),
+        (5, "e", "plain"),
+    ]
+    t.overwrite(
+        spark.createDataFrame(rows, "k int, user string, d string"),
+        partition_by=["d"],
+    )
+    return t
+
+
+@pytest.mark.parametrize("mode", ["dv", "auto"])
+def test_merge_dv_null_and_escaped_partition_values(spark, tmp_path, mode):
+    """ADVICE r10 #1: a DV/auto merge into a NULL or hive-escaped
+    partition must tombstone the matched rows — the old str(value) prune
+    dropped exactly those files, silently leaving duplicate unique keys."""
+    t = _hostile_table(spark, tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(1, "A2", None), (3, "C2", "has space"), (4, "D2", "a/b:c")],
+        "k int, user string, d string",
+    )
+    t.merge_delete_insert(
+        batch, unique_key=["k"], partition_by=["d"], delete_mode=mode
+    )
+    got = sorted((r.k, r.user) for r in t.read().collect())
+    assert got == [(1, "A2"), (2, "b"), (3, "C2"), (4, "D2"), (5, "e")]
+    # unique-key contract held: no duplicates
+    assert t.read().groupBy("k").count().filter("count > 1").count() == 0
+
+
+def test_read_partition_values_null_and_escaped(spark, tmp_path):
+    """read(partition_values=...) matches NULL against the hive default
+    sentinel and escaped values against their decoded form."""
+    t = _hostile_table(spark, tmp_path / "t")
+    assert {r.k for r in t.read(partition_values={"d": [None]}).collect()} == {1, 2}
+    assert {
+        r.k for r in t.read(partition_values={"d": ["has space", "a/b:c"]}).collect()
+    } == {3, 4}
+
+
+def test_delete_where_null_partition_prune(spark, tmp_path):
+    t = _hostile_table(spark, tmp_path / "t")
+    t.delete_where("user = 'a'", partition_values={"d": [None]})
+    assert {r.k for r in t.read().collect()} == {2, 3, 4, 5}
+
+
+# -- ADVICE r10: DV-merge conflict window matches the rewrite path ----------
+
+
+def _dv_merge_inputs(t, spark, batch_rows):
+    batch = spark.createDataFrame(batch_rows, "k int, user string, d string")
+    aligned, union = t._evolved(batch)
+    part_vals = batch.select("d").distinct().collect()
+    return aligned, union, part_vals
+
+
+def test_merge_dv_conflicts_on_concurrent_commit_in_affected_partition(
+    spark, tmp_path
+):
+    """ADVICE r10 #2: a commit landing in an affected partition between
+    the merge's read and its publish must raise ConcurrentWriteConflict —
+    it may carry the same unique key, and the anti-state never saw it."""
+    t = _mk(spark, tmp_path / "t", parts=True)  # v1
+    aligned, union, part_vals = _dv_merge_inputs(
+        t, spark, [(3, "UPD", "d0")]
+    )
+    # racing append inserts the SAME key into the affected partition
+    t.append(
+        spark.createDataFrame([(3, "RACE", "d0")], "k int, user string, d string"),
+        partition_by=["d"],
+    )
+    with pytest.raises(ConcurrentWriteConflict):
+        t._merge_via_dv(1, aligned, union, ["k"], ["d"], part_vals, None)
+
+
+def test_merge_dv_commutes_with_disjoint_partition_commit(spark, tmp_path):
+    """A concurrent commit in a DIFFERENT partition commutes (no abort)."""
+    t = _mk(spark, tmp_path / "t", parts=True)  # v1
+    aligned, union, part_vals = _dv_merge_inputs(
+        t, spark, [(3, "UPD", "d0")]
+    )
+    t.append(
+        spark.createDataFrame([(200, "ok", "d1")], "k int, user string, d string"),
+        partition_by=["d"],
+    )
+    t._merge_via_dv(1, aligned, union, ["k"], ["d"], part_vals, None)
+    got = {(r.k, r.user) for r in t.read().filter("k in (3, 200)").collect()}
+    assert got == {(3, "UPD"), (200, "ok")}
+
+
+def test_merge_dv_public_retry_converges_after_conflict(spark, tmp_path):
+    """The public merge loop re-derives on conflict: two sequential
+    dv-mode merges of the same key land with a single survivor."""
+    t = _mk(spark, tmp_path / "t", parts=True)
+    for tag in ("first", "second"):
+        t.merge_delete_insert(
+            spark.createDataFrame([(3, tag, "d0")], "k int, user string, d string"),
+            unique_key=["k"],
+            partition_by=["d"],
+            delete_mode="dv",
+        )
+    rows = t.read().filter("k = 3").collect()
+    assert len(rows) == 1 and rows[0].user == "second"
