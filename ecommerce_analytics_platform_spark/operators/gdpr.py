@@ -174,10 +174,19 @@ def compact(
     if len(small) < min_files:
         return {"files_in": 0, "files_out": 0, "version": v}
     paths = [os.path.join(table.path, f) for f in small]
-    df = spark.read.option("basePath", table.path).parquet(*paths)
+    # read the LIVE rows (deletion vectors applied) via the snapshot, not
+    # the raw files — compacting a DV-carrying file from raw bytes would
+    # RESURRECT its logically-deleted rows (r11 regression pin). This also
+    # folds the touched files' DVs in, like OPTIMIZE does.
+    df = table.read(version=v, keep_files=set(small))
     total = sum(os.path.getsize(p) for p in paths)
     n_out = max(1, -(-total // target_bytes))
     version = table.replace_files(
-        small, df.coalesce(n_out), partition_by=table.partition_columns() or None
+        small,
+        df.coalesce(n_out),
+        partition_by=table.partition_columns() or None,
+        # live rows in == live rows out: a row-preserving maintenance
+        # commit — CDF readers skip it at O(metadata)
+        data_change=False,
     )
     return {"files_in": len(small), "files_out": n_out, "version": version}

@@ -109,6 +109,9 @@ class ManifestTable:
         # set_stats_columns commit
         self._staged_stats: dict[str, dict] = {}
         self._pending_stats_columns = self._UNSET
+        # row-preservation flag for the NEXT commit (replace_files
+        # data_change=False sets it around its publish; default True)
+        self._pending_data_change = True
 
     # -- log ---------------------------------------------------------------
 
@@ -212,6 +215,11 @@ class ManifestTable:
                 # the snapshot's declared read schema (additive evolution
                 # — see sources/evolution.py); absent in legacy manifests
                 doc["schema"] = schema_json
+            if self._pending_data_change is False:
+                # Delta-style dataChange=false: this commit preserves the
+                # logical row multiset (compaction / clustering / DV
+                # materialization) — CDF readers skip it at O(metadata)
+                doc["data_change"] = False
             if dv:
                 # deletion vectors: {data_file: [dv parquet files]} — rows
                 # of a data file whose (file, pos) appear in its DV files
@@ -588,12 +596,27 @@ class ManifestTable:
         remove: list[str],
         df: DataFrame,
         partition_by: list[str] | None = None,
+        txn_id: str | None = None,
+        data_change: bool = True,
     ) -> int:
         """File-level surgical commit: drop exactly ``remove`` (absolute or
         table-relative paths) from the snapshot and add ``df``'s files;
         every other file carries over BY REFERENCE. This is the erasure /
         compaction primitive — rewrite cost is bounded by the files
         actually touched, never table size (operators/gdpr.py).
+
+        ``data_change=False`` stamps the commit as ROW-PRESERVING (the
+        Delta ``dataChange=false`` maintenance flag, VERDICT r10 #1): the
+        logical row multiset of the snapshot is unchanged — compaction,
+        clustering rewrites, DV materialization. CDF consumers
+        (sources/cdf_stream.py) skip flagged versions at O(metadata)
+        instead of reading every rewritten byte to prove cancellation;
+        ``changes_between`` still proves change-freeness from the data,
+        which is exactly how tests keep the flag honest. Callers MUST NOT
+        set it on commits that add/drop/modify logical rows.
+
+        ``txn_id`` makes the rewrite exactly-once (maintenance plans are
+        re-runnable: a redelivered compaction step no-ops).
 
         Concurrency class: commutes with commits that leave ``remove``
         alone (appends, other-file rewrites); if a concurrent commit
@@ -603,9 +626,11 @@ class ManifestTable:
             os.path.relpath(p, self.path) if os.path.isabs(p) else p for p in remove
         }
         df, union = self._evolved(df)
-        new_files = self._write_files(df, partition_by)
+        staged: list[list[str]] = []
 
         def apply(base, m):
+            if txn_id is not None and m and txn_id in m.get("txns", []):
+                return None  # duplicate delivery → idempotent no-op
             prev = m["files"] if m else []
             unknown = rel_remove - set(prev)
             if unknown:
@@ -613,14 +638,23 @@ class ManifestTable:
                     f"not in current snapshot (rewritten or removed by a "
                     f"concurrent commit?): {sorted(unknown)[:3]}"
                 )
+            if not staged:  # write data files once, on first need
+                staged.append(self._write_files(df, partition_by))
             kept = [f for f in prev if f not in rel_remove]
+            txns = self._base_txns(m)
+            if txn_id is not None:
+                txns.append(txn_id)
             # the declared schema must advance with the union the batch
             # was aligned to (ADVICE r7: dropping it left new columns in
             # the written files but invisible to the explicit read schema
             # — the exact silent loss evolution.py exists to prevent)
-            return kept + new_files, self._base_txns(m), self._rebased_schema_json(m, union)
+            return kept + staged[0], txns, self._rebased_schema_json(m, union)
 
-        return self._publish(apply)
+        self._pending_data_change = data_change
+        try:
+            return self._publish(apply)
+        finally:
+            self._pending_data_change = True
 
     def _check_partition_layout(self, partition_by: list[str] | None) -> None:
         """Appending UNPARTITIONED files into a hive-partitioned table (or
@@ -884,8 +918,13 @@ class ManifestTable:
         if not targets:
             return v
         cleaned = self.read(version=v, keep_files=set(targets))
+        # folding DVs into rewritten files leaves the LIVE row multiset
+        # untouched — a dataChange=false maintenance commit by definition
         return self.replace_files(
-            targets, cleaned, partition_by=self.partition_columns(v) or None
+            targets,
+            cleaned,
+            partition_by=self.partition_columns(v) or None,
+            data_change=False,
         )
 
     def read(

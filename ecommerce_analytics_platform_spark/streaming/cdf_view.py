@@ -10,8 +10,9 @@ why production engines restrict streaming-CDF views to additive aggs).
 Why this matters at 100 TB: a daily-refresh rollup over a 100 TB fact
 table costs a full scan per refresh; folding the day's CDF costs
 O(changed rows). Compaction / Z-order / DV materialization on the base
-emit ZERO change rows (`sources/cdf_stream.py` proves change-freeness
-from data), so maintenance commits never wake the view.
+emit ZERO change rows (writer-stamped ``data_change=false`` → skipped at
+O(metadata); unflagged rewrites prove cancellation from data), so
+maintenance commits never wake the view.
 
 Exactly-once: each micro-batch's fold lands via
 ``merge_delete_insert(txn_id=f"{view}-{batch_id}")`` — foreachBatch

@@ -130,7 +130,8 @@ def test_exactly_once_under_redelivery(spark, tmp_path):
 
 def test_compaction_nets_zero(spark, tmp_path):
     """An OPTIMIZE-style compaction commit (pure rewrite) streams ZERO
-    rows — cancellation proved from data, no dataChange flag needed."""
+    rows — since r11 via the writer's data_change=false stamp (O(metadata)
+    skip); changes_between still proves the zero from data."""
     t = ManifestTable(spark, str(tmp_path / "t3"))
     for i in range(4):  # 4 tiny appends → small-file buildup
         t.append(spark.createDataFrame([(i, f"v{i}")], ["k", "v"]))
@@ -182,3 +183,84 @@ def test_schema_evolution_backfills_null(spark, tmp_path):
     assert by_k[1]["w"] is None
     assert by_k[2]["w"] == 9.5
     assert all(r["_change_type"] == "insert" for r in got)
+
+
+# -- VERDICT r10 #1: dataChange=false maintenance + distributed _FullDiff ----
+
+
+def _reader(t, **opts):
+    return ManifestCDFStreamReader(
+        ManifestCDFDataSource(options={"path": t.path}).schema(),
+        {"path": t.path, **opts},
+    )
+
+
+def test_data_change_flag_stamped_and_skipped_at_metadata(spark, tmp_path):
+    """Maintenance commits carry data_change=false in the manifest; the
+    CDF reader plans ZERO partitions for them (no file opened), and
+    changes_between proves the flag honest (zero row diff)."""
+    import json as _json
+    import os as _os
+
+    t = _mk(spark, tmp_path / "t7")  # v1
+    t.delete_where("k = 0")  # v2: DV
+    t.materialize_deletes()  # v3: fold-in -> flagged
+    compact(spark, t, target_bytes=1 << 30, min_files=2)  # v4: flagged
+    for v, flagged in [(1, False), (2, False), (3, True), (4, True)]:
+        m = _json.load(
+            open(_os.path.join(t.path, "_manifests", f"v{v}.json"))
+        )
+        assert (m.get("data_change", True) is False) == flagged
+    reader = _reader(t)
+    assert reader.partitions({"version": 2}, {"version": 4}) == []
+    # the flag is honest: the data-level diff of each flagged version is 0
+    assert t.changes_between(2, 3).count() == 0
+    assert t.changes_between(3, 4).count() == 0
+
+
+def test_rewrite_commit_plans_one_diff_task_per_partition_dir(spark, tmp_path):
+    """An UNFLAGGED rewrite touching N hive partitions plans N _FullDiff
+    tasks (VERDICT r10 wrong #1: was one task for the whole commit), and
+    the streamed union still equals changes_between."""
+    from ecommerce_analytics_platform_spark.sources.cdf_stream import _FullDiff
+
+    t = ManifestTable(spark, str(tmp_path / "t8"))
+    rows = [(i, f"v{i}", f"d{i % 3}") for i in range(12)]
+    t.overwrite(spark.createDataFrame(rows, ["k", "v", "d"]), partition_by=["d"])
+    # rewrite-mode merge touching ALL THREE partitions in one commit (v2)
+    batch = spark.createDataFrame(
+        [(0, "U0", "d0"), (1, "U1", "d1"), (2, "U2", "d2")], ["k", "v", "d"]
+    )
+    t.merge_delete_insert(
+        batch, unique_key=["k"], partition_by=["d"], delete_mode="rewrite"
+    )
+    reader = _reader(t)
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    assert len(parts) == 3 and all(isinstance(p, _FullDiff) for p in parts)
+
+    ckpt = str(tmp_path / "ckpt8")
+    got = _run_pass(spark, t.path, ckpt)
+    want = _rows(_batch_changes(spark, t, 1)) + _rows(_batch_changes(spark, t, 2))
+    assert _collected_multiset(got) == sorted(want)
+
+
+def test_unflagged_single_dir_rewrite_still_cancels(spark, tmp_path):
+    """Cancellation within one partition dir is intact after the sharding
+    change: a rewrite that only reorders one partition's rows nets 0."""
+    t = _mk(spark, tmp_path / "t9")  # v1, dirs d=d0 / d=d1
+    ckpt = str(tmp_path / "ckpt9")
+    _run_pass(spark, t.path, ckpt)
+    # hand-rolled row-preserving rewrite WITHOUT the flag (a writer that
+    # doesn't know about data_change): must still net zero from data
+    import json as _json
+    import os as _os
+
+    m = _json.load(open(_os.path.join(t.path, "_manifests", "v1.json")))
+    d0_files = [f for f in m["files"] if f.startswith("d=d0")]
+    d0_rows = t.read().filter("d = 'd0'")
+    t.replace_files(d0_files, d0_rows.repartition(2), partition_by=["d"])
+    m2 = _json.load(
+        open(_os.path.join(t.path, "_manifests", f"v{t.latest_version()}.json"))
+    )
+    assert m2.get("data_change", True) is True
+    assert _run_pass(spark, t.path, ckpt) == []

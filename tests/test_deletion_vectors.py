@@ -418,3 +418,22 @@ def test_merge_dv_public_retry_converges_after_conflict(spark, tmp_path):
         )
     rows = t.read().filter("k = 3").collect()
     assert len(rows) == 1 and rows[0].user == "second"
+
+
+def test_compact_applies_deletion_vectors(spark, tmp_path):
+    """r11 regression pin: compacting DV-carrying files must read LIVE
+    rows (DVs applied), never raw bytes — the raw read resurrected
+    logically-deleted rows. Compaction also folds the touched DVs in."""
+    from ecommerce_analytics_platform_spark.operators.gdpr import compact
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i, f"u{i % 5}") for i in range(10)], ["k", "user"]))
+    t.append(spark.createDataFrame([(i, f"u{i % 5}") for i in range(10, 20)], ["k", "user"]))
+    t.delete_where("user = 'u0'")
+    want = sorted(r.k for r in t.read().collect())
+    assert len(want) == 16
+    res = compact(spark, t, target_bytes=1 << 30, min_files=2)
+    assert res["files_out"] < res["files_in"]
+    assert sorted(r.k for r in t.read().collect()) == want
+    # the compacted snapshot carries no DV entries for rewritten files
+    assert not _manifest(tmp_path / "t", t.latest_version()).get("dv")
