@@ -89,3 +89,35 @@ def test_stream_exactly_once_across_restart(registered, tmp_path):
     assert first > 0
     assert total > first
     assert total == distinct  # exactly-once: no duplicate event ids
+
+
+def test_arrow_batch_read_equals_row_stream_content(registered, tmp_path):
+    """r11: the batch reader emits Arrow RecordBatches while the stream
+    reader yields row tuples — both wrap the same pure _gen_row, so the
+    first N events must be identical (incl. the timestamp instant, which
+    crosses the Arrow boundary as epoch micros)."""
+    spark = registered
+    batch = (
+        spark.read.format("clickstream_gen")
+        .option("n_events", 120)
+        .option("seed", 7)
+        .load()
+    )
+    got_batch = sorted(map(tuple, batch.collect()))
+
+    q = (
+        spark.readStream.format("clickstream_gen")
+        .option("rows_per_batch", 120)
+        .option("seed", 7)
+        .load()
+        .writeStream.format("memory")
+        .queryName("arrow_twin")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_stream = sorted(
+        map(tuple, spark.sql("select * from arrow_twin limit 120").collect())
+    )
+    assert got_batch == got_stream[: len(got_batch)]
