@@ -253,3 +253,102 @@ def test_manifest_replace_files_evolves_schema(spark, tmp_path):
     assert got.collect()[0]["w"] == 7.5
     # time travel: the pre-evolution snapshot keeps its 2-column schema
     assert set(t.read(version=1).columns) == {"k", "v"}
+
+
+# -- VERDICT r10 missing #3: safe type widening --------------------------------
+
+
+def test_evolve_widens_safe_types_and_rejects_lossy(spark):
+    from pyspark.sql.types import DecimalType, DoubleType, LongType
+
+    a = _df(spark, "n int, f float, d decimal(5,2)", [(1, 1.5, None)]).schema
+    wide = _df(
+        spark, "n long, f double, d decimal(10,4)", [(1, 1.5, None)]
+    ).schema
+    u = evolve_schema(a, wide)
+    got = {f.name: f.dataType for f in u.fields}
+    assert isinstance(got["n"], LongType)
+    assert isinstance(got["f"], DoubleType)
+    assert got["d"] == DecimalType(10, 4)
+    # widening is monotone: re-landing the NARROW schema keeps the wide one
+    u2 = evolve_schema(u, a)
+    assert {f.name: f.dataType for f in u2.fields} == got
+
+    # lossy / incompatible changes still raise: a decimal whose integer
+    # digits overflow the declared budget (11 > 10-4), and a string
+    for bad_ddl in ("n int, f float, d decimal(12,1)",
+                    "n string, f float, d decimal(5,2)"):
+        with pytest.raises(SchemaEvolutionError, match="type change"):
+            evolve_schema(u, _df_schema(spark, bad_ddl))
+    # long -> double is lossy above 2^53: rejected
+    with pytest.raises(SchemaEvolutionError, match="type change"):
+        evolve_schema(
+            _df_schema(spark, "n long"), _df_schema(spark, "n double")
+        )
+    # int -> double IS safe (53-bit mantissa)
+    ud = evolve_schema(_df_schema(spark, "n int"), _df_schema(spark, "n double"))
+    assert isinstance(ud.fields[0].dataType, DoubleType)
+    # fail mode permits NO schema change, widening included
+    with pytest.raises(SchemaEvolutionError):
+        evolve_schema(a, wide, on_schema_change="fail")
+
+
+def _df_schema(spark, ddl):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(ddl)
+
+
+def test_manifest_widen_on_append_reads_old_files_correctly(spark, tmp_path):
+    """Widen int->long on append: old int32 files read correctly under
+    the widened declared schema (no rewrite), and time travel to the
+    pre-widening version keeps the old type."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, "k int, n int", [(1, 10), (2, 20)]))  # v1: int
+    t.append(_df(spark, "k int, n long", [(3, 2**40)]))  # v2: widens n
+    assert isinstance(t.declared_schema().fields[1].dataType, LongType)
+    got = sorted((r.k, r.n) for r in t.read().collect())
+    assert got == [(1, 10), (2, 20), (3, 2**40)]
+    # time travel: the old snapshot keeps its own declared (int) schema
+    old = t.read(version=1)
+    assert isinstance(old.schema.fields[1].dataType, IntegerType)
+    assert sorted((r.k, r.n) for r in old.collect()) == [(1, 10), (2, 20)]
+
+
+def test_manifest_widen_on_merge_and_replace_files(spark, tmp_path):
+    """Widening rides every write path: merge_delete_insert (both delete
+    modes read old+new together) and replace_files (compaction after a
+    widening keeps the wide declared type)."""
+    from ecommerce_analytics_platform_spark.operators.gdpr import compact
+    from pyspark.sql.types import DoubleType
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        _df(spark, "k int, x float, d string", [(1, 1.5, "d0"), (2, 2.5, "d1")]),
+        partition_by=["d"],
+    )
+    t.merge_delete_insert(
+        _df(spark, "k int, x double, d string", [(1, 9.25, "d0"), (3, 3.5, "d1")]),
+        unique_key=["k"],
+        partition_by=["d"],
+    )
+    assert isinstance(t.declared_schema().fields[1].dataType, DoubleType)
+    got = sorted((r.k, r.x) for r in t.read().collect())
+    assert got == [(1, 9.25), (2, 2.5), (3, 3.5)]
+    # compaction (replace_files, data_change=false) preserves the wide type
+    compact(spark, t, target_bytes=1 << 30, min_files=2)
+    assert isinstance(t.declared_schema().fields[1].dataType, DoubleType)
+    assert sorted((r.k, r.x) for r in t.read().collect()) == got
+
+
+def test_warehouse_widen_on_append(spark, tmp_path):
+    from pyspark.sql.types import LongType
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.overwrite(_df(spark, "id int, c int", [(1, 5)]), "staging.t")
+    wh.append(_df(spark, "id int, c long", [(2, 2**35)]), "staging.t")
+    df = wh.read("staging.t")
+    assert isinstance(df.schema["c"].dataType, LongType)
+    assert sorted((r.id, r.c) for r in df.collect()) == [(1, 5), (2, 2**35)]
