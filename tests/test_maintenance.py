@@ -1,0 +1,140 @@
+"""Stats-driven auto-maintenance (operators/maintenance.py): plan from
+metadata only, apply idempotently via deterministic txns, converge a
+dirty table to a clean one, never wake CDF consumers."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_analytics_platform_spark.operators.maintenance import (
+    apply_maintenance,
+    maintenance_plan,
+    run_maintenance,
+)
+from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+SMALL = 1 << 20  # every test file is far below 1 MiB
+
+
+def _dirty_table(spark, path):
+    """Small-file buildup in two partitions + a dense DV on one file +
+    version history: every trigger fires at once."""
+    t = ManifestTable(spark, str(path))
+    for i in range(5):  # 5 small appends per partition dir
+        t.append(
+            spark.createDataFrame(
+                [(10 * i + j, f"u{j}", f"d{j % 2}") for j in range(8)],
+                ["k", "user", "d"],
+            ),
+            partition_by=["d"],
+        )
+    t.delete_where("user in ('u0', 'u2', 'u4', 'u6')")  # 50% of d0's rows
+    return t
+
+
+def test_plan_names_all_triggers_and_is_metadata_only(spark, tmp_path):
+    t = _dirty_table(spark, tmp_path / "t")
+    plan = maintenance_plan(
+        t, small_file_bytes=SMALL, min_small_files=4, keep_versions=3
+    )
+    ops = [s["op"] for s in plan]
+    assert ops.count("vacuum") == 1 and ops[-1] == "vacuum"
+    assert "materialize_deletes" in ops
+    assert "compact" in ops
+    # per-partition compaction steps, each bounded to one hive dir
+    for s in plan:
+        if s["op"] == "compact":
+            dirs = {os.path.dirname(f) for f in s["files"]}
+            assert dirs == {s["partition_dir"]}
+
+
+def test_converges_to_clean_and_noop_on_clean(spark, tmp_path):
+    t = _dirty_table(spark, tmp_path / "t")
+    want = sorted((r.k, r.user, r.d) for r in t.read().collect())
+    results = run_maintenance(
+        t.spark, t, small_file_bytes=SMALL, min_small_files=2, keep_versions=2
+    )
+    assert results  # it did something
+    # converged: the next plan is empty
+    assert maintenance_plan(
+        t, small_file_bytes=SMALL, min_small_files=2, keep_versions=2
+    ) == []
+    # content untouched, DVs folded, versions pruned
+    assert sorted((r.k, r.user, r.d) for r in t.read().collect()) == want
+    m = t._read_manifest(t.latest_version())
+    assert not m.get("dv")
+    assert len(t._versions()) <= 2
+    # clean table: a fresh run plans nothing and commits nothing
+    v = t.latest_version()
+    assert run_maintenance(
+        t.spark, t, small_file_bytes=SMALL, min_small_files=2, keep_versions=2
+    ) == []
+    assert t.latest_version() == v
+
+
+def test_apply_is_idempotent_via_txns(spark, tmp_path):
+    t = _dirty_table(spark, tmp_path / "t")
+    plan = [
+        s
+        for s in maintenance_plan(t, small_file_bytes=SMALL, min_small_files=2)
+        if s["op"] != "vacuum"  # vacuum would break replaying old steps
+    ]
+    apply_maintenance(t.spark, t, plan)
+    v = t.latest_version()
+    n = t.read().count()
+    # replay the SAME plan (at-least-once scheduler): every step no-ops
+    apply_maintenance(t.spark, t, plan)
+    assert t.latest_version() == v and t.read().count() == n
+
+
+def test_maintenance_never_wakes_cdf_consumers(spark, tmp_path):
+    from ecommerce_analytics_platform_spark.sources.cdf_stream import (
+        ManifestCDFDataSource,
+    )
+
+    spark.dataSource.register(ManifestCDFDataSource)
+    t = _dirty_table(spark, tmp_path / "t")
+    got = []
+    def _pass(ckpt):
+        q = (
+            spark.readStream.format("manifest_cdf")
+            .option("path", t.path)
+            .load()
+            .writeStream.foreachBatch(lambda df, _e: got.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _pass("ck")
+    before = len(got)
+    run_maintenance(
+        t.spark, t, small_file_bytes=SMALL, min_small_files=2, keep_versions=2
+    )
+    _pass("ck")
+    assert len(got) == before  # zero change rows from maintenance
+
+    # every maintenance rewrite commit carries the data_change=false stamp
+    for v in t._versions():
+        m = json.load(open(os.path.join(t.path, "_manifests", f"v{v}.json")))
+        for txn in m.get("txns", []):
+            if txn.startswith("maint-"):
+                # the commit that INTRODUCED a maint txn is row-preserving;
+                # later commits carry txns forward, so check the earliest
+                first = min(
+                    w
+                    for w in t._versions()
+                    if txn
+                    in json.load(
+                        open(os.path.join(t.path, "_manifests", f"v{w}.json"))
+                    ).get("txns", [])
+                )
+                mm = json.load(
+                    open(os.path.join(t.path, "_manifests", f"v{first}.json"))
+                )
+                assert mm.get("data_change", True) is False
