@@ -7224,43 +7224,85 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 # rounds). Rows kept: everything at ≤2 green driver rounds — the r7
 # repairs (HUGEINT family), the r7-new queries, and the r7 perf-weak
 # trio (zorder_key/salted_rollup/product_catalog) for visibility.
-_DRIVER_WINDOW = [
-    # r10 rotation (VERDICT r9 directive #2: exhaust the never-sampled
-    # set). Reconciled against git history this round: counting every
-    # round-final window (the commit each "round N" artifact commit sits
-    # on), exactly 25 registry queries have never been in ANY round's
-    # 50-row hard signal — the 15 reference-core/OLAP rows displaced when
-    # r5 front-loaded family representatives, plus 10 that never fit
-    # (sliding_window_rollup, event_gaps, customer_quartiles,
-    # value_histogram, incremental_dedup, late_suppliers,
-    # status_intervals, kpi_unpivot, array_setops, video_frames). ALL 25
-    # are in this window → after r10 the never-sampled count is 0.
-    # NEVER SAMPLED (25):
-    "user_lifecycle", "product_performance", "order_items_array",
-    "distinct_event_types", "json_props", "vocab_topk",
-    "time_bucket_rollup", "event_rank", "set_ops", "sales_rollup",
-    "semi_join", "percentile_stats", "top_revenue_customers",
-    "part_outlier_revenue", "profile_summary", "sliding_window_rollup",
-    "event_gaps", "customer_quartiles", "value_histogram",
-    "incremental_dedup", "late_suppliers", "status_intervals",
-    "kpi_unpivot", "array_setops", "video_frames",
-    # kept (1 sampled round): the r9-new block — gopher_quality's
-    # duplicate-gram expressions were reshaped to O(n log n) THIS round
-    # (VERDICT r9 wrong #4), so it must re-prove under the driver gate;
-    # edit_distance_join gained auto method dispatch (directive #8).
-    "hamming_neardup", "edit_distance_join", "gopher_quality",
-    "assoc_rules", "bpe_fertility",
-    # once-sampled in an OLD round only (r5-r7 era code, never re-proved
-    # since): all 17 such rows.
-    "ann_pq", "sorted_neighborhood", "span_mask", "token_budget_sample",
-    "domain_mixture", "set_sim_join", "corpus_shuffle", "scd2_history",
-    "window_frames", "image_features", "bloom_filter", "heavy_hitters",
-    "dsir_sample", "kmv_intersect", "table_stats", "robust_outliers",
-    "embedding_centroids",
-    # remaining slots: fuzzy_pairs (operators/fuzzy.py changes this
-    # round) + the r7-new pair for a 3rd green round.
-    "fuzzy_pairs", "content_chunks", "bpe_encode",
-]
+# r11 (VERDICT r10 directive #5): the rotation RULE is now a datum, not
+# prose. _LAST_GREEN_ROUND records, for every registry query, the last
+# round whose driver CORRECTNESS gate sampled it (reconstructed from git:
+# the first-50 registry keys at each round-final builder commit, cross-
+# checked against CORRECTNESS_r01/r09/r10.json; every sample in every
+# round passed, so sampled == green). The window each round is simply the
+# 50 STALEST greens (oldest round first, name as tie-break) — new queries
+# default to round 0 and enter the next window automatically, and no
+# query's driver-green can go stale for more than ceil(145/50) ≈ 3
+# rounds. After each driver round, bump the sampled entries to that
+# round's number.
+_LAST_GREEN_ROUND = {
+    # last driver-green in round 5 (4 queries)
+    "ann_ivf": 5, "minhash_signatures": 5, "neardup_pairs": 5,
+    "running_total": 5,
+    # last driver-green in round 6 (11 queries)
+    "ann_lsh": 6, "customers_without_orders": 6, "dim_date": 6,
+    "embedding_neardup": 6, "exact_dedup": 6, "first_touch": 6,
+    "label_prop": 6, "revenue_by_region": 6, "simhash": 6, "token_stats": 6,
+    "triangle_count": 6,
+    # last driver-green in round 7 (38 queries)
+    "approx_sketches": 7, "asof_join": 7, "attribution": 7,
+    "audio_features": 7, "bpe_merges": 7, "cdc_apply": 7,
+    "cohort_retention": 7, "corpus_funnel": 7, "cosine_topk": 7,
+    "daily_funnel": 7, "daily_kpis": 7, "dds_quantiles": 7,
+    "dedup_latest": 7, "dup_passages": 7, "event_pivot": 7,
+    "exploded_lines": 7, "incremental_neardup": 7, "jpeg_roundtrip": 7,
+    "language_id": 7, "neardup_clusters": 7, "nearest_centroid": 7,
+    "pagerank": 7, "portable_hll": 7, "pricing_summary": 7,
+    "product_catalog": 7, "quality_filter": 7, "range_join": 7,
+    "sales_cube": 7, "salted_rollup": 7, "scd2_merge": 7,
+    "semantic_dedup": 7, "sequence_pack": 7, "session_rollup": 7,
+    "span_dedup": 7, "unigram_logprob": 7, "unigram_vocab": 7,
+    "video_frames_gif": 7, "zorder_key": 7,
+    # last driver-green in round 9 (42 queries)
+    "ann_int8": 9, "basket_pairs": 9, "bigram_logprob": 9,
+    "bpe_token_count": 9, "cluster_keepers": 9, "decontaminate": 9,
+    "doc_chunks": 9, "doc_fingerprint": 9, "embedding_neardup_lsh": 9,
+    "embedding_quantize": 9, "embedding_stats": 9, "entity_clusters": 9,
+    "ewma_features": 9, "feature_snapshot": 9, "funnel_ordered": 9,
+    "gap_fill": 9, "grouping_sets": 9, "interval_merge": 9,
+    "inverted_index": 9, "lang_balanced_sample": 9, "multi_touch": 9,
+    "neardup_clusters_star": 9, "neardup_pairs_capped": 9,
+    "neardup_verified": 9, "pii_scrub": 9, "psi_drift": 9,
+    "random_projection": 9, "range_frame": 9, "repetition_ratio": 9,
+    "rfm_segments": 9, "session_windows": 9, "shipping_priority": 9,
+    "sketch_merge": 9, "sliding_uniques": 9, "source_mix": 9,
+    "state_transitions": 9, "stratified_sample": 9, "tfidf_topk": 9,
+    "token_zipf": 9, "train_val_split": 9, "unigram_token_count": 9,
+    "weighted_sample": 9,
+    # last driver-green in round 10 (50 queries)
+    "ann_pq": 10, "array_setops": 10, "assoc_rules": 10, "bloom_filter": 10,
+    "bpe_encode": 10, "bpe_fertility": 10, "content_chunks": 10,
+    "corpus_shuffle": 10, "customer_quartiles": 10,
+    "distinct_event_types": 10, "domain_mixture": 10, "dsir_sample": 10,
+    "edit_distance_join": 10, "embedding_centroids": 10, "event_gaps": 10,
+    "event_rank": 10, "fuzzy_pairs": 10, "gopher_quality": 10,
+    "hamming_neardup": 10, "heavy_hitters": 10, "image_features": 10,
+    "incremental_dedup": 10, "json_props": 10, "kmv_intersect": 10,
+    "kpi_unpivot": 10, "late_suppliers": 10, "order_items_array": 10,
+    "part_outlier_revenue": 10, "percentile_stats": 10,
+    "product_performance": 10, "profile_summary": 10, "robust_outliers": 10,
+    "sales_rollup": 10, "scd2_history": 10, "semi_join": 10, "set_ops": 10,
+    "set_sim_join": 10, "sliding_window_rollup": 10,
+    "sorted_neighborhood": 10, "span_mask": 10, "status_intervals": 10,
+    "table_stats": 10, "time_bucket_rollup": 10, "token_budget_sample": 10,
+    "top_revenue_customers": 10, "user_lifecycle": 10, "value_histogram": 10,
+    "video_frames": 10, "vocab_topk": 10, "window_frames": 10,
+}
+
+# the rule: 50 stalest greens over the FULL registry — a query the datum
+# has never seen (new this round) defaults to 0 and leads the window
+_DRIVER_WINDOW = sorted(
+    QUERIES, key=lambda q: (_LAST_GREEN_ROUND.get(q, 0), q)
+)[:50]
+
+# datum hygiene: an entry for a query the registry no longer carries is
+# a stale record — prune it when renaming/removing queries
+assert set(_LAST_GREEN_ROUND) <= set(QUERIES)
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 
