@@ -148,10 +148,33 @@ class ClickstreamBatchReader(DataSourceReader):
             )
 
 
+def _gen_batch(seed: int, lo: int, hi: int):
+    """[lo, hi) as ONE Arrow RecordBatch — the same ``_gen_parts`` core
+    as the batch reader, so stream and batch content are identical by
+    construction (pinned in tests)."""
+    import pyarrow as pa
+
+    rows = [_gen_parts(seed, i) for i in range(lo, hi)]
+    return pa.record_batch(
+        [
+            pa.array([r[0] for r in rows], pa.int64()),
+            pa.array([r[1] * 1_000_000 for r in rows], pa.int64()).cast(
+                pa.timestamp("us", tz="UTC")
+            ),
+            pa.array([r[2] for r in rows], pa.int64()),
+            pa.array([r[3] for r in rows], pa.string()),
+            pa.array([r[4] for r in rows], pa.float64()),
+        ],
+        names=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
 class ClickstreamStreamReader(SimpleDataSourceStreamReader):
     """Replayable micro-batch source: offset = next global row index.
     ``read`` emits ``rate`` rows per batch; ``readBetweenOffsets`` replays
-    any committed range identically (the exactly-once recovery path)."""
+    any committed range identically (the exactly-once recovery path).
+    Both emit Arrow RecordBatches (the simple stream reader accepts them
+    like the batch API — probed on this container)."""
 
     def __init__(self, options):
         self.seed = int(options.get("seed", 42))
@@ -163,10 +186,10 @@ class ClickstreamStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = start["idx"]
         hi = lo + self.rate
-        return (iter([_gen_row(self.seed, i) for i in range(lo, hi)]), {"idx": hi})
+        return (iter([_gen_batch(self.seed, lo, hi)]), {"idx": hi})
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter([_gen_row(self.seed, i) for i in range(start["idx"], end["idx"])])
+        return iter([_gen_batch(self.seed, start["idx"], end["idx"])])
 
 
 class ClickstreamDataSource(DataSource):
