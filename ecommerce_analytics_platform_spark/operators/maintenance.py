@@ -8,9 +8,11 @@ module closes that gap the way Delta's auto-compaction / Iceberg's
 maintenance actions do: read the table's own metadata, emit the steps it
 needs, apply them idempotently.
 
-``maintenance_plan(table)`` is PURE METADATA: the manifest file list (KBs
-at any table size), on-disk file sizes (``stat`` calls, no data I/O), and
-parquet FOOTER row counts for DV density — it never scans data. The plan
+``maintenance_plan(table)`` is PURE METADATA: the manifest file list plus
+its ``file_meta`` inventory ({file: [bytes, rows]}, stamped at commit time
+by ``_write_files`` — so planning reads NOTHING from the data tree at any
+table size; pre-r11 files fall back to a stat/footer read), and the
+deleted-rows-sized DV parquet for density. The plan
 is a list of step dicts, each carrying a deterministic ``txn_id`` derived
 from (op, base version, target files), so ``apply_maintenance`` is
 exactly-once per step even across crashes and re-runs: a replayed step
@@ -78,6 +80,21 @@ def maintenance_plan(
     m = table._read_manifest(v)
     files = m["files"]
     dvmap = m.get("dv", {})
+    # physical inventory from the manifest itself ({file: [bytes, rows]},
+    # stamped at commit time since r11); legacy files written before the
+    # key existed fall back to a stat / footer read
+    meta = m.get("file_meta", {})
+
+    def _size(f: str) -> int:
+        if f in meta:
+            return meta[f][0]
+        return os.path.getsize(os.path.join(table.path, f))
+
+    def _rows(f: str) -> int:
+        if f in meta:
+            return meta[f][1]
+        return _parquet_rows(os.path.join(table.path, f))
+
     plan: list[dict] = []
 
     # 1) DV density per carrying file: deleted positions (DV parquet is
@@ -99,8 +116,7 @@ def maintenance_plan(
             f
             for f in dvmap
             if f in set(files)
-            and deleted_per_file.get(f, 0)
-            >= dv_ratio * max(1, _parquet_rows(os.path.join(table.path, f)))
+            and deleted_per_file.get(f, 0) >= dv_ratio * max(1, _rows(f))
         )
         if fold:
             plan.append(
@@ -121,7 +137,7 @@ def maintenance_plan(
     for f in files:
         if f in folding:
             continue
-        if os.path.getsize(os.path.join(table.path, f)) < small_file_bytes:
+        if _size(f) < small_file_bytes:
             by_dir.setdefault(os.path.dirname(f), []).append(f)
     for d in sorted(by_dir):
         group = sorted(by_dir[d])

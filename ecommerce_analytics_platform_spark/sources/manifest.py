@@ -108,6 +108,9 @@ class ManifestTable:
         # (consumed + pruned by _publish); config override for the
         # set_stats_columns commit
         self._staged_stats: dict[str, dict] = {}
+        # physical (bytes, rows) per file staged by _write_files,
+        # published as the manifest's file_meta key
+        self._staged_file_meta: dict[str, list] = {}
         self._pending_stats_columns = self._UNSET
         # row-preservation flag for the NEXT commit (replace_files
         # data_change=False sets it around its publish; default True)
@@ -200,6 +203,17 @@ class ManifestTable:
             stats.update(
                 {f: s for f, s in self._staged_stats.items() if f in fileset}
             )
+            # physical (bytes, rows) per file: carry forward for
+            # surviving files, merge in this commit's staged entries —
+            # same lifecycle as stats
+            file_meta = {
+                f: v
+                for f, v in (m.get("file_meta", {}) if m else {}).items()
+                if f in fileset
+            }
+            file_meta.update(
+                {f: v for f, v in self._staged_file_meta.items() if f in fileset}
+            )
             import time
 
             doc = {
@@ -230,6 +244,10 @@ class ManifestTable:
                 # per-file column min/max: manifest-level data skipping
                 # (read(stats_predicates=...)) with no parquet footer I/O
                 doc["stats"] = stats
+            if file_meta:
+                # {file: [bytes, rows]} — the physical inventory
+                # auto-maintenance plans from without touching the fs
+                doc["file_meta"] = file_meta
             sc = (
                 self._pending_stats_columns
                 if self._pending_stats_columns is not self._UNSET
@@ -248,6 +266,9 @@ class ManifestTable:
                 for f in list(self._staged_stats):
                     if f in fileset:
                         del self._staged_stats[f]
+                for f in list(self._staged_file_meta):
+                    if f in fileset:
+                        del self._staged_file_meta[f]
                 return (base or 0) + 1
             except FileExistsError:
                 os.unlink(tmp)  # lost the race → rebase on the new latest
@@ -301,6 +322,19 @@ class ManifestTable:
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
+        # physical file metadata (bytes, rows) staged for the manifest:
+        # one stat + one parquet FOOTER read per NEW file — bounded by
+        # commit size, never table size — so downstream policy
+        # (operators/maintenance.py) plans from the manifest alone
+        # instead of a million-file stat sweep at 100 TB
+        import pyarrow.parquet as pq
+
+        for rel in out:
+            p = os.path.join(self.path, rel)
+            self._staged_file_meta[rel] = [
+                os.path.getsize(p),
+                pq.ParquetFile(p).metadata.num_rows,
+            ]
         cols = [
             c for c in (self.stats_columns() or []) if c in df.columns
         ]
@@ -1324,6 +1358,7 @@ class ManifestTable:
                 shutil.copy2(src, dst)  # cross-device fallback
         doc_stats = m.get("stats", {})
         dest._staged_stats.update(doc_stats)
+        dest._staged_file_meta.update(m.get("file_meta", {}))
         if m.get("stats_columns"):
             dest._pending_stats_columns = list(m["stats_columns"])
         try:

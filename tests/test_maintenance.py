@@ -138,3 +138,33 @@ def test_maintenance_never_wakes_cdf_consumers(spark, tmp_path):
                     open(os.path.join(t.path, "_manifests", f"v{first}.json"))
                 )
                 assert mm.get("data_change", True) is False
+
+
+def test_manifest_carries_file_meta_inventory(spark, tmp_path):
+    """r11: every commit stamps {file: [bytes, rows]} into the manifest,
+    carried/pruned like stats — so planning never stats the data tree."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "a", "d0"), (2, "b", "d1")], ["k", "v", "d"]),
+        partition_by=["d"],
+    )
+    m = json.load(
+        open(os.path.join(t.path, "_manifests", f"v{t.latest_version()}.json"))
+    )
+    assert set(m["file_meta"]) == set(m["files"])
+    for f, (size, rows) in m["file_meta"].items():
+        assert size == os.path.getsize(os.path.join(t.path, f))
+        assert rows >= 1
+    # a rewrite prunes the removed file's entry and stamps the new one
+    from ecommerce_analytics_platform_spark.operators.maintenance import (
+        run_maintenance,
+    )
+    t.append(
+        spark.createDataFrame([(3, "c", "d0")], ["k", "v", "d"]), partition_by=["d"]
+    )
+    run_maintenance(spark, t, small_file_bytes=1 << 20, min_small_files=2,
+                    keep_versions=2)
+    m2 = json.load(
+        open(os.path.join(t.path, "_manifests", f"v{t.latest_version()}.json"))
+    )
+    assert set(m2["file_meta"]) == set(m2["files"])
