@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Round-11 scale probes, reproducible (PERF.md 'Round-11 measurements').
+
+1. fulldiff   — non-append CDF diff wall vs hive partition fan-out: the
+                same rewritten bytes, 1 dir vs 16 dirs (per-dir sharding).
+2. bootstrap  — new-consumer cost on a CHURNED history: full CDF replay
+                (reads every version's rewrite diff) vs snapshot
+                bootstrap (reads live files once) vs JVM batch view init.
+3. plancost   — maintenance_plan wall on a many-file table: metadata-only
+                planning (manifest file_meta) never touches the data tree.
+
+Usage: python3 scripts/probe_r11.py [fulldiff|bootstrap|plancost|all]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from ecommerce_analytics_platform_spark.session import get_spark
+from ecommerce_analytics_platform_spark.sources.cdf_stream import (
+    ManifestCDFDataSource,
+)
+from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+
+def _stream_pass(spark, path, start="0"):
+    got = []
+    q = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", path)
+        .option("start_version", start)
+        .load()
+        .writeStream.foreachBatch(lambda df, _e: got.append(df.count()))
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sum(got)
+
+
+def probe_fulldiff(spark):
+    N = 4_000_000
+    for ndirs in (1, 16):
+        d = tempfile.mkdtemp()
+        t = ManifestTable(spark, d + "/t")
+        df = spark.range(N).selectExpr(
+            "id as k",
+            "cast(id as string) as v",
+            f"cast(id % {ndirs} as string) as d",
+        )
+        t.overwrite(df.repartition(ndirs), partition_by=["d"])  # v1
+        batch = spark.createDataFrame(
+            [(i, "UPD", str(i % ndirs)) for i in range(ndirs)],
+            "k long, v string, d string",
+        )
+        t.merge_delete_insert(
+            batch, unique_key=["k"], partition_by=["d"], delete_mode="rewrite"
+        )  # v2: full-rewrite of every partition
+        t0 = time.time()
+        n = _stream_pass(spark, t.path, start="1")
+        print(
+            f"fulldiff dirs={ndirs:3d} diff_rows={n} wall={time.time()-t0:.2f}s"
+        )
+
+
+def probe_bootstrap(spark):
+    # churned history: base + 40 rewrite-mode merges, each rewriting one
+    # of 8 partitions — history bytes >> live bytes
+    d = tempfile.mkdtemp()
+    t = ManifestTable(spark, d + "/t")
+    N = 1_000_000
+    df = spark.range(N).selectExpr(
+        "id as k", "cast(id as string) as v", "cast(id % 8 as string) as d"
+    )
+    t.overwrite(df.repartition(8), partition_by=["d"])
+    for i in range(40):
+        t.merge_delete_insert(
+            spark.createDataFrame(
+                [(i, f"U{i}", str(i % 8))], "k long, v string, d string"
+            ),
+            unique_key=["k"],
+            partition_by=["d"],
+            delete_mode="rewrite",
+        )
+    t0 = time.time()
+    n_replay = _stream_pass(spark, t.path, start="0")
+    t_replay = time.time() - t0
+    t0 = time.time()
+    n_snap = _stream_pass(spark, t.path, start="snapshot")
+    t_snap = time.time() - t0
+    from ecommerce_analytics_platform_spark.streaming.cdf_view import (
+        bootstrap_cdf_agg_view,
+    )
+
+    t0 = time.time()
+    bootstrap_cdf_agg_view(
+        spark, t.path, tempfile.mkdtemp() + "/view", keys=["d"], value_col="k"
+    )
+    t_jvm = time.time() - t0
+    print(
+        f"bootstrap history=41v live={N} replay_rows={n_replay} "
+        f"replay={t_replay:.2f}s snapshot_rows={n_snap} snapshot={t_snap:.2f}s "
+        f"jvm_view_init={t_jvm:.2f}s"
+    )
+
+
+def probe_plancost(spark):
+    from ecommerce_analytics_platform_spark.operators.maintenance import (
+        maintenance_plan,
+    )
+
+    d = tempfile.mkdtemp()
+    t = ManifestTable(spark, d + "/t")
+    # 512 small files across 16 partitions
+    df = spark.range(500_000).selectExpr(
+        "id as k", "cast(id % 16 as string) as d"
+    )
+    t.overwrite(df.repartition(512), partition_by=["d"])
+    n_files = len(t._read_manifest(t.latest_version())["files"])
+    t0 = time.time()
+    plan = maintenance_plan(t, small_file_bytes=1 << 20, min_small_files=2)
+    print(
+        f"plancost files={n_files} plan_steps={len(plan)} "
+        f"wall={time.time()-t0:.3f}s (manifest-only; no data-tree stat sweep)"
+    )
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = get_spark()
+    spark.dataSource.register(ManifestCDFDataSource)
+    if which in ("fulldiff", "all"):
+        probe_fulldiff(spark)
+    if which in ("bootstrap", "all"):
+        probe_bootstrap(spark)
+    if which in ("plancost", "all"):
+        probe_plancost(spark)
