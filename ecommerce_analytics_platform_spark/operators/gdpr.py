@@ -64,11 +64,14 @@ def forget(
     physical.
     """
     kdf = F.broadcast(keys.select(F.col(keys.columns[0]).alias(key_col)))
+    read_version = table.latest_version()
     files = affected_files(spark, table, key_col, keys)
     if not files:
-        return {"files_rewritten": 0, "rows_deleted": 0, "version": table.latest_version()}
+        return {"files_rewritten": 0, "rows_deleted": 0, "version": read_version}
 
-    current = table.read().withColumn("__file", F.expr("input_file_name()"))
+    current = table.read(version=read_version).withColumn(
+        "__file", F.expr("input_file_name()")
+    )
     norm = F.regexp_replace(F.col("__file"), "^file://", "")
     touched = current.filter(norm.isin(files))
     n_before = touched.count()
@@ -78,8 +81,15 @@ def forget(
     # new version = untouched files by reference + rewritten replacements;
     # rewrites land back in their hive partition dirs (ADVICE r4: a
     # root-level rewrite on a partitioned table corrupts partition
-    # discovery / loses pruning)
-    version = table.replace_files(files, kept, partition_by=table.partition_columns() or None)
+    # discovery / loses pruning). expected_base pins the read so a
+    # concurrent delete_where on an affected file aborts instead of
+    # being silently resurrected (r11 lost-delete race).
+    version = table.replace_files(
+        files,
+        kept,
+        partition_by=table.partition_columns() or None,
+        expected_base=read_version,
+    )
     if vacuum:
         table.vacuum(keep_versions=1)
     return {
@@ -188,5 +198,8 @@ def compact(
         # live rows in == live rows out: a row-preserving maintenance
         # commit — CDF readers skip it at O(metadata)
         data_change=False,
+        # abort if a concurrent delete_where tombstoned a small file
+        # between our read and the publish (lost-delete race, r11)
+        expected_base=v,
     )
     return {"files_in": len(small), "files_out": n_out, "version": version}

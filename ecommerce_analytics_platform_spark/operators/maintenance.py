@@ -47,9 +47,10 @@ from __future__ import annotations
 import hashlib
 import os
 
-from pyspark.sql import SparkSession
-
-from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+from ecommerce_analytics_platform_spark.sources.manifest import (
+    ConcurrentWriteConflict,
+    ManifestTable,
+)
 
 
 def _txn(op: str, base: int, files: list[str]) -> str:
@@ -112,10 +113,11 @@ def maintenance_plan(
                 deleted_per_file[chunk["values"]] = (
                     deleted_per_file.get(chunk["values"], 0) + chunk["counts"]
                 )
+        fileset = set(files)
         fold = sorted(
             f
             for f in dvmap
-            if f in set(files)
+            if f in fileset
             and deleted_per_file.get(f, 0) >= dv_ratio * max(1, _rows(f))
         )
         if fold:
@@ -124,6 +126,7 @@ def maintenance_plan(
                     "op": "materialize_deletes",
                     "files": fold,
                     "txn_id": _txn("dv", v, fold),
+                    "base_version": v,
                 }
             )
 
@@ -149,6 +152,7 @@ def maintenance_plan(
                     "files": group,
                     "target_bytes": small_file_bytes,
                     "txn_id": _txn("compact", v, group),
+                    "base_version": v,
                 }
             )
 
@@ -158,28 +162,32 @@ def maintenance_plan(
     return plan
 
 
-def apply_maintenance(
-    spark: SparkSession, table: ManifestTable, plan: list[dict]
-) -> list[dict]:
+def apply_maintenance(table: ManifestTable, plan: list[dict]) -> list[dict]:
     """Execute a plan; returns one result dict per step. Idempotent: each
     rewrite step carries its deterministic txn_id, so replaying a plan
-    (crash recovery, at-least-once schedulers) re-commits nothing."""
+    (crash recovery, at-least-once schedulers) re-commits nothing. Every
+    rewrite reads AND publishes against the plan's base_version: a
+    concurrent data-changing commit (e.g. a delete_where tombstoning a
+    file this step would rewrite) aborts with ConcurrentWriteConflict —
+    run_maintenance replans from the new snapshot."""
     results = []
     part_cols = table.partition_columns() or None
     for step in plan:
+        base = step.get("base_version")
         if step["op"] == "materialize_deletes":
-            cleaned = table.read(keep_files=set(step["files"]))
+            cleaned = table.read(version=base, keep_files=set(step["files"]))
             ver = table.replace_files(
                 step["files"],
                 cleaned,
                 partition_by=part_cols,
                 txn_id=step["txn_id"],
                 data_change=False,
+                expected_base=base,
             )
             results.append({"op": step["op"], "version": ver})
         elif step["op"] == "compact":
             group = step["files"]
-            df = table.read(keep_files=set(group))
+            df = table.read(version=base, keep_files=set(group))
             total = sum(
                 os.path.getsize(os.path.join(table.path, f)) for f in group
             )
@@ -190,6 +198,7 @@ def apply_maintenance(
                 partition_by=part_cols,
                 txn_id=step["txn_id"],
                 data_change=False,
+                expected_base=base,
             )
             results.append(
                 {"op": "compact", "version": ver, "files_in": len(group), "files_out": n_out}
@@ -203,19 +212,24 @@ def apply_maintenance(
 
 
 def run_maintenance(
-    spark: SparkSession,
     table: ManifestTable,
     max_rounds: int = 4,
     **thresholds,
 ) -> list[dict]:
     """Plan-and-apply to convergence (a fold-in round exposes files the
-    next round may compact). Returns all step results; the final plan is
-    empty or the round bound hit (the bound exists for safety — two
-    rounds reach fixpoint on any single-backlog table, vacuum included)."""
+    next round may compact). A ConcurrentWriteConflict (a data-changing
+    commit raced a step) burns the round and replans from the new
+    snapshot — maintenance yields to foreground writers. Returns all
+    step results; the final plan is empty or the round bound hit (the
+    bound exists for safety — two rounds reach fixpoint on any
+    single-backlog table, vacuum included)."""
     all_results: list[dict] = []
     for _ in range(max_rounds):
         plan = maintenance_plan(table, **thresholds)
         if not plan:
             break
-        all_results += apply_maintenance(spark, table, plan)
+        try:
+            all_results += apply_maintenance(table, plan)
+        except ConcurrentWriteConflict:
+            continue  # stale plan → replan against the new snapshot
     return all_results

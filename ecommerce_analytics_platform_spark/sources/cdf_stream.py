@@ -168,7 +168,20 @@ def _file_table(
         if field.name in names:
             col = tbl.column(field.name)
             if col.type != field.type:
-                col = col.cast(field.type)
+                try:
+                    col = col.cast(field.type)
+                except Exception as e:
+                    # a file written AFTER the declared schema widened,
+                    # read by a stream whose schema pinned BEFORE it:
+                    # values may overflow the pinned type. Same rule as
+                    # added columns — restart the stream to re-pin.
+                    raise RuntimeError(
+                        f"CDF stream schema pinned column '{field.name}' "
+                        f"as {field.type} but file {rel_file} carries "
+                        f"{col.type} (table schema widened after stream "
+                        f"start?) — restart the stream to pick up the "
+                        f"widened schema"
+                    ) from e
         elif field.name in part_vals:
             # partition value from the path, coerced to the declared type
             v = _coerce(part_vals[field.name], str(field.type))
@@ -470,15 +483,31 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                     _InsertFile(v, f, self.schema_json, []) for f in sorted(added)
                 ]
             elif added or removed or dv_delta:
-                # one diff task per hive partition dir (lossless: rows in
-                # different dirs differ in the partition column and can
-                # never cancel against each other — see _FullDiff)
+                # one diff task per hive partition dir — lossless ONLY
+                # when every touched file sits under the same set of
+                # `col=` path components (then rows in different dirs
+                # differ in a partition column and can never cancel; see
+                # _FullDiff). A RE-LAYOUT rewrite (root files → hive
+                # dirs, or a partition-spec change) moves identical rows
+                # between dirs, so those transitions keep the single
+                # cross-dir cancellation task (r11 review #4).
+                touched_files = (
+                    list(added) + list(removed) + [f for f, _, _ in dv_delta]
+                )
+                col_sets = {
+                    frozenset(
+                        seg.split("=", 1)[0]
+                        for seg in f.split(os.sep)[:-1]
+                        if "=" in seg and not seg.startswith("_")
+                    )
+                    for f in touched_files
+                }
+                shardable = len(col_sets) == 1 and next(iter(col_sets))
                 groups: dict[str, tuple[list, list, list]] = {}
 
                 def slot(f: str):
-                    return groups.setdefault(
-                        os.path.dirname(f), ([], [], [])
-                    )
+                    key = os.path.dirname(f) if shardable else ""
+                    return groups.setdefault(key, ([], [], []))
 
                 for f in sorted(added):
                     slot(f)[0].append((f, dv2.get(f, [])))

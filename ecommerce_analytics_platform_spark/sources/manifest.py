@@ -63,9 +63,15 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 def _norm_part_value(v) -> str | None:
     """A partition VALUE normalized for path-segment comparison: None
     stays None (matched against the hive default-partition sentinel),
-    everything else via ``str`` (dates/ints/strings round-trip; the same
-    normalization Spark's partition writer uses for these types)."""
-    return None if v is None else str(v)
+    booleans lowercase (Spark writes ``flag=true``, Python str() says
+    ``True`` — r11 review: the mismatch silently pruned every matching
+    file), everything else via ``str`` (dates/ints/strings round-trip;
+    the same normalization Spark's partition writer uses)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def _decode_hive_seg(raw: str) -> str | None:
@@ -274,25 +280,55 @@ class ManifestTable:
                 os.unlink(tmp)  # lost the race → rebase on the new latest
 
     def _touched_since(self, since: int | None, until: int | None) -> set[str]:
-        """Partition dirs (or '' for root files) added/removed by commits
-        in ``(since, until]`` — the concurrency footprint used to decide
-        whether a partition-replace commutes with intervening commits. A
-        vacuumed (missing) intervening manifest is reported as touching
+        """Partition dirs (or '' for root files) whose LOGICAL CONTENT may
+        have changed in ``(since, until]`` — the concurrency footprint
+        used to decide whether a partition-replace / DV-merge commutes
+        with intervening commits:
+
+        - file-list diffs of DATA-CHANGING commits (appends, merges,
+          erasures). Row-preserving rewrites (``data_change=false``:
+          compaction, DV materialization) are content-neutral by contract
+          and excluded — r11 review: counting them made every concurrent
+          auto-maintenance pass spuriously abort DV merges.
+        - deletion-vector DELTAS of every commit: a DV-only delete
+          changes no file list, but a writer whose snapshot predates it
+          would resurrect the deleted rows by rewriting those dirs from
+          its stale read (r11 review: the lost-delete race on every
+          rewrite path).
+
+        A vacuumed (missing) intervening manifest is reported as touching
         everything (conservative abort)."""
         if until is None or since == until:
             return set()
         touched: set[str] = set()
         try:
-            prev = set(self._read_manifest(since)["files"]) if since is not None else set()
+            m0 = self._read_manifest(since) if since is not None else {}
         except FileNotFoundError:
             return {"*"}
+        prev = set(m0.get("files", []))
+        prev_dv = m0.get("dv", {})
         for v in range((since or 0) + 1, until + 1):
             try:
-                cur = set(self._read_manifest(v)["files"])
+                m = self._read_manifest(v)
             except FileNotFoundError:
                 return {"*"}
-            touched |= {os.path.dirname(f) for f in cur ^ prev}
-            prev = cur
+            cur = set(m["files"])
+            cur_dv = m.get("dv", {})
+            flagged = m.get("data_change", True) is False
+            if not flagged:
+                touched |= {os.path.dirname(f) for f in cur ^ prev}
+            # DV deltas; for a FLAGGED commit, a DV entry vanishing with
+            # its rewritten file is the content-neutral fold-in itself —
+            # only deltas on files surviving the commit would be real
+            candidates = (
+                (set(cur_dv) | set(prev_dv)) & cur & prev
+                if flagged
+                else set(cur_dv) | set(prev_dv)
+            )
+            for f in candidates:
+                if sorted(cur_dv.get(f, [])) != sorted(prev_dv.get(f, [])):
+                    touched.add(os.path.dirname(f))
+            prev, prev_dv = cur, cur_dv
         return touched
 
     # -- data files --------------------------------------------------------
@@ -632,6 +668,7 @@ class ManifestTable:
         partition_by: list[str] | None = None,
         txn_id: str | None = None,
         data_change: bool = True,
+        expected_base=None,
     ) -> int:
         """File-level surgical commit: drop exactly ``remove`` (absolute or
         table-relative paths) from the snapshot and add ``df``'s files;
@@ -652,13 +689,29 @@ class ManifestTable:
         ``txn_id`` makes the rewrite exactly-once (maintenance plans are
         re-runnable: a redelivered compaction step no-ops).
 
+        ``expected_base`` is the version ``df``'s rows were READ from
+        (defaults to the current latest): the commit aborts if any
+        removed file's DELETION VECTORS changed in ``(expected_base,
+        commit base]`` — without this, a rewrite derived from a stale
+        read silently RESURRECTS rows a concurrent ``delete_where``
+        tombstoned (r11 review: the lost-delete race; with
+        ``data_change=False`` the divergence would even hide from CDF
+        consumers).
+
         Concurrency class: commutes with commits that leave ``remove``
-        alone (appends, other-file rewrites); if a concurrent commit
-        already removed/rewrote any of them, this rewrite's input was
-        stale → :class:`ConcurrentWriteConflict`."""
+        and its DVs alone (appends, other-file rewrites, other-file
+        deletes); a concurrent commit that removed/rewrote/tombstoned
+        any of them → :class:`ConcurrentWriteConflict`."""
         rel_remove = {
             os.path.relpath(p, self.path) if os.path.isabs(p) else p for p in remove
         }
+        if expected_base is None:
+            expected_base = self.latest_version()
+        dv_at_read = (
+            self._read_manifest(expected_base).get("dv", {})
+            if expected_base is not None
+            else {}
+        )
         df, union = self._evolved(df)
         staged: list[list[str]] = []
 
@@ -671,6 +724,19 @@ class ManifestTable:
                 raise ConcurrentWriteConflict(
                     f"not in current snapshot (rewritten or removed by a "
                     f"concurrent commit?): {sorted(unknown)[:3]}"
+                )
+            dv_now = m.get("dv", {}) if m else {}
+            stale = [
+                f
+                for f in sorted(rel_remove)
+                if sorted(dv_now.get(f, [])) != sorted(dv_at_read.get(f, []))
+            ]
+            if stale:
+                raise ConcurrentWriteConflict(
+                    f"deletion vectors of removed files changed since the "
+                    f"rewrite's read (v{expected_base} -> v{base}) — the "
+                    f"rewrite would resurrect concurrently-deleted rows: "
+                    f"{stale[:3]}"
                 )
             if not staged:  # write data files once, on first need
                 staged.append(self._write_files(df, partition_by))
@@ -935,12 +1001,18 @@ class ManifestTable:
 
         return self._publish(apply)
 
-    def materialize_deletes(self, files: list[str] | None = None) -> int:
+    def materialize_deletes(
+        self, files: list[str] | None = None, txn_id: str | None = None
+    ) -> int:
         """OPTIMIZE-style DV fold-in: rewrite the data files that carry
         deletion vectors (or just ``files``) WITHOUT their deleted rows
         and drop their DV entries — bounded by the touched files, never
         table size. Readers flip atomically; ``vacuum`` later reclaims
-        the replaced data files and unreferenced DV parquet."""
+        the replaced data files and unreferenced DV parquet. ``txn_id``
+        makes the fold-in exactly-once (maintenance plans replay safely);
+        a DV landing on a target file between this read and the publish
+        aborts with :class:`ConcurrentWriteConflict` (replace_files's
+        staleness check) instead of resurrecting the new tombstones."""
         v = self.latest_version()
         if v is None:
             return 0
@@ -958,7 +1030,9 @@ class ManifestTable:
             targets,
             cleaned,
             partition_by=self.partition_columns(v) or None,
+            txn_id=txn_id,
             data_change=False,
+            expected_base=v,
         )
 
     def read(

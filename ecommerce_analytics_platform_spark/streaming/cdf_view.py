@@ -92,9 +92,15 @@ def apply_view_delta(
         parts = [
             r["vpart"] for r in delta.select("vpart").distinct().collect()
         ]
-        cur = view.read(partition_values={"vpart": parts}).select(
-            *keys, "agg_sum", "agg_count", "agg_nn"
-        )
+        cur = view.read(partition_values={"vpart": parts})
+        if "agg_nn" not in cur.columns:
+            # view built before the non-null counter existed (pre-r11):
+            # those folds coalesced NULL to 0, i.e. every counted row was
+            # treated as non-null — seed agg_nn with agg_count so legacy
+            # views keep folding (their historical all-NULL groups stay
+            # at the old 0-sum convention until rebuilt)
+            cur = cur.withColumn("agg_nn", F.col("agg_count"))
+        cur = cur.select(*keys, "agg_sum", "agg_count", "agg_nn")
         merged = (
             delta.join(cur, on=keys, how="left")
             .select(
@@ -142,15 +148,15 @@ def read_agg_view(view: ManifestTable) -> DataFrame:
     """The view's live groups (zero-count tombstone rows filtered).
     ``agg_sum`` follows SQL SUM null semantics: a group whose live rows
     are all NULL-valued reads NULL, not the fold's internal 0 (the
-    non-null counter ``agg_nn`` disambiguates; ADVICE r10)."""
-    return (
-        view.read()
-        .filter(F.col("agg_count") > 0)
-        .withColumn(
+    non-null counter ``agg_nn`` disambiguates; ADVICE r10). A legacy
+    (pre-r11) view lacking ``agg_nn`` reads with its historical
+    NULL-as-0 convention."""
+    df = view.read().filter(F.col("agg_count") > 0)
+    if "agg_nn" in df.columns:
+        df = df.withColumn(
             "agg_sum", F.when(F.col("agg_nn") > 0, F.col("agg_sum"))
-        )
-        .drop("vpart", "agg_nn")
-    )
+        ).drop("agg_nn")
+    return df.drop("vpart")
 
 
 def vacuum_zero_groups(view: ManifestTable) -> int:

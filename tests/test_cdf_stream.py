@@ -333,3 +333,74 @@ def test_snapshot_bootstrap_equals_net_of_full_replay(spark, tmp_path):
     )
     q.awaitTermination()
     assert _collected_multiset(got_snap2) == _collected_multiset(more_full)
+
+
+def test_relayout_rewrite_nets_zero_across_dirs(spark, tmp_path):
+    """r11 review #4: a re-layout rewrite (root files -> hive dirs) moves
+    identical rows BETWEEN dirs — the diff must fall back to one
+    cross-dir cancellation task and net zero, keeping the
+    stream == changes_between contract."""
+    t = ManifestTable(spark, str(tmp_path / "t11"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}", f"d{i % 2}") for i in range(8)], ["k", "v", "d"]
+        )
+    )  # v1: UNPARTITIONED (d stored in data, files at root)
+    ckpt = str(tmp_path / "ckpt11")
+    got = _run_pass(spark, t.path, ckpt)
+    assert len(got) == 8
+
+    import json as _json
+    import os as _os
+
+    m = _json.load(open(_os.path.join(t.path, "_manifests", "v1.json")))
+    rows = t.read(version=1)
+    t.replace_files(m["files"], rows, partition_by=["d"])  # re-layout, UNFLAGGED
+    assert t.changes_between(1, 2).count() == 0
+    reader = _reader(t)
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    assert len(parts) == 1  # cross-dir cancellation keeps ONE task
+    assert _run_pass(spark, t.path, ckpt) == []
+
+
+def test_widening_mid_stream_raises_actionable_error(spark, tmp_path):
+    """r11 review #6: a file written after a type widening, read under a
+    schema pinned BEFORE it (a LONG-RUNNING stream; each availableNow
+    pass re-pins, so this is unit-level on the executor read path), must
+    fail with a restart-the-stream message — not a bare ArrowInvalid —
+    when values genuinely overflow; fitting values keep flowing."""
+    import json as _json
+    import os as _os
+
+    from ecommerce_analytics_platform_spark.sources.cdf_stream import (
+        _file_table,
+    )
+
+    t = ManifestTable(spark, str(tmp_path / "t12"))
+    t.append(spark.createDataFrame([(1, 10)], "k int, n int"))
+    narrow = _json.dumps(t.declared_schema().jsonValue())  # pinned: n int
+    t.append(spark.createDataFrame([(2, 2**40), (3, 20)], "k int, n long"))
+    m = _json.load(
+        open(_os.path.join(t.path, "_manifests", f"v{t.latest_version()}.json"))
+    )
+    new_files = sorted(set(m["files"]) - set(_json.load(
+        open(_os.path.join(t.path, "_manifests", "v1.json"))
+    )["files"]))
+    with pytest.raises(RuntimeError, match="widened.*restart|restart"):
+        for f in new_files:
+            _file_table(t.path, f, narrow, None)
+    # a widened file whose values FIT the pinned type reads fine
+    t2 = ManifestTable(spark, str(tmp_path / "t13"))
+    t2.append(spark.createDataFrame([(1, 10)], "k int, n int"))
+    narrow2 = _json.dumps(t2.declared_schema().jsonValue())
+    t2.append(spark.createDataFrame([(2, 20)], "k int, n long"))
+    m2 = _json.load(
+        open(_os.path.join(t2.path, "_manifests", f"v{t2.latest_version()}.json"))
+    )
+    new2 = sorted(set(m2["files"]) - set(_json.load(
+        open(_os.path.join(t2.path, "_manifests", "v1.json"))
+    )["files"]))
+    rows = [
+        r for f in new2 for r in _file_table(t2.path, f, narrow2, None).to_pylist()
+    ]
+    assert rows == [{"k": 2, "n": 20}]

@@ -437,3 +437,115 @@ def test_compact_applies_deletion_vectors(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == want
     # the compacted snapshot carries no DV entries for rewritten files
     assert not _manifest(tmp_path / "t", t.latest_version()).get("dv")
+
+
+# -- r11 review batch: lost-delete races, bool partitions, flagged commutes --
+
+
+def test_boolean_partition_values_prune_and_merge(spark, tmp_path):
+    """r11 review #2: Spark writes flag=true/false; Python str() says
+    True/False — reads and DV merges on boolean partitions must match."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", True), (2, "b", False), (3, "c", True)],
+            "k int, user string, flag boolean",
+        ),
+        partition_by=["flag"],
+    )
+    assert {r.k for r in t.read(partition_values={"flag": [True]}).collect()} == {1, 3}
+    t.merge_delete_insert(
+        spark.createDataFrame([(1, "A2", True)], "k int, user string, flag boolean"),
+        unique_key=["k"],
+        partition_by=["flag"],
+        delete_mode="dv",
+    )
+    got = sorted((r.k, r.user) for r in t.read().collect())
+    assert got == [(1, "A2"), (2, "b"), (3, "c")]
+
+
+def test_replace_files_aborts_when_removed_files_gain_dvs(spark, tmp_path):
+    """r11 review #1 (lost-delete race): a rewrite derived from a read at
+    v must abort if a concurrent delete_where tombstoned a removed file —
+    committing would resurrect the deleted rows (invisibly, if flagged)."""
+    t = _mk(spark, tmp_path / "t")  # v1, unpartitioned
+    v = t.latest_version()
+    files = _manifest(tmp_path / "t", v)["files"]
+    live = t.read(version=v)
+    t.delete_where("user = 'u0'")  # concurrent delete -> v2
+    with pytest.raises(ConcurrentWriteConflict, match="resurrect"):
+        t.replace_files(files, live.coalesce(1), expected_base=v, data_change=False)
+    # deleted rows stay deleted
+    assert {r.k for r in t.read().collect()} == {
+        i for i in range(20) if i % 5 != 0
+    }
+
+
+def test_compact_aborts_on_concurrent_delete(spark, tmp_path):
+    """The same race through the public compact(): simulated by pinning
+    compact's read version via a racing delete between plan and apply."""
+    from ecommerce_analytics_platform_spark.operators.maintenance import (
+        apply_maintenance,
+        maintenance_plan,
+    )
+
+    t = _mk(spark, tmp_path / "t")
+    plan = [
+        s for s in maintenance_plan(t, small_file_bytes=1 << 20, min_small_files=2)
+        if s["op"] == "compact"
+    ]
+    assert plan
+    t.delete_where("user = 'u1'")  # races the planned compaction
+    with pytest.raises(ConcurrentWriteConflict):
+        apply_maintenance(t, plan)
+    assert {r.k for r in t.read().collect()} == {
+        i for i in range(20) if i % 5 != 1
+    }
+
+
+def test_replace_partitions_conflicts_on_concurrent_dv_delete(spark, tmp_path):
+    """The rewrite-merge path's conflict window now sees DV-ONLY commits
+    (they change no file list): a replace derived from v must abort if a
+    delete_where landed on its partitions meanwhile."""
+    t = _mk(spark, tmp_path / "t", parts=True)  # v1
+    v = t.latest_version()
+    d0 = t.read(version=v).filter("d = 'd0'")
+    t.delete_where("k = 0", partition_values={"d": ["d0"]})  # v2, DV-only
+    with pytest.raises(ConcurrentWriteConflict):
+        t.replace_partitions(d0, ["d"], expected_base=v)
+    assert 0 not in {r.k for r in t.read().collect()}
+
+
+def test_flagged_maintenance_commutes_with_dv_merge(spark, tmp_path):
+    """r11 review #5: a data_change=false rewrite of OTHER files in the
+    affected partition must NOT abort a DV merge (row-preserving commits
+    cannot introduce new keys); the same rewrite unflagged still does."""
+    for flagged in (True, False):
+        t = _mk(spark, tmp_path / f"t{flagged}", parts=True)  # v1
+        aligned, union, part_vals = _dv_merge_inputs(t, spark, [(3, "UPD", "d0")])
+        # rewrite d0 files that do NOT hold key 3's row... key 3 lives in
+        # one d0 file; rewrite the OTHER d0 rows' files by splitting: the
+        # simplest disjoint target is d1 for the unflagged contrast, so
+        # instead rewrite ALL d0 files minus the one holding k=3
+        m = _manifest(tmp_path / f"t{flagged}", 1)
+        hold3 = {
+            r["__dv_file"]
+            for r in t._with_position(
+                t.read(version=1, apply_deletes=False)
+            ).filter("k = 3").select("__dv_file").collect()
+        }
+        others = [f for f in m["files"] if f.startswith("d=d0") and f not in hold3]
+        if not others:
+            continue  # layout put everything in one file; nothing to pin
+        pos = t._with_position(t.read(version=1, apply_deletes=False))
+        rows = pos.filter(pos["__dv_file"].isin(others)).drop(
+            "__dv_file", "__dv_pos"
+        )
+        t.replace_files(others, rows, partition_by=["d"], data_change=(not flagged))
+        if flagged:
+            t._merge_via_dv(1, aligned, union, ["k"], ["d"], part_vals, None)
+            got = {(r.k, r.user) for r in t.read().filter("k = 3").collect()}
+            assert got == {(3, "UPD")}
+        else:
+            with pytest.raises(ConcurrentWriteConflict):
+                t._merge_via_dv(1, aligned, union, ["k"], ["d"], part_vals, None)

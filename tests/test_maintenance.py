@@ -56,7 +56,7 @@ def test_converges_to_clean_and_noop_on_clean(spark, tmp_path):
     t = _dirty_table(spark, tmp_path / "t")
     want = sorted((r.k, r.user, r.d) for r in t.read().collect())
     results = run_maintenance(
-        t.spark, t, small_file_bytes=SMALL, min_small_files=2, keep_versions=2
+        t, small_file_bytes=SMALL, min_small_files=2, keep_versions=2
     )
     assert results  # it did something
     # converged: the next plan is empty
@@ -71,7 +71,7 @@ def test_converges_to_clean_and_noop_on_clean(spark, tmp_path):
     # clean table: a fresh run plans nothing and commits nothing
     v = t.latest_version()
     assert run_maintenance(
-        t.spark, t, small_file_bytes=SMALL, min_small_files=2, keep_versions=2
+        t, small_file_bytes=SMALL, min_small_files=2, keep_versions=2
     ) == []
     assert t.latest_version() == v
 
@@ -83,11 +83,11 @@ def test_apply_is_idempotent_via_txns(spark, tmp_path):
         for s in maintenance_plan(t, small_file_bytes=SMALL, min_small_files=2)
         if s["op"] != "vacuum"  # vacuum would break replaying old steps
     ]
-    apply_maintenance(t.spark, t, plan)
+    apply_maintenance(t, plan)
     v = t.latest_version()
     n = t.read().count()
     # replay the SAME plan (at-least-once scheduler): every step no-ops
-    apply_maintenance(t.spark, t, plan)
+    apply_maintenance(t, plan)
     assert t.latest_version() == v and t.read().count() == n
 
 
@@ -114,7 +114,7 @@ def test_maintenance_never_wakes_cdf_consumers(spark, tmp_path):
     _pass("ck")
     before = len(got)
     run_maintenance(
-        t.spark, t, small_file_bytes=SMALL, min_small_files=2, keep_versions=2
+        t, small_file_bytes=SMALL, min_small_files=2, keep_versions=2
     )
     _pass("ck")
     assert len(got) == before  # zero change rows from maintenance
@@ -162,7 +162,7 @@ def test_manifest_carries_file_meta_inventory(spark, tmp_path):
     t.append(
         spark.createDataFrame([(3, "c", "d0")], ["k", "v", "d"]), partition_by=["d"]
     )
-    run_maintenance(spark, t, small_file_bytes=1 << 20, min_small_files=2,
+    run_maintenance(t, small_file_bytes=1 << 20, min_small_files=2,
                     keep_versions=2)
     m2 = json.load(
         open(os.path.join(t.path, "_manifests", f"v{t.latest_version()}.json"))
