@@ -377,10 +377,25 @@ def _pos_in(table_path: str, dv_files: list[str], rel_file: str, pos: int) -> bo
 
 
 def _read_manifest(path: str, version: int) -> dict:
-    mf = os.path.join(path, "_manifests", f"v{version}.json")
+    """FULL snapshot at ``version`` — delta-log docs reconstructed via
+    sources/mlog.py (pure stdlib, importable inside DataSource tasks)."""
+    from ecommerce_analytics_platform_spark.sources import mlog
+
     try:
-        with open(mf) as f:
-            return json.load(f)
+        return mlog.load_snapshot(path, version)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"manifest v{version} of {path} is missing (vacuumed?) — "
+            "CDF streams cannot start before the oldest retained version"
+        ) from None
+
+
+def _read_doc(path: str, version: int) -> dict:
+    """Raw doc (full or delta) — metadata-only lookups (data_change)."""
+    from ecommerce_analytics_platform_spark.sources import mlog
+
+    try:
+        return mlog.read_doc(path, version)
     except FileNotFoundError:
         raise FileNotFoundError(
             f"manifest v{version} of {path} is missing (vacuumed?) — "
@@ -456,14 +471,16 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                 for f in sorted(m.get("files", []))
             ]
         for v in range(start["version"] + 1, end["version"] + 1):
-            m2 = _read_manifest(self.path, v)
-            if m2.get("data_change", True) is False:
+            if _read_doc(self.path, v).get("data_change", True) is False:
                 # writer-stamped row-preserving maintenance commit
                 # (compaction / DV materialization / clustering):
-                # skipped at O(metadata) — no file is opened at all.
-                # changes_between still PROVES the zero-diff from data,
-                # which is how the test suite keeps writers honest.
+                # skipped at O(metadata) — the RAW doc carries the stamp,
+                # so not even snapshot reconstruction happens, and no
+                # file is opened at all. changes_between still PROVES the
+                # zero-diff from data, which is how the test suite keeps
+                # writers honest.
                 continue
+            m2 = _read_manifest(self.path, v)
             m1 = _read_manifest(self.path, v - 1) if v > 1 else {}
             f1, f2 = set(m1.get("files", [])), set(m2.get("files", []))
             added, removed, common = f2 - f1, f1 - f2, f1 & f2
@@ -543,7 +560,8 @@ class ManifestCDFDataSource(DataSource):
         v = _latest_version(path)
         if v == 0:
             raise ValueError(f"no committed manifest under {path}")
-        sj = _read_manifest(path, v).get("schema")
+        # raw doc: schema is carried in full on every doc class
+        sj = _read_doc(path, v).get("schema")
         if not sj:
             raise ValueError(
                 f"{path} has no declared schema (legacy manifest) — "

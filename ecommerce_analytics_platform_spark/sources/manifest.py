@@ -36,6 +36,14 @@ industrialized. Reads go through ``spark.read.parquet(*files)``, so column
 pruning/pushdown are unchanged; partition-dir layout is preserved for
 pruning by keeping hive-style ``col=value/`` relative paths in the file
 list and parsing them into partition columns on read.
+
+Log format since r11 (sources/mlog.py): commits write O(changed-files)
+DELTA docs with a full snapshot checkpoint every
+``mlog.CHECKPOINT_INTERVAL`` versions — a 1-file append to a million-file
+table logs KBs, not the whole snapshot. ``_read_manifest`` reconstructs
+(nearest checkpoint + deltas, with a per-instance cache), so every caller
+above this layer still sees full snapshot dicts; pre-r11 all-full logs are
+a degenerate all-checkpoint chain and read unchanged.
 """
 
 from __future__ import annotations
@@ -50,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ecommerce_analytics_platform_spark.sources import mlog
 from ecommerce_analytics_platform_spark.sources.evolution import (
     align_to_schema,
     evolve_schema,
@@ -121,6 +130,13 @@ class ManifestTable:
         # row-preservation flag for the NEXT commit (replace_files
         # data_change=False sets it around its publish; default True)
         self._pending_data_change = True
+        # reconstructed-snapshot cache (manifest docs are immutable once
+        # published — vacuum's checkpoint rewrite is content-equivalent —
+        # so caching by version is safe); bounded FIFO
+        self._snap_cache: dict[int, dict] = {}
+        # full-snapshot checkpoint cadence; per-instance so tests can
+        # force all-full (1) or long chains
+        self.checkpoint_interval = mlog.CHECKPOINT_INTERVAL
 
     # -- log ---------------------------------------------------------------
 
@@ -139,8 +155,32 @@ class ManifestTable:
         return vs[-1] if vs else None
 
     def _read_manifest(self, version: int) -> dict:
-        with open(os.path.join(self.manifest_dir, f"v{version}.json")) as f:
-            return json.load(f)
+        """FULL snapshot dict at ``version`` (delta docs reconstructed —
+        sources/mlog.py). Sequential walks (``_touched_since``, CDF
+        replay) hit the one-delta fast path against the cached
+        predecessor instead of re-walking to the checkpoint."""
+        snap = self._snap_cache.get(version)
+        if snap is not None:
+            return snap
+        doc = mlog.read_doc(self.path, version)
+        if mlog.is_full(doc):
+            snap = doc
+        else:
+            base = self._snap_cache.get(doc.get("delta_base"))
+            snap = (
+                mlog.apply_delta(base, doc)
+                if base is not None
+                else mlog.load_snapshot(self.path, version)
+            )
+        if len(self._snap_cache) >= 8:
+            self._snap_cache.pop(next(iter(self._snap_cache)))
+        self._snap_cache[version] = snap
+        return snap
+
+    def _read_doc(self, version: int) -> dict:
+        """Raw on-disk doc (full OR delta) — for metadata-only lookups
+        (commit ts, data_change stamp) that must not pay reconstruction."""
+        return mlog.read_doc(self.path, version)
 
     def has_txn(self, txn_id: str) -> bool:
         """Whether the CURRENT snapshot already carries ``txn_id`` — the
@@ -261,21 +301,37 @@ class ManifestTable:
             )
             if sc:
                 doc["stats_columns"] = sc
+            new_version = (base or 0) + 1
+            # log-scale decision (sources/mlog.py): write an
+            # O(changed-files) delta doc unless this version is a
+            # checkpoint slot, there is no base to delta against, or the
+            # delta would not actually be smaller (mass-rewrite commits —
+            # overwrite/restore — degenerate to snapshot size anyway)
+            out_doc = doc
+            if m is not None and new_version % self.checkpoint_interval != 0:
+                delta = mlog.make_delta(m, doc)
+                if len(json.dumps(delta)) < len(json.dumps(doc)):
+                    out_doc = delta
             tmp = os.path.join(self.manifest_dir, f"{uuid.uuid4().hex}.tmp")
             with open(tmp, "w") as f:
-                f.write(json.dumps(doc, indent=1))
-            target = os.path.join(self.manifest_dir, f"v{(base or 0) + 1}.json")
+                f.write(json.dumps(out_doc, indent=1))
+            target = os.path.join(self.manifest_dir, f"v{new_version}.json")
             try:
                 # atomic publish; fails iff a concurrent writer took the slot
                 os.link(tmp, target)
                 os.unlink(tmp)
+                # cache the FULL snapshot under the published version so
+                # the next read/commit skips reconstruction entirely
+                if len(self._snap_cache) >= 8:
+                    self._snap_cache.pop(next(iter(self._snap_cache)))
+                self._snap_cache[new_version] = doc
                 for f in list(self._staged_stats):
                     if f in fileset:
                         del self._staged_stats[f]
                 for f in list(self._staged_file_meta):
                     if f in fileset:
                         del self._staged_file_meta[f]
-                return (base or 0) + 1
+                return new_version
             except FileExistsError:
                 os.unlink(tmp)  # lost the race → rebase on the new latest
 
@@ -301,25 +357,40 @@ class ManifestTable:
         if until is None or since == until:
             return set()
         touched: set[str] = set()
-        try:
-            m0 = self._read_manifest(since) if since is not None else {}
-        except FileNotFoundError:
-            return {"*"}
-        prev = set(m0.get("files", []))
-        prev_dv = m0.get("dv", {})
         for v in range((since or 0) + 1, until + 1):
             try:
+                d = self._read_doc(v)
+            except FileNotFoundError:
+                return {"*"}
+            flagged = d.get("data_change", True) is False
+            if not mlog.is_full(d):
+                # O(changes) fast path: a delta doc IS the commit's edit
+                # set — no snapshot reconstruction, so the conflict window
+                # costs O(changed files) regardless of table size
+                add = set(d.get("add_files", []))
+                rem = set(d.get("remove_files", []))
+                if not flagged:
+                    touched |= {os.path.dirname(f) for f in add | rem}
+                # DV deltas; for a FLAGGED commit, a DV entry vanishing
+                # with its rewritten file is the content-neutral fold-in
+                # itself — only deltas on files surviving the commit count
+                dv_keys = set(d.get("dv_put", {})) | set(d.get("dv_del", []))
+                if flagged:
+                    dv_keys -= add | rem
+                touched |= {os.path.dirname(f) for f in dv_keys}
+                continue
+            # checkpoint doc: diff full snapshots (1/checkpoint_interval
+            # of commits; the cached predecessor keeps this cheap)
+            try:
                 m = self._read_manifest(v)
+                prev_m = self._read_manifest(v - 1) if v - 1 >= 1 else {}
             except FileNotFoundError:
                 return {"*"}
             cur = set(m["files"])
-            cur_dv = m.get("dv", {})
-            flagged = m.get("data_change", True) is False
+            prev = set(prev_m.get("files", []))
+            cur_dv, prev_dv = m.get("dv", {}), prev_m.get("dv", {})
             if not flagged:
                 touched |= {os.path.dirname(f) for f in cur ^ prev}
-            # DV deltas; for a FLAGGED commit, a DV entry vanishing with
-            # its rewritten file is the content-neutral fold-in itself —
-            # only deltas on files surviving the commit would be real
             candidates = (
                 (set(cur_dv) | set(prev_dv)) & cur & prev
                 if flagged
@@ -328,7 +399,6 @@ class ManifestTable:
             for f in candidates:
                 if sorted(cur_dv.get(f, [])) != sorted(prev_dv.get(f, [])):
                     touched.add(os.path.dirname(f))
-            prev, prev_dv = cur, cur_dv
         return touched
 
     # -- data files --------------------------------------------------------
@@ -796,7 +866,9 @@ class ManifestTable:
         query time. Raises if no version is old enough."""
         candidates = [
             v for v in self._versions()
-            if self._read_manifest(v).get("ts", float("-inf")) <= ts
+            # raw doc read — ts is carried on delta docs too, so the
+            # whole-history scan never pays snapshot reconstruction
+            if self._read_doc(v).get("ts", float("-inf")) <= ts
         ]
         if not candidates:
             raise FileNotFoundError(
@@ -1587,6 +1659,18 @@ class ManifestTable:
         if not vs:
             return 0
         keep = vs[-keep_versions:]
+        # the oldest retained version may be a DELTA doc whose chain runs
+        # through manifests we are about to drop — rewrite it as a full
+        # checkpoint first (content-equivalent, so the atomic rename is
+        # invisible to concurrent readers), keeping the invariant that
+        # every retained version reconstructs from retained docs alone
+        oldest = keep[0]
+        if not mlog.is_full(self._read_doc(oldest)):
+            snap = self._read_manifest(oldest)
+            tmp = os.path.join(self.manifest_dir, f"{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                f.write(json.dumps(snap, indent=1))
+            os.rename(tmp, os.path.join(self.manifest_dir, f"v{oldest}.json"))
         live: set[str] = set()
         for v in keep:
             mk = self._read_manifest(v)

@@ -1,0 +1,142 @@
+"""Manifest log codec: delta commits + periodic full checkpoints.
+
+Scale problem this solves (reference parity is unaffected — the reference
+rewrites its whole DuckDB warehouse file per dbt run, reference
+warehouse/build_warehouse.py): through round 10 every ``ManifestTable``
+commit wrote the FULL snapshot (file list + per-file stats + file_meta +
+DVs) as ``v{N}.json``. At 100 TB a table holds millions of files, so each
+1-file streaming append would serialize an O(total-files) JSON — commit
+cost grows with table size, not commit size, and the log itself becomes a
+second copy of the metadata per version. Delta Lake solves this with JSON
+*actions* per commit plus a parquet checkpoint every N commits; Iceberg
+with per-commit manifest files. This module is that idea for our format:
+
+- a **full doc** (``"files"`` key present) is a self-contained snapshot —
+  v1, every ``CHECKPOINT_INTERVAL``-th version, and every pre-r11 manifest
+  (the legacy log is a degenerate all-checkpoint chain, so old tables read
+  unchanged);
+- a **delta doc** (``"delta_base"`` key) records only the commit's edits:
+  added/removed files, per-file stat/meta/DV puts and dels, txn additions.
+  Scalar keys (``schema``, ``stats_columns``, ``data_change``, ``ts``,
+  ``base_version``) are carried IN FULL on every doc — they are tiny and
+  making the newest doc authoritative for them keeps reconstruction
+  trivially correct (absent-in-doc == absent-in-snapshot).
+
+``load_snapshot`` walks back to the nearest full doc and folds deltas
+forward — ≤ CHECKPOINT_INTERVAL-1 small reads. It is pure stdlib (no
+Spark imports) so executor-side readers (sources/cdf_stream.py) can use
+it inside DataSource tasks.
+
+Commit cost after this module: O(changed files) bytes and time, independent
+of table size; snapshot load: O(live metadata) at a checkpoint plus
+O(changes since). ``_touched_since`` additionally reads delta docs
+directly, making concurrency-window checks O(changes) too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+# Full snapshot every K-th version. 16 bounds reconstruction at 15 delta
+# applies while amortizing the O(files) checkpoint write to 1/16th of
+# commits; Delta Lake's default checkpoint interval is 10 — same order.
+CHECKPOINT_INTERVAL = 16
+
+# scalar keys copied verbatim between snapshot and doc; the doc is
+# authoritative on reconstruction (absent key == absent in snapshot)
+_SCALARS = ("base_version", "ts", "schema", "stats_columns", "data_change")
+
+# map-valued snapshot keys diffed as <key>_put / <key>_del in delta docs
+_MAPS = ("stats", "file_meta", "dv")
+
+
+def doc_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, "_manifests", f"v{version}.json")
+
+
+def read_doc(table_path: str, version: int) -> dict:
+    """The raw on-disk doc — full snapshot OR delta. Metadata-only callers
+    (ts lookup, data_change stamp) use this to avoid reconstruction."""
+    with open(doc_path(table_path, version)) as f:
+        return json.load(f)
+
+
+def is_full(doc: dict) -> bool:
+    return "files" in doc
+
+
+def make_delta(base: dict, full: dict) -> dict:
+    """Delta doc encoding ``full`` as edits against snapshot ``base``."""
+    delta: dict = {"delta_base": full.get("base_version")}
+    for k in _SCALARS:
+        if k in full:
+            delta[k] = full[k]
+    old_files, new_files = set(base.get("files", [])), set(full["files"])
+    add = sorted(new_files - old_files)
+    remove = sorted(old_files - new_files)
+    if add:
+        delta["add_files"] = add
+    if remove:
+        delta["remove_files"] = remove
+    old_txns, new_txns = set(base.get("txns", [])), set(full.get("txns", []))
+    if new_txns - old_txns:
+        delta["txns_add"] = sorted(new_txns - old_txns)
+    if old_txns - new_txns:  # no current writer shrinks txns; future-proof
+        delta["txns_del"] = sorted(old_txns - new_txns)
+    for k in _MAPS:
+        old_m, new_m = base.get(k, {}), full.get(k, {})
+        put = {f: v for f, v in new_m.items() if old_m.get(f) != v}
+        dels = sorted(f for f in old_m if f not in new_m)
+        if put:
+            delta[f"{k}_put"] = put
+        if dels:
+            delta[f"{k}_del"] = dels
+    return delta
+
+
+def apply_delta(base: dict, delta: dict) -> dict:
+    """Reconstruct the full snapshot ``delta`` encodes on top of ``base``."""
+    files = set(base.get("files", []))
+    files -= set(delta.get("remove_files", []))
+    files |= set(delta.get("add_files", []))
+    snap: dict = {"files": sorted(files)}
+    txns = set(base.get("txns", []))
+    txns -= set(delta.get("txns_del", []))
+    txns |= set(delta.get("txns_add", []))
+    snap["txns"] = sorted(txns)
+    for k in _MAPS:
+        m = dict(base.get(k, {}))
+        for f in delta.get(f"{k}_del", []):
+            m.pop(f, None)
+        m.update(delta.get(f"{k}_put", {}))
+        if m:
+            snap[k] = m
+    for k in _SCALARS:
+        if k in delta:
+            snap[k] = delta[k]
+    return snap
+
+
+def load_snapshot(table_path: str, version: int) -> dict:
+    """Full snapshot dict at ``version``: nearest checkpoint + deltas.
+
+    Raises FileNotFoundError if the version — or any doc on its delta
+    chain — is missing (vacuumed); callers treat that exactly like a
+    missing legacy manifest."""
+    chain: list[dict] = []
+    v = version
+    doc = read_doc(table_path, v)
+    while not is_full(doc):
+        chain.append(doc)
+        b = doc.get("delta_base")
+        if b is None or b >= v:  # corrupt link; refuse to loop
+            raise FileNotFoundError(
+                f"manifest v{v} of {table_path} has an unresolvable delta chain"
+            )
+        v = b
+        doc = read_doc(table_path, v)
+    snap = doc
+    for d in reversed(chain):
+        snap = apply_delta(snap, d)
+    return snap

@@ -8,8 +8,11 @@
                 bootstrap (reads live files once) vs JVM batch view init.
 3. plancost   — maintenance_plan wall on a many-file table: metadata-only
                 planning (manifest file_meta) never touches the data tree.
+4. logscale   — per-commit log cost vs table size: bytes + wall of a
+                1-file append on a 2048-file table, delta-log format vs
+                forced full-snapshot docs (the pre-r11 behavior).
 
-Usage: python3 scripts/probe_r11.py [fulldiff|bootstrap|plancost|all]
+Usage: python3 scripts/probe_r11.py [fulldiff|bootstrap|plancost|logscale|all]
 """
 
 from __future__ import annotations
@@ -130,6 +133,40 @@ def probe_plancost(spark):
     )
 
 
+def probe_logscale(spark):
+    """Commit cost must track COMMIT size, not TABLE size (mlog delta
+    docs). Same 1-row append onto the same 2048-file table, once with
+    the delta log and once with checkpoint_interval=1 (every doc full —
+    the pre-r11 format)."""
+    import json
+    import os
+
+    for mode, interval in (("full-doc(r10)", 1), ("delta-log(r11)", 16)):
+        d = tempfile.mkdtemp()
+        t = ManifestTable(spark, d + "/t")
+        t.checkpoint_interval = interval
+        t.set_stats_columns(["k"])
+        base = spark.range(2_000_000).selectExpr(
+            "id as k", "cast(id % 16 as string) as d"
+        )
+        t.overwrite(base.repartition(2048), partition_by=["d"])
+        one = spark.createDataFrame([(9_999_999, "d0")], ["k", "d"])
+        walls, sizes = [], []
+        for _ in range(5):
+            t0 = time.time()
+            v = t.append(one.coalesce(1), partition_by=["d"])
+            walls.append(time.time() - t0)
+            mf = os.path.join(t.path, "_manifests", f"v{v}.json")
+            sizes.append(os.path.getsize(mf))
+        doc = json.load(open(mf))
+        kind = "full" if "files" in doc else "delta"
+        print(
+            f"logscale {mode}: 1-file append on 2048-file table -> "
+            f"doc={kind} log_bytes(min)={min(sizes)} "
+            f"append_wall(min)={min(walls):.3f}s"
+        )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark()
@@ -140,3 +177,5 @@ if __name__ == "__main__":
         probe_bootstrap(spark)
     if which in ("plancost", "all"):
         probe_plancost(spark)
+    if which in ("logscale", "all"):
+        probe_logscale(spark)

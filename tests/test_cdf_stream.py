@@ -380,12 +380,12 @@ def test_widening_mid_stream_raises_actionable_error(spark, tmp_path):
     t.append(spark.createDataFrame([(1, 10)], "k int, n int"))
     narrow = _json.dumps(t.declared_schema().jsonValue())  # pinned: n int
     t.append(spark.createDataFrame([(2, 2**40), (3, 20)], "k int, n long"))
-    m = _json.load(
-        open(_os.path.join(t.path, "_manifests", f"v{t.latest_version()}.json"))
+    from ecommerce_analytics_platform_spark.sources import mlog
+
+    m = mlog.load_snapshot(t.path, t.latest_version())
+    new_files = sorted(
+        set(m["files"]) - set(mlog.load_snapshot(t.path, 1)["files"])
     )
-    new_files = sorted(set(m["files"]) - set(_json.load(
-        open(_os.path.join(t.path, "_manifests", "v1.json"))
-    )["files"]))
     with pytest.raises(RuntimeError, match="widened.*restart|restart"):
         for f in new_files:
             _file_table(t.path, f, narrow, None)
@@ -394,12 +394,10 @@ def test_widening_mid_stream_raises_actionable_error(spark, tmp_path):
     t2.append(spark.createDataFrame([(1, 10)], "k int, n int"))
     narrow2 = _json.dumps(t2.declared_schema().jsonValue())
     t2.append(spark.createDataFrame([(2, 20)], "k int, n long"))
-    m2 = _json.load(
-        open(_os.path.join(t2.path, "_manifests", f"v{t2.latest_version()}.json"))
+    m2 = mlog.load_snapshot(t2.path, t2.latest_version())
+    new2 = sorted(
+        set(m2["files"]) - set(mlog.load_snapshot(t2.path, 1)["files"])
     )
-    new2 = sorted(set(m2["files"]) - set(_json.load(
-        open(_os.path.join(t2.path, "_manifests", "v1.json"))
-    )["files"]))
     rows = [
         r for f in new2 for r in _file_table(t2.path, f, narrow2, None).to_pylist()
     ]

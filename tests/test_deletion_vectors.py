@@ -26,7 +26,10 @@ def _mk(spark, path, n=20, parts=False):
 
 
 def _manifest(path, v):
-    return json.load(open(os.path.join(str(path), "_manifests", f"v{v}.json")))
+    # reconstructed snapshot — versions may be delta-log docs (mlog)
+    from ecommerce_analytics_platform_spark.sources import mlog
+
+    return mlog.load_snapshot(str(path), v)
 
 
 def test_delete_where_is_logical_not_physical(spark, tmp_path):

@@ -120,8 +120,9 @@ def test_maintenance_never_wakes_cdf_consumers(spark, tmp_path):
     assert len(got) == before  # zero change rows from maintenance
 
     # every maintenance rewrite commit carries the data_change=false stamp
+    # (snapshots reconstructed — the log is delta-format since r11)
     for v in t._versions():
-        m = json.load(open(os.path.join(t.path, "_manifests", f"v{v}.json")))
+        m = t._read_manifest(v)
         for txn in m.get("txns", []):
             if txn.startswith("maint-"):
                 # the commit that INTRODUCED a maint txn is row-preserving;
@@ -129,15 +130,9 @@ def test_maintenance_never_wakes_cdf_consumers(spark, tmp_path):
                 first = min(
                     w
                     for w in t._versions()
-                    if txn
-                    in json.load(
-                        open(os.path.join(t.path, "_manifests", f"v{w}.json"))
-                    ).get("txns", [])
+                    if txn in t._read_manifest(w).get("txns", [])
                 )
-                mm = json.load(
-                    open(os.path.join(t.path, "_manifests", f"v{first}.json"))
-                )
-                assert mm.get("data_change", True) is False
+                assert t._read_manifest(first).get("data_change", True) is False
 
 
 def test_manifest_carries_file_meta_inventory(spark, tmp_path):
@@ -148,9 +143,7 @@ def test_manifest_carries_file_meta_inventory(spark, tmp_path):
         spark.createDataFrame([(1, "a", "d0"), (2, "b", "d1")], ["k", "v", "d"]),
         partition_by=["d"],
     )
-    m = json.load(
-        open(os.path.join(t.path, "_manifests", f"v{t.latest_version()}.json"))
-    )
+    m = t._read_manifest(t.latest_version())
     assert set(m["file_meta"]) == set(m["files"])
     for f, (size, rows) in m["file_meta"].items():
         assert size == os.path.getsize(os.path.join(t.path, f))
@@ -164,7 +157,5 @@ def test_manifest_carries_file_meta_inventory(spark, tmp_path):
     )
     run_maintenance(t, small_file_bytes=1 << 20, min_small_files=2,
                     keep_versions=2)
-    m2 = json.load(
-        open(os.path.join(t.path, "_manifests", f"v{t.latest_version()}.json"))
-    )
+    m2 = t._read_manifest(t.latest_version())
     assert set(m2["file_meta"]) == set(m2["files"])

@@ -9,6 +9,7 @@ import os
 
 import pytest
 
+from ecommerce_analytics_platform_spark.sources import mlog
 from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
 
 
@@ -59,11 +60,11 @@ def test_merge_replaces_only_touched_partitions(spark, tmp_path):
         [(i, f"2026-05-0{1 + i % 3}", f"v{i}") for i in range(30)], ["k", "d", "v"]
     )
     t.merge_delete_insert(base, unique_key=["k"], partition_by=["d"])
-    m1 = json.load(open(glob.glob(str(tmp_path / "t/_manifests/v1.json"))[0]))
+    m1 = mlog.load_snapshot(t.path, 1)
     batch = spark.createDataFrame([(2, "2026-05-03", "UPD"), (99, "2026-05-03", "new")],
                                   ["k", "d", "v"])
     t.merge_delete_insert(batch, unique_key=["k"], partition_by=["d"])
-    m2 = json.load(open(glob.glob(str(tmp_path / "t/_manifests/v2.json"))[0]))
+    m2 = mlog.load_snapshot(t.path, 2)
     # untouched partitions: exact same file entries carried over
     keep1 = {f for f in m1["files"] if "d=2026-05-03" not in f}
     keep2 = {f for f in m2["files"] if "d=2026-05-03" not in f}
@@ -210,7 +211,7 @@ def test_vacuum_keeps_live_versions(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(1, "a")], ["k", "v"]))
     t.overwrite(spark.createDataFrame([(2, "b")], ["k", "v"]))
     t.overwrite(spark.createDataFrame([(3, "c")], ["k", "v"]))
-    live = set(json.load(open(os.path.join(t.manifest_dir, "v3.json")))["files"])
+    live = set(mlog.load_snapshot(t.path, 3)["files"])
     removed = t.vacuum(keep_versions=1)
     assert removed >= 2  # all v1+v2 data files gone
     on_disk = {os.path.relpath(p, t.path)

@@ -14,7 +14,10 @@ from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
 
 
 def _manifest(path, v):
-    return json.load(open(os.path.join(str(path), "_manifests", f"v{v}.json")))
+    # reconstructed snapshot — versions may be delta-log docs (mlog)
+    from ecommerce_analytics_platform_spark.sources import mlog
+
+    return mlog.load_snapshot(str(path), v)
 
 
 def _clustered(spark, n=1000, parts=4):

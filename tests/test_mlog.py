@@ -1,0 +1,193 @@
+"""Delta-log manifest format (sources/mlog.py): commit cost O(changed
+files), full checkpoints every K versions, reconstruction correctness
+across every commit class, vacuum chain preservation.
+
+Scale rationale (SCALE.md r11): through r10 every commit wrote the full
+snapshot JSON — O(total files) per commit. These tests pin that a 1-file
+append now logs only its own edits, and that every reader surface
+(read, time travel, stats pruning, CDF, history, restore, vacuum) is
+bit-identical on a delta-format log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ecommerce_analytics_platform_spark.sources import mlog
+from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def _raw(t, v):
+    return json.load(open(os.path.join(t.manifest_dir, f"v{v}.json")))
+
+
+def test_append_logs_delta_not_snapshot(spark, tmp_path):
+    """The r11 point: appending 1 file to an N-file table writes an
+    O(1)-sized delta doc, not an O(N) snapshot."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(i, f"v{i}") for i in range(64)], ["k", "v"])
+        .repartition(16)
+    )  # v1: checkpoint by definition
+    t.append(spark.createDataFrame([(100, "new")], ["k", "v"]).coalesce(1))  # v2
+    full = _raw(t, 1)
+    d = _raw(t, 2)
+    assert "files" in full and len(full["files"]) == 16
+    assert "files" not in d and d["delta_base"] == 1
+    assert len(d["add_files"]) == 1 and "remove_files" not in d
+    # per-file metadata rides the delta for the new file only
+    assert set(d.get("file_meta_put", {})) == set(d["add_files"])
+    # the delta is a fraction of the snapshot it replaces
+    assert len(json.dumps(d)) < len(json.dumps(full)) / 3
+    # and reconstruction sees all 17 files
+    assert len(t._read_manifest(2)["files"]) == 17
+    assert t.read().count() == 65
+
+
+def test_checkpoint_every_interval(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 4
+    for i in range(9):  # v1..v9
+        t.append(spark.createDataFrame([(i, "x")], ["k", "v"]).coalesce(1))
+    kinds = {v: mlog.is_full(_raw(t, v)) for v in range(1, 10)}
+    assert kinds == {1: True, 2: False, 3: False, 4: True,
+                     5: False, 6: False, 7: False, 8: True, 9: False}
+    # a FRESH instance (cold cache) reconstructs the tip exactly
+    t2 = ManifestTable(spark, t.path)
+    assert len(t2._read_manifest(9)["files"]) == 9
+    assert t2.read().count() == 9
+
+
+def test_reconstruction_equals_recorded_state_across_commit_mix(spark, tmp_path):
+    """Drive every commit class on a long-chain table (interval 8 — most
+    docs are deltas) and pin TIME TRAVEL at every version against rows
+    recorded when that version was the tip. This exercises files, DVs,
+    schema, txns and stats through reconstruction end-to-end."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 8
+    snap_rows: dict[int, list] = {}
+
+    def rec():
+        snap_rows[t.latest_version()] = _rows(
+            t.read().select("k", "d", "v")
+        )
+
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "d", "v"])
+    t.overwrite(mk([(i, f"d{i % 3}", f"v{i}") for i in range(12)]),
+                partition_by=["d"])
+    rec()
+    t.append(mk([(100, "d0", "a100")]), partition_by=["d"])
+    rec()
+    t.delete_where("k >= 9 and k <= 10")  # DV-only commit
+    rec()
+    t.append_once(mk([(101, "d1", "b101")]), txn_id="tx-1",
+                  partition_by=["d"])
+    rec()
+    t.merge_delete_insert(mk([(0, "d0", "UPD"), (102, "d2", "c102")]),
+                          unique_key=["k"], partition_by=["d"])
+    rec()
+    t.materialize_deletes()  # data_change=false rewrite
+    rec()
+    t.replace_partitions(mk([(7, "d1", "RP")]), ["d"])
+    rec()
+    t.append(mk([(103, "d0", "x")]), partition_by=["d"])  # v8: checkpoint
+    rec()
+    t.restore(2)
+    rec()
+    t.append(mk([(104, "d2", "y")]), partition_by=["d"])
+    rec()
+    assert t.latest_version() == 10
+    # cold-cache instance: every retained version time-travels to the
+    # exact rows recorded when it was the tip
+    t2 = ManifestTable(spark, t.path)
+    for v, want in snap_rows.items():
+        assert _rows(t2.read(version=v).select("k", "d", "v")) == want, v
+    # txn set survives reconstruction (exactly-once across the chain)
+    assert t2.has_txn("tx-1")
+    v_before = t2.latest_version()
+    t2.append_once(mk([(101, "d1", "b101")]), txn_id="tx-1",
+                   partition_by=["d"])
+    assert t2.latest_version() == v_before  # deduped, no new commit
+    # history walks the whole chain without error and sees every version
+    assert t2.history().count() == 10
+
+
+def test_stats_pruning_survives_delta_log(spark, tmp_path):
+    """Min/max file skipping reads stats through reconstruction — a
+    predicate that pruned on a full-doc log prunes identically when the
+    stats rode in on delta docs."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 16
+    t.set_stats_columns(["k"])
+    t.overwrite(
+        spark.createDataFrame([(i, "x") for i in range(10)], ["k", "v"])
+        .coalesce(1)
+    )
+    for lo in (100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, "x") for i in range(10)], ["k", "v"]
+            ).coalesce(1)
+        )
+    assert not mlog.is_full(_raw(t, t.latest_version()))
+    pruned = t.read(stats_predicates=[("k", ">=", 200)])
+    assert pruned.count() == 10
+    assert len(pruned.inputFiles()) == 1  # two files skipped from stats
+
+
+def test_vacuum_checkpoints_oldest_retained_version(spark, tmp_path):
+    """Dropping old manifests must not orphan a retained delta doc's
+    chain: vacuum rewrites the oldest retained version as a full
+    checkpoint (content-equivalent) before deleting its ancestors."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 16  # v2..v5 are deltas chained to v1
+    for i in range(5):
+        t.append(spark.createDataFrame([(i, "x")], ["k", "v"]).coalesce(1))
+    want4 = _rows(t.read(version=4))
+    want5 = _rows(t.read(version=5))
+    assert not mlog.is_full(_raw(t, 4))
+    t.vacuum(keep_versions=2)  # retain v4, v5; v1..v3 dropped
+    assert t._versions() == [4, 5]
+    assert mlog.is_full(_raw(t, 4))  # rewritten as checkpoint
+    t2 = ManifestTable(spark, t.path)  # cold cache
+    assert _rows(t2.read(version=4)) == want4
+    assert _rows(t2.read(version=5)) == want5
+
+
+def test_cdf_and_touched_since_on_delta_log(spark, tmp_path):
+    """changes_between and the conflict window read delta docs directly;
+    results equal the data-level truth."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 16
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "d", "v"])
+    t.overwrite(mk([(i, f"d{i % 2}", "a") for i in range(8)]),
+                partition_by=["d"])
+    t.append(mk([(100, "d1", "b")]), partition_by=["d"])  # v2: delta
+    t.delete_where("k = 0")  # v3: DV-only delta
+    ch2 = t.changes_between(1, 2)
+    assert _rows(ch2.select("k", "_change_type")) == [("100", "insert")]
+    ch3 = t.changes_between(2, 3)
+    assert _rows(ch3.select("k", "_change_type")) == [("0", "delete")]
+    # conflict window from delta docs: v2 touched only d=d1; v3's DV
+    # touched k=0's partition (d=d0)
+    assert t._touched_since(1, 2) == {"d=d1"}
+    assert t._touched_since(2, 3) == {"d=d0"}
+
+
+def test_legacy_all_full_log_reads_unchanged(spark, tmp_path):
+    """A pre-r11 log (every doc full) is a degenerate all-checkpoint
+    chain — force one and read through the same code paths."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 1
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, "x")], ["k", "v"]).coalesce(1))
+    assert all(mlog.is_full(_raw(t, v)) for v in (1, 2, 3))
+    t2 = ManifestTable(spark, t.path)
+    assert t2.read().count() == 3
+    assert _rows(t2.read(version=2)) == _rows(t2.read(version=2))
+    assert t2.changes_between(1, 3).count() == 2
