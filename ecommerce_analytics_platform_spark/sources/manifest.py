@@ -127,6 +127,8 @@ class ManifestTable:
         # published as the manifest's file_meta key
         self._staged_file_meta: dict[str, list] = {}
         self._pending_stats_columns = self._UNSET
+        # Bloom sidecar config override for the set_bloom_columns commit
+        self._pending_bloom = self._UNSET
         # row-preservation flag for the NEXT commit (replace_files
         # data_change=False sets it around its publish; default True)
         self._pending_data_change = True
@@ -301,6 +303,16 @@ class ManifestTable:
             )
             if sc:
                 doc["stats_columns"] = sc
+            bl = (
+                self._pending_bloom
+                if self._pending_bloom is not self._UNSET
+                else (m.get("bloom") if m else None)
+            )
+            if bl:
+                # Bloom sidecar config ({columns, m_bits, k, seed}) —
+                # the bitmaps themselves live NEXT TO the data files
+                # (<file>.bloom.<col>), never in the log
+                doc["bloom"] = bl
             new_version = (base or 0) + 1
             # log-scale decision (sources/mlog.py): write an
             # O(changed-files) delta doc unless this version is a
@@ -446,6 +458,9 @@ class ManifestTable:
         ]
         if cols and out:
             self._staged_stats.update(self._collect_stats(out, cols))
+        bcfg = self.bloom_config()
+        if bcfg and out and any(c in df.columns for c in bcfg["columns"]):
+            self._write_bloom_sidecars(out, bcfg)
         return out
 
     # -- per-file column stats (manifest-level data skipping) ---------------
@@ -476,6 +491,244 @@ class ManifestTable:
             )
         finally:
             self._pending_stats_columns = self._UNSET
+
+    # -- per-file Bloom sidecars (point-lookup file skipping) ----------------
+
+    def bloom_config(self, version: int | None = None) -> dict | None:
+        """The table's Bloom data-skipping config (:meth:`set_bloom_columns`)
+        or None for tables that never opted in."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            return (
+                None
+                if self._pending_bloom is self._UNSET
+                else self._pending_bloom
+            )
+        return self._read_manifest(v).get("bloom")
+
+    def set_bloom_columns(
+        self,
+        cols: list[str] | None,
+        m_bits: int = 1 << 17,
+        k: int = 5,
+        seed: int = 101,
+    ) -> int:
+        """Table-config commit: build a per-file Bloom filter SIDECAR
+        (``<datafile>.bloom.<col>``, a packed ``m_bits``-bit bitmap) for
+        ``cols`` on every subsequent write — Delta's Bloom filter index.
+
+        This is the point-lookup complement to min/max stats: on a
+        high-cardinality key with no write-side clustering, every file's
+        [min, max] straddles every needle and stats prune NOTHING, while
+        a Bloom answers "definitely not in this file" per file. 100 TB
+        shape: sidecars are written once per data file (bounded by
+        commit size), live NEXT TO the data (the manifest carries only
+        this config — O(1) log growth), and are probed driver-side only
+        for files that already survived partition + stats pruning.
+        False positives cost one extra file scan; false negatives cannot
+        happen for files carrying a sidecar, and files without one
+        (written before opt-in) are conservatively kept — rewrite them
+        (compaction) to backfill. Defaults: m_bits=2^17 (16 KB/filter),
+        k=5 → fpp ≈ 0.5% at ~15k distinct keys/file, ≈ 5% at 40k.
+
+        Hash family: ``seeded_hash60`` (operators/membership.py) —
+        executor-side build and driver-side probe are pytest-pinned to
+        the same spec. Probes only apply to int/str lookup values (their
+        Python ``str()`` equals Spark's ``CAST(x AS STRING)``; other
+        types are conservatively unpruned)."""
+        self._pending_bloom = (
+            {
+                "columns": list(cols),
+                "m_bits": int(m_bits),
+                "k": int(k),
+                "seed": int(seed),
+            }
+            if cols
+            else None
+        )
+        try:
+            return self._publish(
+                lambda _b, m: (list(m["files"]) if m else [], self._base_txns(m))
+            )
+        finally:
+            self._pending_bloom = self._UNSET
+
+    def _bloom_sidecar(self, rel_file: str, col: str) -> str:
+        return os.path.join(self.path, f"{rel_file}.bloom.{col}")
+
+    def _write_bloom_sidecars(self, rel_files: list[str], cfg: dict) -> None:
+        """One bounded Spark pass over the NEWLY WRITTEN files → one
+        packed bitmap sidecar per (file, column). Packing happens
+        executor-side (Arrow-batched ``applyInPandas`` per file group);
+        the driver receives only the finished ``m_bits/8``-byte bitmaps."""
+        from ecommerce_analytics_platform_spark.operators.membership import (
+            bloom_position_cols,
+        )
+
+        m_bits, k, seed = int(cfg["m_bits"]), int(cfg["k"]), int(cfg["seed"])
+        df = self.spark.read.option("basePath", self.path).parquet(
+            *[os.path.join(self.path, f) for f in rel_files]
+        )
+        cols = [c for c in cfg.get("columns", []) if c in df.columns]
+        if not cols:
+            return
+        pos = None
+        for c in cols:
+            part = df.select(
+                self._rel_file_col().alias("__f"),
+                F.lit(c).alias("__c"),
+                F.explode(
+                    F.array(*bloom_position_cols(c, m_bits, k, seed))
+                ).alias("__p"),
+            ).filter(F.col("__p").isNotNull())  # NULL values set no bits
+            pos = part if pos is None else pos.unionByName(part)
+        nbytes = m_bits // 8
+
+        def _pack(pdf):
+            import numpy as np
+            import pandas as pd
+
+            buf = np.zeros(nbytes, dtype=np.uint8)
+            arr = pdf["__p"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(buf, arr // 8, (1 << (arr % 8)).astype(np.uint8))
+            return pd.DataFrame(
+                {
+                    "f": [pdf["__f"].iloc[0]],
+                    "c": [pdf["__c"].iloc[0]],
+                    "b": [buf.tobytes()],
+                }
+            )
+
+        packed = pos.groupBy("__f", "__c").applyInPandas(
+            _pack, "f string, c string, b binary"
+        )
+        for r in packed.collect():
+            with open(self._bloom_sidecar(r["f"], r["c"]), "wb") as fh:
+                fh.write(bytes(r["b"]))
+
+    # DV merges collect the batch's distinct keys driver-side to probe
+    # Bloom sidecars only when the batch is point-update-sized; bigger
+    # batches skip pruning (they'd touch most files anyway)
+    _BLOOM_MERGE_KEY_CAP = 10_000
+
+    def _bloom_candidate_files(
+        self,
+        files: list[str],
+        key_rows: list,
+        unique_key: list[str],
+        cfg: dict,
+    ) -> list[str] | None:
+        """Files that MAY contain ANY of the batch's unique keys, by
+        probing each file's per-column Bloom sidecars (vectorized over
+        keys with numpy — one ≤16 KB sidecar read + one gather per
+        (file, column)). Returns None ("don't prune") when the guarantee
+        can't be kept: a column not bloom-indexed, a NULL or non-int/str
+        key value (its ``str()`` may not equal Spark's CAST AS STRING),
+        or no keys. A composite key prunes per column independently —
+        a file holding the full key holds every column's value, so the
+        per-column AND keeps no-false-negatives."""
+        import numpy as np
+
+        from ecommerce_analytics_platform_spark.operators.membership import (
+            _py_positions,
+        )
+
+        if not key_rows or not all(c in cfg.get("columns", []) for c in unique_key):
+            return None
+        m_bits, k, seed = int(cfg["m_bits"]), int(cfg["k"]), int(cfg["seed"])
+        nbytes = m_bits // 8
+        pos_by_col: dict[str, np.ndarray] = {}
+        for c in unique_key:
+            vals = [r[c] for r in key_rows]
+            if not all(
+                isinstance(v, (int, str)) and not isinstance(v, bool)
+                for v in vals
+            ):
+                return None
+            pos_by_col[c] = np.array(
+                [_py_positions(v, m_bits, k, seed) for v in vals],
+                dtype=np.int64,
+            )  # (n_keys, k)
+        out = []
+        for f in files:
+            # per key: AND over columns of (all k bits set); file is a
+            # candidate if ANY key survives
+            alive = None
+            keep = False
+            for c in unique_key:
+                try:
+                    with open(self._bloom_sidecar(f, c), "rb") as fh:
+                        buf = np.frombuffer(fh.read(), dtype=np.uint8)
+                except FileNotFoundError:
+                    keep = True  # pre-opt-in file: conservative
+                    break
+                if buf.size != nbytes:
+                    keep = True
+                    break
+                pos = pos_by_col[c]
+                bits = (buf[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+                col_ok = bits.all(axis=1)
+                alive = col_ok if alive is None else (alive & col_ok)
+                if not alive.any():
+                    break
+            if keep or (alive is not None and alive.any()):
+                out.append(f)
+        return out
+
+    def _prune_by_bloom(
+        self, files: list[str], predicates: list[tuple], cfg: dict
+    ) -> list[str]:
+        """Drop files whose Bloom sidecar proves the lookup value(s)
+        absent. Only ``=`` and ``in`` predicates on configured columns
+        with int/str values participate; every other case — missing or
+        wrong-size sidecar, other ops, other value types — keeps the
+        file. Driver cost: one ≤16 KB sidecar read per surviving file
+        per predicate, same O(candidate files) class as stats pruning."""
+        from ecommerce_analytics_platform_spark.operators.membership import (
+            _py_positions,
+        )
+
+        m_bits, k, seed = int(cfg["m_bits"]), int(cfg["k"]), int(cfg["seed"])
+        nbytes = m_bits // 8
+        cols = set(cfg.get("columns", []))
+        out = files
+        for p in predicates:
+            col, op, *vals = p
+            if col not in cols:
+                continue
+            if op == "=":
+                values = [vals[0]]
+            elif op == "in":
+                values = list(vals[0])
+            else:
+                continue
+            if not values or not all(
+                isinstance(v, (int, str)) and not isinstance(v, bool)
+                for v in values
+            ):
+                continue  # str(v) must equal Spark's CAST AS STRING
+            pos_sets = [
+                sorted(set(_py_positions(v, m_bits, k, seed))) for v in values
+            ]
+            kept = []
+            for f in out:
+                sp = self._bloom_sidecar(f, col)
+                try:
+                    with open(sp, "rb") as fh:
+                        buf = fh.read()
+                except FileNotFoundError:
+                    kept.append(f)  # pre-opt-in file: conservative keep
+                    continue
+                if len(buf) != nbytes:
+                    kept.append(f)  # stale config geometry: keep
+                    continue
+                if any(
+                    all(buf[q >> 3] & (1 << (q & 7)) for q in ps)
+                    for ps in pos_sets
+                ):
+                    kept.append(f)
+            out = kept
+        return out
 
     @staticmethod
     def _stat_value(v):
@@ -561,6 +814,10 @@ class ManifestTable:
         if op == "between":
             hi = cls._stat_value(vals[1])
             return mx >= v and mn <= hi
+        if op == "in":
+            # ("col", "in", [v1, v2, ...]) — satisfiable if ANY value
+            # falls inside the file's range
+            return any(mn <= cls._stat_value(x) <= mx for x in vals[0])
         raise ValueError(f"unknown stats predicate op {op!r}")
 
     # -- public API --------------------------------------------------------
@@ -1175,6 +1432,12 @@ class ManifestTable:
             files = self._prune_by_stats(
                 files, m.get("stats", {}), stats_predicates
             )
+            if m.get("bloom"):
+                # point-lookup file skipping: probe Bloom sidecars of
+                # the files that survived min/max pruning (= / in only)
+                files = self._prune_by_bloom(
+                    files, stats_predicates, m["bloom"]
+                )
         if not files:
             # empty result with the snapshot's declared columns (incl.
             # the partition columns, which live in paths, not footers)
@@ -1281,12 +1544,18 @@ class ManifestTable:
                 return read_version
             import functools
 
+            # partition_by=[] (unpartitioned table): the whole table is
+            # the affected "partition" — pred folds to TRUE, rewrite mode
+            # becomes a full-table replace, DV mode tombstones in place
+            # (with the Bloom-sidecar scan pruning doing the real file
+            # skipping there)
             pred = functools.reduce(
                 lambda a, b: a | b,
                 [
                     functools.reduce(
                         lambda a, b: a & b,
                         [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+                        F.lit(True),
                     )
                     for r in part_vals
                 ],
@@ -1369,12 +1638,33 @@ class ManifestTable:
         partition_values = {
             c: sorted({r[c] for r in part_vals}, key=str) for c in partition_by
         }
+        keys = aligned_batch.select(*unique_key).distinct()
+        # Bloom file skipping for the matched-row scan: a point-update
+        # batch (≤ _BLOOM_MERGE_KEY_CAP distinct keys) on a bloom-indexed
+        # key probes each candidate file's sidecar and scans ONLY files
+        # that may contain a batch key — on an unpartitioned 100 TB
+        # table this is the difference between scanning the table and
+        # scanning ~len(keys) files. Guards (oversized batch, NULL or
+        # non-int/str keys, unindexed column, sidecar-less file) all
+        # fall back to the unpruned scan — never a lost match.
+        keep = None
+        bcfg = self._read_manifest(read_version).get("bloom")
+        if bcfg and all(c in bcfg.get("columns", []) for c in unique_key):
+            key_rows = keys.limit(self._BLOOM_MERGE_KEY_CAP + 1).collect()
+            if len(key_rows) <= self._BLOOM_MERGE_KEY_CAP:
+                cand = self._bloom_candidate_files(
+                    self._read_manifest(read_version)["files"],
+                    key_rows,
+                    unique_key,
+                    bcfg,
+                )
+                keep = set(cand) if cand is not None else None
         raw = self.read(
             version=read_version,
             partition_values=partition_values,
+            keep_files=keep,
             apply_deletes=False,
         )
-        keys = aligned_batch.select(*unique_key).distinct()
         # key semi-join FIRST, already-deleted anti-join on the survivors:
         # the anti-join's key is __dv_file (a per-row regexp over
         # _metadata.file_path) — below the semi it runs on matched rows
@@ -1489,9 +1779,19 @@ class ManifestTable:
         dest = ManifestTable(self.spark, dest_path)
         if dest.latest_version() is not None:
             raise FileExistsError(f"{dest_path} already has a committed manifest")
+        import glob as _glob
+
         to_link = list(m["files"]) + sorted(
             {d for lst in m.get("dv", {}).values() for d in lst}
         )
+        # Bloom sidecars ride along with their data files
+        to_link += [
+            os.path.relpath(p, self.path)
+            for rel in m["files"]
+            for p in _glob.glob(
+                _glob.escape(os.path.join(self.path, rel)) + ".bloom.*"
+            )
+        ]
         for rel in to_link:
             src = os.path.join(self.path, rel)
             dst = os.path.join(dest.path, rel)
@@ -1507,6 +1807,8 @@ class ManifestTable:
         dest._staged_file_meta.update(m.get("file_meta", {}))
         if m.get("stats_columns"):
             dest._pending_stats_columns = list(m["stats_columns"])
+        if m.get("bloom"):
+            dest._pending_bloom = dict(m["bloom"])
         try:
             dest._publish(
                 lambda _b, _m: (
@@ -1518,6 +1820,7 @@ class ManifestTable:
             )
         finally:
             dest._pending_stats_columns = dest._UNSET
+            dest._pending_bloom = dest._UNSET
         return dest
 
     def changes_between(self, v_from: int, v_to: int) -> DataFrame:
@@ -1688,6 +1991,10 @@ class ManifestTable:
                 if fn.endswith(".parquet") and rel not in live:
                     os.unlink(os.path.join(root, fn))
                     removed += 1
+                elif ".parquet.bloom." in fn:
+                    # Bloom sidecar: live iff its data file is live
+                    if rel.rsplit(".bloom.", 1)[0] not in live:
+                        os.unlink(os.path.join(root, fn))
         for v in vs[:-keep_versions]:
             os.unlink(os.path.join(self.manifest_dir, f"v{v}.json"))
         return removed

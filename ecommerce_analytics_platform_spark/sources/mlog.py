@@ -45,7 +45,14 @@ CHECKPOINT_INTERVAL = 16
 
 # scalar keys copied verbatim between snapshot and doc; the doc is
 # authoritative on reconstruction (absent key == absent in snapshot)
-_SCALARS = ("base_version", "ts", "schema", "stats_columns", "data_change")
+_SCALARS = (
+    "base_version",
+    "ts",
+    "schema",
+    "stats_columns",
+    "bloom",
+    "data_change",
+)
 
 # map-valued snapshot keys diffed as <key>_put / <key>_del in delta docs
 _MAPS = ("stats", "file_meta", "dv")

@@ -11,8 +11,10 @@
 4. logscale   — per-commit log cost vs table size: bytes + wall of a
                 1-file append on a 2048-file table, delta-log format vs
                 forced full-snapshot docs (the pre-r11 behavior).
+5. bloom      — point lookup on an unclustered high-cardinality key:
+                full scan vs Bloom-sidecar file skipping (512 files).
 
-Usage: python3 scripts/probe_r11.py [fulldiff|bootstrap|plancost|logscale|all]
+Usage: python3 scripts/probe_r11.py [fulldiff|bootstrap|plancost|logscale|bloom|all]
 """
 
 from __future__ import annotations
@@ -146,25 +148,60 @@ def probe_logscale(spark):
         t = ManifestTable(spark, d + "/t")
         t.checkpoint_interval = interval
         t.set_stats_columns(["k"])
-        base = spark.range(2_000_000).selectExpr(
-            "id as k", "cast(id % 16 as string) as d"
-        )
-        t.overwrite(base.repartition(2048), partition_by=["d"])
-        one = spark.createDataFrame([(9_999_999, "d0")], ["k", "d"])
+        base = spark.range(1_000_000).selectExpr("id as k", "id % 16 as d")
+        t.overwrite(base.repartition(1024))  # exactly 1024 files
+        one = spark.createDataFrame([(9_999_999, 0)], ["k", "d"])
         walls, sizes = [], []
-        for _ in range(5):
+        for _ in range(3):
             t0 = time.time()
-            v = t.append(one.coalesce(1), partition_by=["d"])
+            v = t.append(one.coalesce(1))
             walls.append(time.time() - t0)
             mf = os.path.join(t.path, "_manifests", f"v{v}.json")
             sizes.append(os.path.getsize(mf))
         doc = json.load(open(mf))
         kind = "full" if "files" in doc else "delta"
         print(
-            f"logscale {mode}: 1-file append on 2048-file table -> "
+            f"logscale {mode}: 1-file append on 1024-file table -> "
             f"doc={kind} log_bytes(min)={min(sizes)} "
-            f"append_wall(min)={min(walls):.3f}s"
+            f"append_wall(min)={min(walls):.3f}s",
+            flush=True,
         )
+
+
+def probe_bloom(spark):
+    """Point lookup on an UNCLUSTERED high-cardinality key: min/max
+    stats can't prune (every file's range straddles every needle), the
+    Bloom sidecar prunes to ~1 file. 512 files, 4M rows."""
+    import random
+
+    d = tempfile.mkdtemp()
+    t = ManifestTable(spark, d + "/t")
+    t.set_bloom_columns(["k"])
+    t.set_stats_columns(["k"])
+    # shuffled keys -> every file spans ~the full key range
+    base = spark.range(4_000_000).selectExpr(
+        "cast(hash(id) as bigint) * 4000000 + id as k", "id as v"
+    )
+    t.overwrite(base.repartition(512))
+    needles = [r["k"] for r in t.read().sample(0.00001).limit(5).collect()]
+    # full-scan side
+    t0 = time.time()
+    for n in needles:
+        t.read().filter(f"k = {n}").count()
+    full_wall = time.time() - t0
+    # bloom-pruned side
+    t0 = time.time()
+    opened = []
+    for n in needles:
+        df = t.read(stats_predicates=[("k", "=", int(n))])
+        opened.append(len(df.inputFiles()))
+        assert df.filter(f"k = {n}").count() == 1
+    bloom_wall = time.time() - t0
+    print(
+        f"bloom point-lookup x{len(needles)} on 512-file/4M-row table: "
+        f"full-scan {full_wall:.2f}s (512 files each) vs bloom-pruned "
+        f"{bloom_wall:.2f}s (files opened per lookup: {opened})"
+    )
 
 
 if __name__ == "__main__":
@@ -179,3 +216,5 @@ if __name__ == "__main__":
         probe_plancost(spark)
     if which in ("logscale", "all"):
         probe_logscale(spark)
+    if which in ("bloom", "all"):
+        probe_bloom(spark)

@@ -1,0 +1,206 @@
+"""Per-file Bloom sidecar data skipping (ManifestTable.set_bloom_columns).
+
+The scenario stats can't help with: a high-cardinality key written with no
+clustering, so every file's [min, max] straddles every needle — min/max
+pruning keeps everything, while the Bloom sidecar answers "definitely not
+in this file" per file. No-false-negative discipline is the load-bearing
+property: a file that holds the key must ALWAYS survive pruning.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+N_FILES = 4
+N = 1000
+
+
+def _mk(spark, path, bloom_first=True):
+    """4 single-file appends with INTERLEAVED keys: file i holds
+    {i, i+4, i+8, ...} so every file's [min, max] covers ~the whole key
+    range and stats pruning is useless by construction."""
+    t = ManifestTable(spark, str(path))
+    if bloom_first:
+        t.set_bloom_columns(["k", "v"])
+    t.set_stats_columns(["k"])
+    for i in range(N_FILES):
+        rows = [(kk, f"s{kk}") for kk in range(i, N, N_FILES)]
+        df = spark.createDataFrame(rows, ["k", "v"]).coalesce(1)
+        t.append(df) if i else t.overwrite(df)
+    return t
+
+
+def test_point_lookup_prunes_to_one_file_where_stats_cannot(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    full = t.read()
+    assert len(full.inputFiles()) == N_FILES
+    # stats alone keep all 4 files (interleaved ranges all contain 17)
+    m = t._read_manifest(t.latest_version())
+    stats_only = t._prune_by_stats(m["files"], m.get("stats", {}), [("k", "=", 17)])
+    assert len(stats_only) == N_FILES
+    # bloom prunes to exactly the one file that holds k=17 (file 1)
+    pruned = t.read(stats_predicates=[("k", "=", 17)])
+    assert len(pruned.inputFiles()) == 1
+    assert [(r.k, r.v) for r in pruned.filter("k = 17").collect()] == [(17, "s17")]
+
+
+def test_string_column_lookup(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    pruned = t.read(stats_predicates=[("v", "=", "s18")])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("v = 's18'").count() == 1
+
+
+def test_in_predicate_unions_candidates(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    # 17 lives in file 1, 523 in file 3 -> exactly two survivors
+    pruned = t.read(stats_predicates=[("k", "in", [17, 523])])
+    assert len(pruned.inputFiles()) == 2
+    got = sorted(r.k for r in pruned.filter("k in (17, 523)").collect())
+    assert got == [17, 523]
+
+
+def test_no_false_negatives_across_key_sample(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    for needle in range(0, N, 97):  # every file and both parities hit
+        df = t.read(stats_predicates=[("k", "=", needle)])
+        assert df.filter(f"k = {needle}").count() == 1, needle
+
+
+def test_files_without_sidecar_are_conservatively_kept(spark, tmp_path):
+    """Files written BEFORE opt-in have no sidecar and must never be
+    pruned; files written after are."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(k, "old") for k in range(0, 100)], ["k", "v"])
+        .coalesce(1)
+    )  # pre-opt-in file
+    t.set_bloom_columns(["k"])
+    t.append(
+        spark.createDataFrame([(k, "new") for k in range(100, 200)], ["k", "v"])
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(k, "new") for k in range(200, 300)], ["k", "v"])
+        .coalesce(1)
+    )
+    # needle 50 is in the sidecar-less file: that file is kept, the two
+    # bloom-indexed files are pruned
+    pruned = t.read(stats_predicates=[("k", "=", 50)])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("k = 50").count() == 1
+
+
+def test_compaction_backfills_sidecars(spark, tmp_path):
+    """A rewrite (replace_files) goes through the same write path, so
+    compaction backfills Bloom sidecars for files that predate opt-in."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    for i in range(2):
+        rows = [(kk, "x") for kk in range(i, 200, 2)]
+        df = spark.createDataFrame(rows, ["k", "v"]).coalesce(1)
+        t.append(df) if i else t.overwrite(df)
+    t.set_bloom_columns(["k"])
+    m = t._read_manifest(t.latest_version())
+    t.replace_files(list(m["files"]), t.read().repartition(4))  # rewrite all
+    m2 = t._read_manifest(t.latest_version())
+    for f in m2["files"]:
+        assert os.path.exists(t._bloom_sidecar(f, "k")), f
+    pruned = t.read(stats_predicates=[("k", "=", 7)])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("k = 7").count() == 1
+
+
+def test_vacuum_removes_orphan_sidecars(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_bloom_columns(["k"])
+    t.overwrite(spark.createDataFrame([(1, "a")], ["k", "v"]).coalesce(1))
+    t.overwrite(spark.createDataFrame([(2, "b")], ["k", "v"]).coalesce(1))
+    assert len(glob.glob(str(tmp_path / "t" / "**" / "*.bloom.*"),
+                         recursive=True)) == 2
+    t.vacuum(keep_versions=1)
+    left = glob.glob(str(tmp_path / "t" / "**" / "*.bloom.*"), recursive=True)
+    live = set(t._read_manifest(t.latest_version())["files"])
+    assert len(left) == 1
+    assert {os.path.relpath(p, t.path).rsplit(".bloom.", 1)[0] for p in left} == live
+
+
+def test_clone_carries_config_and_sidecars(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    c = t.clone_to(str(tmp_path / "clone"))
+    assert c.bloom_config() == t.bloom_config()
+    pruned = c.read(stats_predicates=[("k", "=", 17)])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("k = 17").count() == 1
+    # and the clone keeps indexing NEW writes
+    c.append(spark.createDataFrame([(5000, "z")], ["k", "v"]).coalesce(1))
+    pruned2 = c.read(stats_predicates=[("k", "=", 5000)])
+    assert len(pruned2.inputFiles()) == 1
+
+
+def test_dv_merge_prunes_matched_scan_with_blooms(spark, tmp_path):
+    """DV-mode merge on a bloom-indexed UNPARTITIONED table: the
+    matched-row scan reads only files that may contain batch keys, and
+    the result is identical to the unpruned semantics."""
+    t = _mk(spark, tmp_path / "t")  # 4 files, interleaved keys 0..999
+    m = t._read_manifest(t.latest_version())
+    # unit: candidate selection picks exactly the files holding the keys
+    cand = t._bloom_candidate_files(
+        m["files"],
+        [{"k": 17}, {"k": 18}],
+        ["k"],
+        m["bloom"],
+    )
+    assert cand is not None and len(cand) == 2  # files 1 and 2
+    # end-to-end: dv merge updates the two rows, leaves the rest
+    batch = spark.createDataFrame([(17, "UPD17"), (18, "UPD18")], ["k", "v"])
+    t.merge_delete_insert(batch, unique_key=["k"], partition_by=[],
+                          delete_mode="dv")
+    got = {(r.k, r.v) for r in
+           t.read().filter("k in (16, 17, 18, 19)").collect()}
+    assert got == {(16, "s16"), (17, "UPD17"), (18, "UPD18"), (19, "s19")}
+    assert t.read().count() == N
+    # tombstones landed only on the two candidate files
+    dv = t._read_manifest(t.latest_version()).get("dv", {})
+    assert set(dv) <= set(cand)
+
+
+def test_dv_merge_bloom_guards_fall_back(spark, tmp_path):
+    """NULL keys and oversized batches must skip pruning (no lost
+    matches), and sidecar-less files stay in the scan."""
+    t = _mk(spark, tmp_path / "t")
+    m = t._read_manifest(t.latest_version())
+    # NULL key value -> don't prune
+    assert t._bloom_candidate_files(
+        m["files"], [{"k": None}], ["k"], m["bloom"]
+    ) is None
+    # unindexed column -> don't prune
+    assert t._bloom_candidate_files(
+        m["files"], [{"zz": 1}], ["zz"], m["bloom"]
+    ) is None
+    # a file without a sidecar is always a candidate
+    victim = m["files"][0]
+    import os as _os
+
+    _os.unlink(t._bloom_sidecar(victim, "k"))
+    cand = t._bloom_candidate_files(m["files"], [{"k": 17}], ["k"], m["bloom"])
+    assert victim in cand
+
+
+def test_unpartitioned_rewrite_merge_now_supported(spark, tmp_path):
+    """partition_by=[] merges previously raised (empty predicate fold);
+    rewrite mode now degrades to a full-table replace with identical
+    delete+insert semantics."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(i, f"v{i}") for i in range(20)], ["k", "v"])
+        .repartition(2)
+    )
+    batch = spark.createDataFrame([(3, "UPD"), (99, "NEW")], ["k", "v"])
+    t.merge_delete_insert(batch, unique_key=["k"], partition_by=[],
+                          delete_mode="rewrite")
+    got = {(r.k, r.v) for r in t.read().collect()}
+    want = {(i, f"v{i}") for i in range(20) if i != 3} | {(3, "UPD"), (99, "NEW")}
+    assert got == want
