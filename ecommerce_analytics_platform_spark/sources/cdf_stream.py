@@ -437,6 +437,28 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
             if start in ("latest", "snapshot")
             else int(start)
         )
+        # admission control (Delta's maxFilesPerTrigger analog, at the
+        # granularity our offsets move in): each microbatch admits at
+        # most N commits, so a burst of upstream commits drains in
+        # bounded batches instead of one giant one — bounded executor
+        # memory, bounded checkpoint intervals, steady latency on a
+        # LONG-RUNNING (processingTime) stream. Exact semantics, pinned
+        # by test + call-order probe: the Python DataSource API does not
+        # pass the start offset to latestOffset (JVM
+        # SupportsAdmissionControl does), so the cap anchors on the last
+        # offset this reader instance has SEEN via partitions(); the
+        # very first planned batch of a (re)started stream is therefore
+        # UNCAPPED — capping it blind against the start_version option
+        # could emit an offset BELOW a restored checkpoint and regress
+        # the log (duplicates), the one failure mode this knob must
+        # never have. Under trigger(availableNow=True) Spark snapshots
+        # latestOffset ONCE before planning, so the cap is a no-op
+        # there by the same rule.
+        mv = options.get("max_versions_per_trigger")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("max_versions_per_trigger must be >= 1")
+        self._base: int | None = None
         # the declared DATA columns (minus the two CDF columns), shipped
         # to executors as schema json — tasks rebuild the pyarrow target
         # schema from it (memoized per worker)
@@ -449,6 +471,7 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
+        self._base = self.start_version
         if self.snapshot_bootstrap and self.start_version > 0:
             # the bootstrap marker lives IN the offset, so checkpoint
             # recovery replays the snapshot batch bit-identically
@@ -456,9 +479,20 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": max(_latest_version(self.path), self.start_version)}
+        latest = max(_latest_version(self.path), self.start_version)
+        if self.max_versions is not None and self._base is not None:
+            # admit at most max_versions commits past the last offset
+            # this reader has seen; never below it (offsets are
+            # monotone — see __init__ on the restart window)
+            latest = max(min(latest, self._base + self.max_versions), self._base)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # the planned end is the newest offset Spark holds — the safe
+        # admission-control base for the NEXT latestOffset
+        self._base = max(
+            end["version"], start["version"], self._base or 0
+        )
         parts: list[InputPartition] = []
         if start.get("bootstrap"):
             # snapshot bootstrap: version N's live rows as inserts, one

@@ -402,3 +402,53 @@ def test_widening_mid_stream_raises_actionable_error(spark, tmp_path):
         r for f in new2 for r in _file_table(t2.path, f, narrow2, None).to_pylist()
     ]
     assert rows == [{"k": 2, "n": 20}]
+
+
+def test_max_versions_per_trigger_admission_protocol(spark, tmp_path):
+    """Admission control (Delta's maxFilesPerTrigger analog): simulate
+    Spark's exact call order (probed: latestOffset FIRST, then
+    initialOffset, then partitions per batch). The cap must (a) bound
+    every batch after the reader has seen an offset, (b) never emit an
+    offset below one it has seen — the restart-regression failure mode —
+    and (c) drain a burst across successive capped batches."""
+    t = _mk(spark, tmp_path / "t_mv")  # v1 (2 files)
+    for i in range(6):
+        t.append(
+            spark.createDataFrame([(900 + i, "e", "d0")], ["k", "v", "d"]),
+            partition_by=["d"],
+        )  # v2..v7
+    r = _reader(t, max_versions_per_trigger="2")
+    # fresh start, Spark's order: latestOffset before initialOffset —
+    # uncapped by design (see reader docstring)
+    assert r.latestOffset() == {"version": 7}
+    assert r.initialOffset()["version"] == 0
+    # batch 1 planned [0, 7]: from here on the cap anchors at 7
+    r.partitions({"version": 0}, {"version": 7})
+    assert r.latestOffset() == {"version": 7}  # nothing new: stays put
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(950 + i, "f", "d0")], ["k", "v", "d"]),
+            partition_by=["d"],
+        )  # v8..v10
+    # burst of 3 commits drains in capped steps: 7->9, then 9->10
+    assert r.latestOffset() == {"version": 9}
+    r.partitions({"version": 7}, {"version": 9})
+    assert r.latestOffset() == {"version": 10}
+    r.partitions({"version": 9}, {"version": 10})
+    assert r.latestOffset() == {"version": 10}
+
+    # restart simulation: NEW reader, checkpoint offset ahead of the
+    # start_version option — the first latestOffset must NOT cap below
+    # the checkpoint (it has seen no offset yet, so it reports latest)
+    r2 = _reader(t, max_versions_per_trigger="2")
+    assert r2.latestOffset() == {"version": 10}
+    r2.partitions({"version": 8}, {"version": 10})  # Spark replans tail
+    assert r2.latestOffset() == {"version": 10}  # anchored, monotone
+
+    # per-version row content is unchanged by chopping: capped batches
+    # union to the same rows as one big batch (reuses the chopping
+    # invariant already pinned for uncapped streams)
+    got = sorted(
+        _rows(_batch_changes(spark, t, v)) for v in range(2, 11)
+    )
+    assert len([x for g in got for x in g]) == 9
