@@ -159,6 +159,36 @@ def maintenance_plan(
     # 3) version retention
     if len(table._versions()) > keep_versions:
         plan.append({"op": "vacuum", "keep_versions": keep_versions})
+
+    # 4) Bloom sidecar backfill: files written before set_bloom_columns
+    # (or under a different geometry) are un-indexed and unprunable.
+    # Skips files this plan already rewrites (their rewrite re-indexes
+    # them); no commit — sidecars live outside the log, so the step is
+    # idempotent by existence-check, not txn.
+    bcfg = m.get("bloom")
+    if bcfg:
+        rewritten = {
+            f for s in plan if s["op"] != "vacuum" for f in s.get("files", [])
+        }
+        nbytes = int(bcfg["m_bits"]) // 8
+        unindexed = []
+        for f in files:
+            if f in rewritten:
+                continue
+            for c in bcfg.get("columns", []):
+                sp = table._bloom_sidecar(f, c)
+                try:
+                    if os.path.getsize(sp) == nbytes:
+                        continue
+                except FileNotFoundError:
+                    pass
+                unindexed.append(f)
+                break
+        if unindexed:
+            plan.append(
+                {"op": "bloom_backfill", "files": sorted(unindexed),
+                 "base_version": v}
+            )
     return plan
 
 
@@ -206,6 +236,12 @@ def apply_maintenance(table: ManifestTable, plan: list[dict]) -> list[dict]:
         elif step["op"] == "vacuum":
             removed = table.vacuum(keep_versions=step["keep_versions"])
             results.append({"op": "vacuum", "files_removed": removed})
+        elif step["op"] == "bloom_backfill":
+            # against the LATEST snapshot, not the plan's base: earlier
+            # steps in this very plan may have compacted (and vacuum
+            # deleted) base-version files the step was planned from
+            done = table.backfill_blooms()
+            results.append({"op": "bloom_backfill", "files_indexed": len(done)})
         else:  # pragma: no cover - plans are produced by maintenance_plan
             raise ValueError(f"unknown maintenance op {step['op']!r}")
     return results

@@ -556,19 +556,37 @@ class ManifestTable:
     def _bloom_sidecar(self, rel_file: str, col: str) -> str:
         return os.path.join(self.path, f"{rel_file}.bloom.{col}")
 
-    def _write_bloom_sidecars(self, rel_files: list[str], cfg: dict) -> None:
-        """One bounded Spark pass over the NEWLY WRITTEN files → one
-        packed bitmap sidecar per (file, column). Packing happens
-        executor-side (Arrow-batched ``applyInPandas`` per file group);
-        the driver receives only the finished ``m_bits/8``-byte bitmaps."""
+    def _write_bloom_sidecars(
+        self, rel_files: list[str], cfg: dict, use_declared_schema: bool = False
+    ) -> None:
+        """One bounded Spark pass over the given files → one packed
+        bitmap sidecar per (file, column). Packing happens executor-side
+        (Arrow-batched ``applyInPandas`` per file group); the driver
+        receives only the finished ``m_bits/8``-byte bitmaps.
+
+        A (file, column) with no non-NULL values — the column is all-NULL
+        in that file, or absent from it entirely (written before an
+        additive evolution) — gets an ALL-ZERO sidecar: exact, not
+        conservative, because a NULL can never equal a probe's non-NULL
+        value, so "contains nothing" is the truth. This also makes
+        :meth:`backfill_blooms` converge (every file ends up carrying a
+        sidecar for every configured column it could ever match on)."""
         from ecommerce_analytics_platform_spark.operators.membership import (
             bloom_position_cols,
         )
 
         m_bits, k, seed = int(cfg["m_bits"]), int(cfg["k"]), int(cfg["seed"])
-        df = self.spark.read.option("basePath", self.path).parquet(
-            *[os.path.join(self.path, f) for f in rel_files]
-        )
+        reader = self.spark.read.option("basePath", self.path)
+        if use_declared_schema:
+            # backfill path: OLD files may predate an added column —
+            # the declared schema back-fills NULL instead of failing.
+            # The fresh-write path must NOT do this: a widening commit's
+            # just-written files are wider than the still-unevolved
+            # declared schema, and forcing the narrow read would fail.
+            declared = self.declared_schema()
+            if declared is not None:
+                reader = reader.schema(declared)
+        df = reader.parquet(*[os.path.join(self.path, f) for f in rel_files])
         cols = [c for c in cfg.get("columns", []) if c in df.columns]
         if not cols:
             return
@@ -602,9 +620,55 @@ class ManifestTable:
         packed = pos.groupBy("__f", "__c").applyInPandas(
             _pack, "f string, c string, b binary"
         )
+        written = set()
         for r in packed.collect():
             with open(self._bloom_sidecar(r["f"], r["c"]), "wb") as fh:
                 fh.write(bytes(r["b"]))
+            written.add((r["f"], r["c"]))
+        zero = bytes(nbytes)
+        for f in rel_files:
+            for c in cols:
+                if (f, c) not in written:
+                    with open(self._bloom_sidecar(f, c), "wb") as fh:
+                        fh.write(zero)
+
+    def backfill_blooms(self, version: int | None = None) -> list[str]:
+        """Build Bloom sidecars for snapshot files that lack them (or
+        carry a stale geometry after a config change) WITHOUT rewriting
+        any data — how an existing 100 TB table opts in: one bounded
+        scan of the un-indexed files, zero commits (sidecars live outside
+        the log; probes treat missing ones as unprunable, so this is
+        purely additive). Idempotent — returns the files it indexed,
+        empty when the table is fully covered."""
+        cfg = self.bloom_config(version)
+        if not cfg:
+            return []
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            return []
+        m = self._read_manifest(v)
+        declared = self.declared_schema(v)
+        want = [
+            c
+            for c in cfg.get("columns", [])
+            if declared is None or c in declared.fieldNames()
+        ]
+        if not want:
+            return []
+        nbytes = int(cfg["m_bits"]) // 8
+        missing = []
+        for f in m["files"]:
+            for c in want:
+                try:
+                    if os.path.getsize(self._bloom_sidecar(f, c)) == nbytes:
+                        continue
+                except FileNotFoundError:
+                    pass
+                missing.append(f)
+                break
+        if missing:
+            self._write_bloom_sidecars(missing, cfg, use_declared_schema=True)
+        return missing
 
     # DV merges collect the batch's distinct keys driver-side to probe
     # Bloom sidecars only when the batch is point-update-sized; bigger

@@ -204,3 +204,67 @@ def test_unpartitioned_rewrite_merge_now_supported(spark, tmp_path):
     got = {(r.k, r.v) for r in t.read().collect()}
     want = {(i, f"v{i}") for i in range(20) if i != 3} | {(3, "UPD"), (99, "NEW")}
     assert got == want
+
+
+def test_backfill_blooms_indexes_existing_table_without_rewrite(spark, tmp_path):
+    """Opt-in on an EXISTING table: backfill_blooms scans only the
+    un-indexed files, writes sidecars, commits nothing — afterwards
+    point lookups prune like a born-indexed table."""
+    t = _mk(spark, tmp_path / "t", bloom_first=False)  # 4 files, no blooms
+    t.set_bloom_columns(["k"])
+    v_before = t.latest_version()
+    kept = t.read(stats_predicates=[("k", "=", 17)])
+    assert len(kept.inputFiles()) == N_FILES  # nothing prunable yet
+    done = t.backfill_blooms()
+    assert sorted(done) == sorted(t._read_manifest(v_before)["files"])
+    assert t.latest_version() == v_before  # zero commits
+    pruned = t.read(stats_predicates=[("k", "=", 17)])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("k = 17").count() == 1
+    assert t.backfill_blooms() == []  # idempotent: fully covered
+
+
+def test_all_null_and_absent_columns_get_exact_zero_sidecars(spark, tmp_path):
+    """A file whose bloom column is all-NULL — or predates the column
+    entirely — carries an all-zero sidecar: EXACT for non-NULL probes
+    (NULL never equals the needle), so those files prune away instead of
+    being conservatively kept forever."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a")], ["k", "v"]).coalesce(1)
+    )  # v1: no 'w' column at all
+    t.append(
+        spark.createDataFrame([(2, "b", None), (3, "c", None)],
+                              "k int, v string, w string").coalesce(1)
+    )  # v2: w present but all-NULL
+    t.append(
+        spark.createDataFrame([(4, "d", "needle")],
+                              "k int, v string, w string").coalesce(1)
+    )  # v3: w populated
+    t.set_bloom_columns(["w"])
+    assert len(t.backfill_blooms()) == 3
+    pruned = t.read(stats_predicates=[("w", "=", "needle")])
+    assert len(pruned.inputFiles()) == 1  # NULL/absent files pruned EXACTLY
+    assert pruned.filter("w = 'needle'").count() == 1
+    # convergence: nothing left to index
+    assert t.backfill_blooms() == []
+
+
+def test_maintenance_plans_bloom_backfill_and_converges(spark, tmp_path):
+    from ecommerce_analytics_platform_spark.operators.maintenance import (
+        maintenance_plan,
+        run_maintenance,
+    )
+
+    t = _mk(spark, tmp_path / "t", bloom_first=False)
+    t.set_bloom_columns(["k"])
+    plan = maintenance_plan(t, small_file_bytes=1, min_small_files=99,
+                            keep_versions=50)
+    assert [s["op"] for s in plan] == ["bloom_backfill"]
+    assert len(plan[0]["files"]) == N_FILES
+    run_maintenance(t, small_file_bytes=1, min_small_files=99,
+                    keep_versions=50)
+    # converged: clean table plans nothing, lookups prune
+    assert maintenance_plan(t, small_file_bytes=1, min_small_files=99,
+                            keep_versions=50) == []
+    assert len(t.read(stats_predicates=[("k", "=", 17)]).inputFiles()) == 1
