@@ -620,17 +620,24 @@ class ManifestTable:
         packed = pos.groupBy("__f", "__c").applyInPandas(
             _pack, "f string, c string, b binary"
         )
+        def _atomic_write(path: str, data: bytes) -> None:
+            # a torn sidecar that still reaches full length would DROP
+            # bits → false negatives (the one failure mode the index
+            # must never have); tmp+rename makes the bitmap all-or-nothing
+            tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.rename(tmp, path)
+
         written = set()
         for r in packed.collect():
-            with open(self._bloom_sidecar(r["f"], r["c"]), "wb") as fh:
-                fh.write(bytes(r["b"]))
+            _atomic_write(self._bloom_sidecar(r["f"], r["c"]), bytes(r["b"]))
             written.add((r["f"], r["c"]))
         zero = bytes(nbytes)
         for f in rel_files:
             for c in cols:
                 if (f, c) not in written:
-                    with open(self._bloom_sidecar(f, c), "wb") as fh:
-                        fh.write(zero)
+                    _atomic_write(self._bloom_sidecar(f, c), zero)
 
     def backfill_blooms(self, version: int | None = None) -> list[str]:
         """Build Bloom sidecars for snapshot files that lack them (or
@@ -2056,9 +2063,19 @@ class ManifestTable:
                     os.unlink(os.path.join(root, fn))
                     removed += 1
                 elif ".parquet.bloom." in fn:
-                    # Bloom sidecar: live iff its data file is live
-                    if rel.rsplit(".bloom.", 1)[0] not in live:
-                        os.unlink(os.path.join(root, fn))
+                    p = os.path.join(root, fn)
+                    if fn.endswith(".tmp"):
+                        # stranded atomic-write tmp (writer crashed
+                        # between write and rename): same grace rule as
+                        # manifest tmps
+                        try:
+                            if time.time() - os.path.getmtime(p) > tmp_grace_sec:
+                                os.unlink(p)
+                        except FileNotFoundError:
+                            pass
+                    elif rel.rsplit(".bloom.", 1)[0] not in live:
+                        # Bloom sidecar: live iff its data file is live
+                        os.unlink(p)
         for v in vs[:-keep_versions]:
             os.unlink(os.path.join(self.manifest_dir, f"v{v}.json"))
         return removed
