@@ -929,12 +929,42 @@ class ManifestTable:
         base = StructType.fromJson(m["schema"]) if m and m.get("schema") else None
         return evolve_schema(base, union).jsonValue()
 
-    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    @staticmethod
+    def _clustered(
+        df: DataFrame,
+        partition_by: list[str] | None,
+        cluster_by: list[str],
+        num_files: int,
+    ) -> DataFrame:
+        """Range-cluster before writing (sources/layout.py rationale):
+        each output task holds one contiguous (partition, cluster) key
+        range with rows sorted inside it, so every data file covers a
+        NARROW DISJOINT cluster-key range — the write-side move that
+        makes manifest min/max stats (and parquet row-group stats)
+        actually prune. The session pins parquet TIMESTAMP_MICROS
+        (session.py), so timestamp cluster keys keep footer stats."""
+        keys = list(partition_by or []) + list(cluster_by)
+        return df.repartitionByRange(num_files, *keys).sortWithinPartitions(*keys)
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        num_files: int = 8,
+    ) -> int:
         """Full snapshot replace: new files + manifest listing only them.
         Last-writer-wins BY DEFINITION (an overwrite means "the table is
         now exactly this"); the txn-id set still carries forward so
         ``append_once`` idempotency survives. Old files stay on disk for
-        readers pinned to old versions (time travel) until ``vacuum``."""
+        readers pinned to old versions (time travel) until ``vacuum``.
+
+        ``cluster_by`` range-clusters the write so per-file stats become
+        prunable ranges (``num_files`` output tasks; see
+        :meth:`_clustered`) — pair with :meth:`set_stats_columns` on the
+        cluster key."""
+        if cluster_by:
+            df = self._clustered(df, partition_by, cluster_by, num_files)
         files = self._write_files(df, partition_by)
         # an overwrite REDEFINES the table: the declared schema resets to
         # exactly this df's (nullable) schema, never a union with the past
@@ -946,14 +976,20 @@ class ManifestTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         on_schema_change: str = "append_new_columns",
+        cluster_by: list[str] | None = None,
+        num_files: int = 8,
     ) -> int:
         """Blind append — commutes with every other commit class: a lost
         version race rebases onto the winner's file list (and re-unions
         the declared schema). New columns land additively per the
         reference's ``on_schema_change: append_new_columns`` contract
-        (dbt_project.yml:29); type changes raise."""
+        (dbt_project.yml:29); type changes raise. ``cluster_by``
+        range-clusters THIS batch's files (cross-batch overlap is what
+        compaction re-clusters later)."""
         self._check_partition_layout(partition_by)
         df, union = self._evolved(df, on_schema_change)
+        if cluster_by:
+            df = self._clustered(df, partition_by, cluster_by, num_files)
         files = self._write_files(df, partition_by)
         return self._publish(
             lambda _base, m: (

@@ -130,3 +130,43 @@ def test_stats_and_deletion_vectors_compose(spark, tmp_path):
     assert len(r.inputFiles()) < 4 + 1  # pruned data files (+ dv file)
     got = {x.k for x in r.filter("k between 10 and 20").collect()}
     assert got == set(range(10, 21)) - {15}
+
+
+def test_clustered_write_makes_stats_prunable(spark, tmp_path):
+    """overwrite(cluster_by=...): range-clustered files carry DISJOINT
+    per-file [min,max] ranges, so a point/range predicate prunes to ~1
+    file — vs the same data written unclustered, where every file's
+    range straddles the needle and nothing prunes."""
+    from pyspark.sql import functions as F
+
+    rows = spark.range(4000).select(
+        (F.col("id") * 7919 % 4000).alias("k"),  # shuffled keys
+        (F.col("id") % 9).alias("v"),
+    )
+    flat = ManifestTable(spark, str(tmp_path / "flat"))
+    flat.set_stats_columns(["k"])
+    flat.overwrite(rows, num_files=8)  # no clustering: round-robin files
+    clus = ManifestTable(spark, str(tmp_path / "clus"))
+    clus.set_stats_columns(["k"])
+    clus.overwrite(rows, cluster_by=["k"], num_files=8)
+    assert len(clus.read().inputFiles()) == 8
+    pred = [("k", "between", 100, 120)]
+    n_flat = len(flat.read(stats_predicates=pred).inputFiles())
+    n_clus = len(clus.read(stats_predicates=pred).inputFiles())
+    assert n_clus <= 2 < n_flat  # clustered prunes, flat cannot
+    got = sorted(
+        r.k for r in clus.read(stats_predicates=pred)
+        .filter("k between 100 and 120").collect()
+    )
+    assert got == list(range(100, 121))
+    # append path clusters too
+    clus.append(
+        spark.range(4000, 4400).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+        ),
+        cluster_by=["k"],
+        num_files=4,
+    )
+    one = clus.read(stats_predicates=[("k", "=", 4201)])
+    assert len(one.inputFiles()) == 1
+    assert one.filter("k = 4201").count() == 1
