@@ -192,14 +192,24 @@ def maintenance_plan(
     return plan
 
 
-def apply_maintenance(table: ManifestTable, plan: list[dict]) -> list[dict]:
+def apply_maintenance(
+    table: ManifestTable,
+    plan: list[dict],
+    cluster_by: list[str] | None = None,
+) -> list[dict]:
     """Execute a plan; returns one result dict per step. Idempotent: each
     rewrite step carries its deterministic txn_id, so replaying a plan
     (crash recovery, at-least-once schedulers) re-commits nothing. Every
     rewrite reads AND publishes against the plan's base_version: a
     concurrent data-changing commit (e.g. a delete_where tombstoning a
     file this step would rewrite) aborts with ConcurrentWriteConflict —
-    run_maintenance replans from the new snapshot."""
+    run_maintenance replans from the new snapshot.
+
+    ``cluster_by``: compaction steps RE-CLUSTER their output
+    (range-partition + sort on the keys) instead of a plain coalesce —
+    without it, compacting range-clustered small files would merge their
+    disjoint key ranges back into unprunable wide ones (OPTIMIZE
+    ... ZORDER's reason to exist)."""
     results = []
     part_cols = table.partition_columns() or None
     for step in plan:
@@ -222,9 +232,14 @@ def apply_maintenance(table: ManifestTable, plan: list[dict]) -> list[dict]:
                 os.path.getsize(os.path.join(table.path, f)) for f in group
             )
             n_out = max(1, -(-total // step["target_bytes"]))
+            out = (
+                table._clustered(df, part_cols, cluster_by, n_out)
+                if cluster_by
+                else df.coalesce(n_out)
+            )
             ver = table.replace_files(
                 group,
-                df.coalesce(n_out),
+                out,
                 partition_by=part_cols,
                 txn_id=step["txn_id"],
                 data_change=False,
@@ -250,6 +265,7 @@ def apply_maintenance(table: ManifestTable, plan: list[dict]) -> list[dict]:
 def run_maintenance(
     table: ManifestTable,
     max_rounds: int = 4,
+    cluster_by: list[str] | None = None,
     **thresholds,
 ) -> list[dict]:
     """Plan-and-apply to convergence (a fold-in round exposes files the
@@ -265,7 +281,7 @@ def run_maintenance(
         if not plan:
             break
         try:
-            all_results += apply_maintenance(table, plan)
+            all_results += apply_maintenance(table, plan, cluster_by=cluster_by)
         except ConcurrentWriteConflict:
             continue  # stale plan → replan against the new snapshot
     return all_results

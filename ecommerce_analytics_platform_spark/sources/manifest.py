@@ -916,7 +916,15 @@ class ManifestTable:
         read once; the union lands in the next manifest."""
         existing = self.declared_schema()
         if existing is None and self.latest_version() is not None:
-            existing = self.read().schema
+            try:
+                existing = self.read().schema
+            except ValueError:
+                # config-only history (set_stats_columns /
+                # set_bloom_columns on a fresh table commits a version
+                # with ZERO files and no declared schema): there is no
+                # existing schema to union with — the first data write
+                # defines it
+                existing = None
         union = evolve_schema(existing, df.schema, on_schema_change)
         return align_to_schema(df, union), union
 

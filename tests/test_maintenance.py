@@ -159,3 +159,41 @@ def test_manifest_carries_file_meta_inventory(spark, tmp_path):
                     keep_versions=2)
     m2 = t._read_manifest(t.latest_version())
     assert set(m2["file_meta"]) == set(m2["files"])
+
+
+def test_compaction_recusters_with_cluster_by(spark, tmp_path):
+    """run_maintenance(cluster_by=...): compaction range-partitions +
+    sorts its output instead of coalescing, so the compacted files keep
+    DISJOINT key ranges and stats predicates stay prunable afterwards."""
+    from pyspark.sql import functions as F
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    pad = "p" * 400  # fatten rows so compaction yields MULTIPLE files
+    # 8 small clustered appends -> small-file backlog, each spanning a
+    # narrow range
+    for i in range(8):
+        t.append(
+            spark.createDataFrame(
+                [(i * 100 + j, pad) for j in range(100)], ["k", "v"]
+            ).coalesce(1)
+        )
+    sizes = [v[0] for v in t._read_manifest(t.latest_version())["file_meta"].values()]
+    target = max(1, (sum(sizes) + 3) // 4)  # force n_out >= 4
+    res = run_maintenance(
+        t,
+        small_file_bytes=target,
+        min_small_files=2,
+        keep_versions=50,
+        cluster_by=["k"],
+    )
+    assert any(r["op"] == "compact" for r in res)
+    m = t._read_manifest(t.latest_version())
+    assert len(m["files"]) >= 2  # genuinely multi-file output
+    # compacted output carries disjoint ranges: a narrow predicate keeps
+    # at most one file
+    pruned = t.read(stats_predicates=[("k", "between", 405, 410)])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("k between 405 and 410").count() == 6
+    # and the data is intact
+    assert t.read().count() == 800
