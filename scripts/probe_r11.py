@@ -13,8 +13,11 @@
                 forced full-snapshot docs (the pre-r11 behavior).
 5. bloom      — point lookup on an unclustered high-cardinality key:
                 full scan vs Bloom-sidecar file skipping (512 files).
+6. mergebloom — point-update DV merge on an unpartitioned table, with
+                and without the Bloom index pruning the matched scan.
 
-Usage: python3 scripts/probe_r11.py [fulldiff|bootstrap|plancost|logscale|bloom|all]
+Usage: python3 scripts/probe_r11.py
+       [fulldiff|bootstrap|plancost|logscale|bloom|mergebloom|all]
 """
 
 from __future__ import annotations
@@ -204,6 +207,33 @@ def probe_bloom(spark):
     )
 
 
+def probe_mergebloom(spark):
+    """Point-update DV merge on an UNPARTITIONED bloom-indexed table:
+    the matched-row scan reads only bloom-candidate files. Same 5-row
+    batch, same 256-file/2M-row table, with and without the index."""
+    for mode in ("no-bloom", "bloom"):
+        d = tempfile.mkdtemp()
+        t = ManifestTable(spark, d + "/t")
+        if mode == "bloom":
+            t.set_bloom_columns(["k"])
+        base = spark.range(2_000_000).selectExpr(
+            "cast(hash(id) as bigint) * 2000000 + id as k", "id as v"
+        )
+        t.overwrite(base.repartition(256))
+        needles = [r["k"] for r in t.read().sample(0.00002).limit(5).collect()]
+        batch = spark.createDataFrame([(int(k), -1) for k in needles], ["k", "v"])
+        t0 = time.time()
+        t.merge_delete_insert(batch, unique_key=["k"], partition_by=[],
+                              delete_mode="dv")
+        wall = time.time() - t0
+        dv = t._read_manifest(t.latest_version()).get("dv", {})
+        print(
+            f"mergebloom {mode}: 5-key dv merge on 256-file/2M-row "
+            f"unpartitioned table -> {wall:.2f}s (files tombstoned: {len(dv)})",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark()
@@ -218,3 +248,5 @@ if __name__ == "__main__":
         probe_logscale(spark)
     if which in ("bloom", "all"):
         probe_bloom(spark)
+    if which in ("mergebloom", "all"):
+        probe_mergebloom(spark)
