@@ -66,6 +66,31 @@ from ecommerce_analytics_platform_spark.sources.evolution import (
 
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 
+
+def _labeled(name: str):
+    """Stamp commits made inside the decorated method with ``op: name``
+    (Delta's DESCRIBE HISTORY operation column). Outermost label wins —
+    a MERGE that internally commits via replace_partitions records
+    'merge', not its mechanism — and the flag always resets, including
+    on conflict aborts."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrap(self, *a, **k):
+            outer = self._pending_op is None
+            if outer:
+                self._pending_op = name
+            try:
+                return fn(self, *a, **k)
+            finally:
+                if outer:
+                    self._pending_op = None
+
+        return wrap
+
+    return deco
+
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -129,6 +154,9 @@ class ManifestTable:
         self._pending_stats_columns = self._UNSET
         # Bloom sidecar config override for the set_bloom_columns commit
         self._pending_bloom = self._UNSET
+        # operation label for commits made by the current public call
+        # (set by the @_labeled decorators; recorded as the doc's "op")
+        self._pending_op: str | None = None
         # row-preservation flag for the NEXT commit (replace_files
         # data_change=False sets it around its publish; default True)
         self._pending_data_change = True
@@ -273,6 +301,10 @@ class ManifestTable:
                 # as unknown-old by version_at)
                 "ts": time.time(),
             }
+            if self._pending_op:
+                # operation label (DESCRIBE HISTORY); absent in legacy
+                # manifests and on raw _publish callers
+                doc["op"] = self._pending_op
             if schema_json is not None:
                 # the snapshot's declared read schema (additive evolution
                 # — see sources/evolution.py); absent in legacy manifests
@@ -477,6 +509,7 @@ class ManifestTable:
             )
         return list(self._read_manifest(v).get("stats_columns", []))
 
+    @_labeled("set_stats_columns")
     def set_stats_columns(self, cols: list[str] | None) -> int:
         """Table-config commit: collect per-file min/max for ``cols`` on
         every subsequent write (Delta's ``dataSkippingStatsColumns``).
@@ -506,6 +539,7 @@ class ManifestTable:
             )
         return self._read_manifest(v).get("bloom")
 
+    @_labeled("set_bloom_columns")
     def set_bloom_columns(
         self,
         cols: list[str] | None,
@@ -954,6 +988,7 @@ class ManifestTable:
         keys = list(partition_by or []) + list(cluster_by)
         return df.repartitionByRange(num_files, *keys).sortWithinPartitions(*keys)
 
+    @_labeled("overwrite")
     def overwrite(
         self,
         df: DataFrame,
@@ -979,6 +1014,7 @@ class ManifestTable:
         schema_json = evolve_schema(None, df.schema).jsonValue()
         return self._publish(lambda _base, m: (files, self._base_txns(m), schema_json))
 
+    @_labeled("append")
     def append(
         self,
         df: DataFrame,
@@ -1009,6 +1045,7 @@ class ManifestTable:
 
     _UNSET = object()
 
+    @_labeled("replace_partitions")
     def replace_partitions(
         self,
         df: DataFrame,
@@ -1068,6 +1105,7 @@ class ManifestTable:
 
         return self._publish(apply)
 
+    @_labeled("append_once")
     def append_once(
         self,
         df: DataFrame,
@@ -1103,6 +1141,7 @@ class ManifestTable:
 
         return self._publish(apply)
 
+    @_labeled("replace_files")
     def replace_files(
         self,
         remove: list[str],
@@ -1248,6 +1287,7 @@ class ManifestTable:
             )
         return max(candidates)
 
+    @_labeled("restore")
     def restore(self, version: int) -> int:
         """RESTORE TABLE: commit a NEW version whose file list is the
         target version's — history is preserved (the rolled-back commits
@@ -1344,6 +1384,7 @@ class ManifestTable:
             *[os.path.join(self.path, d) for d in dv_files]
         )
 
+    @_labeled("delete")
     def delete_where(
         self,
         condition,
@@ -1445,6 +1486,7 @@ class ManifestTable:
 
         return self._publish(apply)
 
+    @_labeled("materialize_deletes")
     def materialize_deletes(
         self, files: list[str] | None = None, txn_id: str | None = None
     ) -> int:
@@ -1582,6 +1624,7 @@ class ManifestTable:
             )
         return df
 
+    @_labeled("merge")
     def merge_delete_insert(
         self,
         new_batch: DataFrame,
@@ -1924,6 +1967,7 @@ class ManifestTable:
             dest._pending_stats_columns = list(m["stats_columns"])
         if m.get("bloom"):
             dest._pending_bloom = dict(m["bloom"])
+        dest._pending_op = "clone"
         try:
             dest._publish(
                 lambda _b, _m: (
@@ -1936,6 +1980,7 @@ class ManifestTable:
         finally:
             dest._pending_stats_columns = dest._UNSET
             dest._pending_bloom = dest._UNSET
+            dest._pending_op = None
         return dest
 
     def changes_between(self, v_from: int, v_to: int) -> DataFrame:
@@ -2036,6 +2081,9 @@ class ManifestTable:
                 (
                     v,
                     m.get("ts"),
+                    # operation label the committing method stamped
+                    # (r11; None for legacy/raw commits)
+                    m.get("op"),
                     m.get("base_version"),
                     len(cur - prev_files),
                     len(prev_files - cur),
@@ -2047,9 +2095,9 @@ class ManifestTable:
             prev_files, prev_txns, prev_dv = cur, cur_txns, cur_dv
         return self.spark.createDataFrame(
             rows,
-            "version int, ts double, base_version int, files_added int, "
-            "files_removed int, files_total int, dv_changed boolean, "
-            "new_txns array<string>",
+            "version int, ts double, op string, base_version int, "
+            "files_added int, files_removed int, files_total int, "
+            "dv_changed boolean, new_txns array<string>",
         )
 
     def vacuum(self, keep_versions: int = 1, tmp_grace_sec: float = 3600.0) -> int:

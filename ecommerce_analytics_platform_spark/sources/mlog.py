@@ -48,6 +48,7 @@ CHECKPOINT_INTERVAL = 16
 _SCALARS = (
     "base_version",
     "ts",
+    "op",
     "schema",
     "stats_columns",
     "bloom",

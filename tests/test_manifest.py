@@ -361,3 +361,32 @@ def test_history_describes_commits(spark, tmp_path):
     assert h[3]["dv_changed"] and h[3]["files_added"] == 0
     assert h[3]["files_total"] == h[2]["files_total"]
     assert all(h[v]["ts"] is not None for v in h)
+
+
+def test_history_records_operation_labels(spark, tmp_path):
+    """Every commit class stamps its op into the doc (DESCRIBE HISTORY's
+    operation column); an outer MERGE labels its internal
+    replace_partitions commit 'merge', not the mechanism."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(i, f"d{i % 2}", "x") for i in range(8)],
+                               ["k", "d", "v"])
+    t.overwrite(df, partition_by=["d"])                        # v1
+    t.append(df.limit(1), partition_by=["d"])                  # v2
+    t.append_once(df.limit(1), txn_id="tx", partition_by=["d"])  # v3
+    t.delete_where("k = 3")                                    # v4
+    t.merge_delete_insert(
+        spark.createDataFrame([(0, "d0", "U")], ["k", "d", "v"]),
+        unique_key=["k"], partition_by=["d"], delete_mode="rewrite",
+    )                                                          # v5
+    t.materialize_deletes()                                    # v6
+    t.restore(2)                                               # v7
+    ops = {r["version"]: r["op"] for r in t.history().collect()}
+    assert ops == {
+        1: "overwrite", 2: "append", 3: "append_once", 4: "delete",
+        5: "merge", 6: "materialize_deletes", 7: "restore",
+    }
+    # clone stamps its own v1; label resets after conflicts too (the
+    # stress suite covers aborts — here just assert the flag is clear)
+    c = t.clone_to(str(tmp_path / "c"))
+    assert {r["op"] for r in c.history().collect()} == {"clone"}
+    assert t._pending_op is None and c._pending_op is None
