@@ -7236,28 +7236,8 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 # rounds. After each driver round, bump the sampled entries to that
 # round's number.
 _LAST_GREEN_ROUND = {
-    # last driver-green in round 5 (4 queries)
-    "ann_ivf": 5, "minhash_signatures": 5, "neardup_pairs": 5,
-    "running_total": 5,
-    # last driver-green in round 6 (11 queries)
-    "ann_lsh": 6, "customers_without_orders": 6, "dim_date": 6,
-    "embedding_neardup": 6, "exact_dedup": 6, "first_touch": 6,
-    "label_prop": 6, "revenue_by_region": 6, "simhash": 6, "token_stats": 6,
-    "triangle_count": 6,
-    # last driver-green in round 7 (38 queries)
-    "approx_sketches": 7, "asof_join": 7, "attribution": 7,
-    "audio_features": 7, "bpe_merges": 7, "cdc_apply": 7,
-    "cohort_retention": 7, "corpus_funnel": 7, "cosine_topk": 7,
-    "daily_funnel": 7, "daily_kpis": 7, "dds_quantiles": 7,
-    "dedup_latest": 7, "dup_passages": 7, "event_pivot": 7,
-    "exploded_lines": 7, "incremental_neardup": 7, "jpeg_roundtrip": 7,
-    "language_id": 7, "neardup_clusters": 7, "nearest_centroid": 7,
-    "pagerank": 7, "portable_hll": 7, "pricing_summary": 7,
-    "product_catalog": 7, "quality_filter": 7, "range_join": 7,
-    "sales_cube": 7, "salted_rollup": 7, "scd2_merge": 7,
-    "semantic_dedup": 7, "sequence_pack": 7, "session_rollup": 7,
-    "span_dedup": 7, "unigram_logprob": 7, "unigram_vocab": 7,
-    "video_frames_gif": 7, "zorder_key": 7,
+    # last driver-green in round 7 (3 queries)
+    "unigram_vocab": 7, "video_frames_gif": 7, "zorder_key": 7,
     # last driver-green in round 9 (42 queries)
     "ann_int8": 9, "basket_pairs": 9, "bigram_logprob": 9,
     "bpe_token_count": 9, "cluster_keepers": 9, "decontaminate": 9,
@@ -7275,23 +7255,40 @@ _LAST_GREEN_ROUND = {
     "token_zipf": 9, "train_val_split": 9, "unigram_token_count": 9,
     "weighted_sample": 9,
     # last driver-green in round 10 (50 queries)
-    "ann_pq": 10, "array_setops": 10, "assoc_rules": 10, "bloom_filter": 10,
-    "bpe_encode": 10, "bpe_fertility": 10, "content_chunks": 10,
-    "corpus_shuffle": 10, "customer_quartiles": 10,
-    "distinct_event_types": 10, "domain_mixture": 10, "dsir_sample": 10,
-    "edit_distance_join": 10, "embedding_centroids": 10, "event_gaps": 10,
-    "event_rank": 10, "fuzzy_pairs": 10, "gopher_quality": 10,
-    "hamming_neardup": 10, "heavy_hitters": 10, "image_features": 10,
-    "incremental_dedup": 10, "json_props": 10, "kmv_intersect": 10,
-    "kpi_unpivot": 10, "late_suppliers": 10, "order_items_array": 10,
-    "part_outlier_revenue": 10, "percentile_stats": 10,
-    "product_performance": 10, "profile_summary": 10, "robust_outliers": 10,
-    "sales_rollup": 10, "scd2_history": 10, "semi_join": 10, "set_ops": 10,
-    "set_sim_join": 10, "sliding_window_rollup": 10,
-    "sorted_neighborhood": 10, "span_mask": 10, "status_intervals": 10,
-    "table_stats": 10, "time_bucket_rollup": 10, "token_budget_sample": 10,
-    "top_revenue_customers": 10, "user_lifecycle": 10, "value_histogram": 10,
-    "video_frames": 10, "vocab_topk": 10, "window_frames": 10,
+    "ann_pq": 10, "array_setops": 10, "assoc_rules": 10, "bloom_filter":
+    10, "bpe_encode": 10, "bpe_fertility": 10, "content_chunks": 10,
+    "corpus_shuffle": 10, "customer_quartiles": 10, "distinct_event_types":
+    10, "domain_mixture": 10, "dsir_sample": 10, "edit_distance_join": 10,
+    "embedding_centroids": 10, "event_gaps": 10, "event_rank": 10,
+    "fuzzy_pairs": 10, "gopher_quality": 10, "hamming_neardup": 10,
+    "heavy_hitters": 10, "image_features": 10, "incremental_dedup": 10,
+    "json_props": 10, "kmv_intersect": 10, "kpi_unpivot": 10,
+    "late_suppliers": 10, "order_items_array": 10, "part_outlier_revenue":
+    10, "percentile_stats": 10, "product_performance": 10,
+    "profile_summary": 10, "robust_outliers": 10, "sales_rollup": 10,
+    "scd2_history": 10, "semi_join": 10, "set_ops": 10, "set_sim_join": 10,
+    "sliding_window_rollup": 10, "sorted_neighborhood": 10, "span_mask":
+    10, "status_intervals": 10, "table_stats": 10, "time_bucket_rollup":
+    10, "token_budget_sample": 10, "top_revenue_customers": 10,
+    "user_lifecycle": 10, "value_histogram": 10, "video_frames": 10,
+    "vocab_topk": 10, "window_frames": 10,
+    # last driver-green in round 11 (50 queries)
+    "ann_ivf": 11, "ann_lsh": 11, "approx_sketches": 11, "asof_join": 11,
+    "attribution": 11, "audio_features": 11, "bpe_merges": 11, "cdc_apply":
+    11, "cohort_retention": 11, "corpus_funnel": 11, "cosine_topk": 11,
+    "customers_without_orders": 11, "daily_funnel": 11, "daily_kpis": 11,
+    "dds_quantiles": 11, "dedup_latest": 11, "dim_date": 11,
+    "dup_passages": 11, "embedding_neardup": 11, "event_pivot": 11,
+    "exact_dedup": 11, "exploded_lines": 11, "first_touch": 11,
+    "incremental_neardup": 11, "jpeg_roundtrip": 11, "label_prop": 11,
+    "language_id": 11, "minhash_signatures": 11, "neardup_clusters": 11,
+    "neardup_pairs": 11, "nearest_centroid": 11, "pagerank": 11,
+    "portable_hll": 11, "pricing_summary": 11, "product_catalog": 11,
+    "quality_filter": 11, "range_join": 11, "revenue_by_region": 11,
+    "running_total": 11, "sales_cube": 11, "salted_rollup": 11,
+    "scd2_merge": 11, "semantic_dedup": 11, "sequence_pack": 11,
+    "session_rollup": 11, "simhash": 11, "span_dedup": 11, "token_stats":
+    11, "triangle_count": 11, "unigram_logprob": 11,
 }
 
 # the rule: 50 stalest greens over the FULL registry — a query the datum

