@@ -268,48 +268,111 @@ class _FullDiff(InputPartition):
         self.n_buckets = n_buckets
 
 
-# declared types whose arrow cast-to-string is total and injective per
-# column — the precondition for row-hash bucket sharding; nested types
-# (array/map/struct) and binary keep the single-task diff
-_BUCKETABLE_TYPES = (
-    "string", "byte", "short", "integer", "long", "float", "double",
-    "boolean", "date", "timestamp", "timestamp_ntz",
+# declared types a bucket hash can consume: FAST (pure-numpy bit mixing,
+# zero Python objects) vs SLOW (canonical string cast + vectorized
+# siphash — still no per-row Python loop, but materializes one str
+# object per value). Bucketing hashes a SUBSET of columns — equal rows
+# agree on every column, so any column subset co-buckets them; unequal
+# rows colliding is harmless (the Counter compares full tuples) — so the
+# planner needs only ONE hashable column, and the reader prefers the
+# fast ones.
+_BUCKET_FAST_TYPES = (
+    "byte", "short", "integer", "long", "float", "double", "boolean",
+    "date", "timestamp", "timestamp_ntz",
 )
+_BUCKET_SLOW_TYPES = ("string",)
 
 
 def _schema_bucketable(schema_json: str) -> bool:
-    fields = json.loads(schema_json).get("fields", [])
-    for f in fields:
+    """At least one atomic column to bucket-hash on (nested columns ride
+    along in the row tuples; a schema of ONLY nested/binary columns
+    keeps the single-task diff)."""
+    for f in json.loads(schema_json).get("fields", []):
         t = f.get("type")
-        if not isinstance(t, str):
-            return False
-        if t not in _BUCKETABLE_TYPES and not t.startswith("decimal"):
-            return False
-    return bool(fields)
+        if isinstance(t, str) and (
+            t in _BUCKET_FAST_TYPES
+            or t in _BUCKET_SLOW_TYPES
+            or t.startswith("decimal")
+        ):
+            return True
+    return False
+
+
+_HASH_MIX = 0x9E3779B97F4A7C15  # splitmix64 multiplier
+_HASH_NULL = 0xC2B2AE3D27D4EB4F  # arbitrary odd constant for NULL slots
 
 
 def _row_hash_u64(tbl):
-    """Deterministic per-row uint64 over an arrow table: each column is
-    cast to string (canonical, type-stable — immune to pandas' int→float
-    null widening), null-filled with a sentinel, siphashed VECTORIZED
-    (``pd.util.hash_array`` with its fixed default key), and combined
-    positionally. Equal rows (same logical values, any file) hash equal
-    on every worker — the property bucket sharding's losslessness rests
-    on; hash collisions are harmless (co-bucketing only — the Counter
-    still compares full tuples)."""
+    """Deterministic per-row uint64 over an arrow table, built from the
+    CHEAPEST sufficient column subset: every numeric/temporal/bool
+    column hashes as pure numpy bit-mixing on its physical int64/bits
+    view (zero Python objects — the probe-measured fix over hashing
+    every column through strings); if the schema has none, ONE
+    string/decimal column pays the vectorized-siphash slow path. Equal
+    rows (same logical values, any file) hash equal on every worker —
+    the property bucket sharding's losslessness rests on. -0.0
+    normalizes to +0.0 and NaN to one canonical bit pattern so float
+    rows Python/Spark equality would cancel never split buckets."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    h = np.zeros(tbl.num_rows, dtype=np.uint64)
-    for col in tbl.columns:
-        s = pc.fill_null(pc.cast(col, pa.string()), "\x00__null__")
-        ch = pd.util.hash_array(
-            s.to_numpy(zero_copy_only=False), categorize=False
-        )
-        h = h * np.uint64(0x100000001B3) ^ ch
-    return h
+    n = tbl.num_rows
+    h = np.zeros(n, dtype=np.uint64)
+    fast_used = 0
+    for col, field in zip(tbl.columns, tbl.schema):
+        t = field.type
+        ch = None
+        if (
+            pa.types.is_integer(t)
+            or pa.types.is_date(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_boolean(t)
+        ):
+            nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+            if pa.types.is_date(t):
+                # date32 has no direct int64 cast; days-since-epoch via int32
+                col = col.cast(pa.int32(), safe=False)
+            vals = (
+                col.cast(pa.int64(), safe=False)
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+            ch = vals * np.uint64(_HASH_MIX)
+            ch[nulls] = np.uint64(_HASH_NULL)
+        elif pa.types.is_floating(t):
+            nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+            v = (
+                col.cast(pa.float64())
+                .fill_null(0.0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .copy()
+            )
+            v[v == 0.0] = 0.0  # -0.0 == 0.0: same bucket
+            v[np.isnan(v)] = np.nan  # canonical NaN bits
+            ch = v.view(np.uint64) * np.uint64(_HASH_MIX)
+            ch[nulls] = np.uint64(_HASH_NULL)
+        else:
+            continue
+        h = (h << np.uint64(7) | h >> np.uint64(57)) ^ ch
+        fast_used += 1
+    if fast_used:
+        return h
+    # no fast column: one canonical-string column through vectorized
+    # siphash (pd.util.hash_array with its fixed default key)
+    import pandas as pd
+
+    for col, field in zip(tbl.columns, tbl.schema):
+        t = field.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_decimal(t):
+            s = pc.fill_null(pc.cast(col, pa.string()), "\x00__null__")
+            return pd.util.hash_array(
+                s.to_numpy(zero_copy_only=False), categorize=False
+            ).astype(np.uint64)
+    return h  # unreachable when _schema_bucketable gated the plan
 
 
 def _with_cdf_cols(tbl, change_type: str, version: int):

@@ -519,11 +519,11 @@ def test_bucketed_cancellation_nets_zero_on_row_preserving_rewrite(spark, tmp_pa
     assert got == []
 
 
-def test_nested_schema_keeps_single_task_diff(spark, tmp_path):
-    """Honest fallback: a schema with an array column cannot be
-    canonically string-hashed per column, so the planner keeps the
-    single cross-file cancellation task even when buckets are asked
-    for — and the diff is still exact."""
+def test_nested_schema_buckets_on_atomic_column(spark, tmp_path):
+    """Bucket sharding hashes a SUBSET of columns (equal rows agree on
+    every column, so any subset co-buckets them): a schema mixing an
+    array column with an atomic key still fans out, the nested values
+    ride along in the row tuples, and cancellation stays exact."""
     from ecommerce_analytics_platform_spark.sources.cdf_stream import _FullDiff
 
     t = ManifestTable(spark, str(tmp_path / "tn"))
@@ -535,13 +535,31 @@ def test_nested_schema_keeps_single_task_diff(spark, tmp_path):
     reader = _reader(t, diff_buckets="4")
     parts = reader.partitions({"version": 1}, {"version": 2})
     diffs = [p for p in parts if isinstance(p, _FullDiff)]
-    assert len(diffs) == 1 and diffs[0].bucket is None
+    assert len(diffs) == 4 and {p.bucket for p in diffs} == {0, 1, 2, 3}
     got = _run_pass(spark, t.path, str(tmp_path / "ckptn"))
     # cancellation still exact: the k=1..7 rows are byte-identical in
     # both snapshots and net out; only k=0 surfaces, as a delete
     assert sorted(
         (r["k"], r["_change_type"], r["_commit_version"]) for r in got
     ) == sorted([(i, "insert", 1) for i in range(8)] + [(0, "delete", 2)])
+
+
+def test_all_nested_schema_keeps_single_task_diff(spark, tmp_path):
+    """Honest fallback: a schema with NO atomic column has nothing to
+    bucket-hash on — the planner keeps the single cross-file
+    cancellation task even when buckets are asked for."""
+    from ecommerce_analytics_platform_spark.sources.cdf_stream import _FullDiff
+
+    t = ManifestTable(spark, str(tmp_path / "tan"))
+    df = spark.createDataFrame(
+        [([i, i + 1],) for i in range(8)], "xs array<int>"
+    )
+    t.overwrite(df.repartition(2))  # v1
+    t.overwrite(df.limit(6).repartition(2))  # v2: genuine rewrite
+    reader = _reader(t, diff_buckets="4")
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    diffs = [p for p in parts if isinstance(p, _FullDiff)]
+    assert len(diffs) == 1 and diffs[0].bucket is None
 
 
 def test_vacuum_protects_registered_cdf_consumer(spark, tmp_path):
