@@ -597,3 +597,70 @@ def test_vacuum_protects_registered_cdf_consumer(spark, tmp_path):
     got = _run_pass(spark, t.path, ckpt)
     assert {r["_commit_version"] for r in got} == {8}
     assert {r["k"] for r in got} == {300}
+
+
+def test_nan_rows_cancel_like_batch_exceptall(spark, tmp_path):
+    """Stream/batch parity on NaN data: Spark's exceptAll treats
+    NaN = NaN (so changes_between cancels byte-identical NaN rows);
+    the stream's cancellation Counter must agree — Python's default
+    float NaN inequality would otherwise emit a spurious delete+insert
+    pair for every NaN row of a row-preserving rewrite."""
+    t = ManifestTable(spark, str(tmp_path / "tnan"))
+    df = spark.createDataFrame(
+        [(i, float("nan") if i % 3 == 0 else float(i)) for i in range(12)],
+        "k int, x double",
+    )
+    t.overwrite(df.repartition(2))  # v1
+    t.overwrite(t.read().repartition(3))  # v2: row-preserving rewrite
+    # batch truth: exceptAll cancels everything
+    assert t.changes_between(1, 2).count() == 0
+    got = _run_pass(spark, t.path, str(tmp_path / "ckptnan"))
+    by_ver = sorted(r["_commit_version"] for r in got)
+    assert by_ver == [1] * 12  # v1 inserts only; v2 nets ZERO
+    # and the same under forced bucket sharding
+    got2 = []
+    q = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", t.path)
+        .option("diff_buckets", "4")
+        .load()
+        .writeStream.foreachBatch(lambda df, _e: got2.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckptnan2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["_commit_version"] for r in got2) == [1] * 12
+
+
+def test_skewed_single_dir_rewrite_buckets_within_dir(spark, tmp_path):
+    """A partitioned table where ONE dir takes a big rewrite: dir
+    sharding alone would leave that dir a single task; bucket sharding
+    applies WITHIN the dir (rows in one dir share partition values, so
+    in-dir bucketing is exactly as lossless as the unpartitioned case)."""
+    from ecommerce_analytics_platform_spark.sources.cdf_stream import _FullDiff
+
+    t = ManifestTable(spark, str(tmp_path / "tsk"))
+    rows = [(i, f"v{i}", f"d{i % 2}") for i in range(32)]
+    t.overwrite(
+        spark.createDataFrame(rows, ["k", "v", "d"]), partition_by=["d"]
+    )  # v1
+    # v2: rewrite ONLY d=d0 (update two rows), via rewrite-mode merge
+    batch = spark.createDataFrame(
+        [(0, "U0", "d0"), (2, "U2", "d0")], ["k", "v", "d"]
+    )
+    t.merge_delete_insert(
+        batch, unique_key=["k"], partition_by=["d"], delete_mode="rewrite"
+    )
+    reader = _reader(t, diff_buckets="3")
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    diffs = [p for p in parts if isinstance(p, _FullDiff)]
+    # one touched dir, forced 3 buckets inside it
+    assert len(diffs) == 3 and {p.bucket for p in diffs} == {0, 1, 2}
+    touched_dirs = {
+        f.rsplit("/", 1)[0] for p in diffs for f, _ in p.added + p.removed
+    }
+    assert touched_dirs == {"d=d0"}
+    got = _run_pass(spark, t.path, str(tmp_path / "ckptsk"))
+    want = _rows(_batch_changes(spark, t, 1)) + _rows(_batch_changes(spark, t, 2))
+    assert _collected_multiset(got) == sorted(want)
