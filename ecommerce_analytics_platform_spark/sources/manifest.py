@@ -2296,24 +2296,38 @@ class ManifestTable:
         file count, whether the commit touched deletion vectors, and the
         txn ids it introduced. Pure manifest metadata (KBs at any table
         size); the operational commit-audit surface Delta exposes the
-        same way."""
+        same way.
+
+        Cost: ONE incremental fold over the raw log — each delta doc
+        applies in O(its changes) onto the running snapshot instead of
+        reconstructing every version from its checkpoint chain (which
+        made a long-history audit O(versions × snapshot)); checkpoint
+        docs resolve once each. Scalars (ts/op/base_version) are
+        per-doc authoritative in both doc classes (mlog._SCALARS), so
+        the fold reads them off the running snapshot directly."""
         rows = []
         prev_files: set[str] = set()
         prev_txns: set[str] = set()
         prev_dv: dict = {}
+        snap: dict = {}
         for v in self._versions():
-            m = self._read_manifest(v)
-            cur = set(m["files"])
-            cur_txns = set(m.get("txns", []))
-            cur_dv = m.get("dv", {})
+            d = self._read_doc(v)
+            snap = (
+                mlog.resolve_full(d, self.path)
+                if mlog.is_full(d)
+                else mlog.apply_delta(snap, d)
+            )
+            cur = set(snap["files"])
+            cur_txns = set(snap.get("txns", []))
+            cur_dv = snap.get("dv", {})
             rows.append(
                 (
                     v,
-                    m.get("ts"),
+                    snap.get("ts"),
                     # operation label the committing method stamped
                     # (r11; None for legacy/raw commits)
-                    m.get("op"),
-                    m.get("base_version"),
+                    snap.get("op"),
+                    snap.get("base_version"),
                     len(cur - prev_files),
                     len(prev_files - cur),
                     len(cur),
