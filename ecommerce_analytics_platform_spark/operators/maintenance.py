@@ -71,6 +71,7 @@ def maintenance_plan(
     min_small_files: int = 4,
     dv_ratio: float = 0.10,
     keep_versions: int = 3,
+    protect_versions_from: list | None = None,
 ) -> list[dict]:
     """The maintenance steps the table currently needs, from metadata
     only. Ordered: DV fold-ins, then per-partition compactions, then (at
@@ -171,9 +172,14 @@ def maintenance_plan(
                 }
             )
 
-    # 3) version retention
+    # 3) version retention; registered CDF consumer anchors (checkpoint
+    # dirs or explicit versions) ride the step so auto-maintenance can
+    # never strand a live stream (ManifestTable.vacuum's floor logic)
     if len(table._versions()) > keep_versions:
-        plan.append({"op": "vacuum", "keep_versions": keep_versions})
+        step: dict = {"op": "vacuum", "keep_versions": keep_versions}
+        if protect_versions_from:
+            step["protect_versions_from"] = list(protect_versions_from)
+        plan.append(step)
 
     # 4) Bloom sidecar backfill: files written before set_bloom_columns
     # (or under a different geometry) are un-indexed and unprunable.
@@ -282,7 +288,10 @@ def apply_maintenance(
                 {"op": "stamp_file_meta", "files_stamped": len(stamped)}
             )
         elif step["op"] == "vacuum":
-            removed = table.vacuum(keep_versions=step["keep_versions"])
+            removed = table.vacuum(
+                keep_versions=step["keep_versions"],
+                protect_versions_from=step.get("protect_versions_from"),
+            )
             results.append({"op": "vacuum", "files_removed": removed})
         elif step["op"] == "bloom_backfill":
             # against the LATEST snapshot, not the plan's base: earlier

@@ -268,3 +268,66 @@ def test_vacuum_reclaims_orphan_checkpoints_keeps_referenced(spark, tmp_path, mo
     assert ref in left and "cp-deadbeef0000.parquet" not in left
     # the retained snapshot still loads cold
     assert ManifestTable(spark, t.path).read().count() == 5
+
+
+def test_conflicts_and_cdf_plan_across_pointer_checkpoints(spark, tmp_path, monkeypatch):
+    """OCC conflict detection and CDF offset planning both reconstruct
+    snapshots through the log — exercise both across PARQUET POINTER
+    checkpoint docs (threshold forced low so every checkpoint slot
+    spills): overlapping replaces still abort, disjoint ones still
+    commute, and a CDF reader plans/reads the whole pointer-doc log."""
+    import pytest
+
+    from ecommerce_analytics_platform_spark.sources.cdf_stream import (
+        ManifestCDFDataSource,
+        ManifestCDFStreamReader,
+        _read_partition,
+    )
+    from ecommerce_analytics_platform_spark.sources.manifest import (
+        ConcurrentWriteConflict,
+    )
+
+    monkeypatch.setattr(mlog, "CHECKPOINT_PARQUET_MIN_FILES", 1)
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 2
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"d{i % 2}") for i in range(8)], ["k", "v", "d"]
+    )
+    t.overwrite(df, partition_by=["d"])  # v1 (full by definition -> pointer)
+    assert "checkpoint" in _raw(t, 1)
+    base = t.latest_version()
+    t.append(
+        spark.createDataFrame([(100, "n", "d0")], ["k", "v", "d"]),
+        partition_by=["d"],
+    )  # v2: checkpoint slot -> pointer
+    assert "checkpoint" in _raw(t, 2)
+    # overlapping replace derived from v1: the conflict window crosses
+    # the pointer checkpoint and still sees the d0 append
+    with pytest.raises(ConcurrentWriteConflict):
+        t.replace_partitions(
+            spark.createDataFrame([(0, "X", "d0")], ["k", "v", "d"]),
+            ["d"],
+            expected_base=base,
+        )
+    # disjoint replace (d1 only) commutes across it
+    t.replace_partitions(
+        spark.createDataFrame([(1, "Y", "d1")], ["k", "v", "d"]),
+        ["d"],
+        expected_base=base,
+    )  # v3
+    # CDF planning + task reads over the pointer-doc log: v1 snapshot
+    # inserts + v2 append + v3 rewrite diff of d1
+    reader = ManifestCDFStreamReader(
+        ManifestCDFDataSource(options={"path": t.path}).schema(),
+        {"path": t.path},
+    )
+    parts = reader.partitions({"version": 0}, {"version": 3})
+    n = sum(
+        b.num_rows for p in parts for b in _read_partition(t.path, p)
+    )
+    want = (
+        8  # v1 inserts
+        + 1  # v2 append
+        + t.changes_between(2, 3).count()  # v3 replace diff
+    )
+    assert n == want
