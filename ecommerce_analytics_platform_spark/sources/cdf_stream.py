@@ -134,6 +134,21 @@ def _arrow_data_schema(schema_json: str):
     return _ARROW_SCHEMA_MEMO[schema_json]
 
 
+def _const_array(value, n: int, typ):
+    """A length-``n`` constant arrow array WITHOUT building an n-element
+    Python list first (probe-measured: ``pa.array([v] * 4M)`` costs
+    ~1-2 s per file per task and dominated the diff/insert tasks' wall;
+    a 1-element array gathered through a zero index vector is a C-side
+    memcpy)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if n == 0:
+        return pa.array([], type=typ)
+    one = pa.array([value], type=typ)
+    return one.take(pa.array(np.zeros(n, dtype=np.int32)))
+
+
 def _file_table(
     table_path: str,
     rel_file: str,
@@ -185,7 +200,7 @@ def _file_table(
         elif field.name in part_vals:
             # partition value from the path, coerced to the declared type
             v = _coerce(part_vals[field.name], str(field.type))
-            col = pa.array([v] * n, type=field.type)
+            col = _const_array(v, n, field.type)
         else:
             col = pa.nulls(n, field.type)
         cols.append(col)
@@ -405,10 +420,10 @@ def _with_cdf_cols(tbl, change_type: str, version: int):
     n = tbl.num_rows
     full = tbl.append_column(
         pa.field("_change_type", pa.string(), nullable=False),
-        pa.array([change_type] * n, pa.string()),
+        _const_array(change_type, n, pa.string()),
     ).append_column(
         pa.field("_commit_version", pa.int64(), nullable=False),
-        pa.array([version] * n, pa.int64()),
+        _const_array(version, n, pa.int64()),
     )
     return full.to_batches()
 
@@ -815,16 +830,36 @@ class ManifestCDFStreamReader(DataSourceStreamReader):
                         # data, cap 16) unless the diff_buckets option
                         # pins it; DV-position flips are independent of
                         # the cancellation and plan one task per file.
-                        default = 32 << 20
+                        default_b, default_r = 32 << 20, 500_000
                         meta = {
                             **m1.get("file_meta", {}),
                             **m2.get("file_meta", {}),
                         }
-                        nb = sum(meta.get(f, [default])[0] for f, _ in a + r)
+                        nb = sum(
+                            meta.get(f, (default_b, default_r))[0]
+                            for f, _ in a + r
+                        )
+                        nr = sum(
+                            meta.get(f, (default_b, default_r))[1]
+                            for f, _ in a + r
+                        )
+                        # size by BOTH bytes and rows: the task's real
+                        # cost is the Python-side tuple materialization
+                        # + Counter, which scales with rows — a heavily
+                        # compressed file (sequential ids under snappy)
+                        # packs millions of rows into one 32 MB bucket's
+                        # byte budget (probe-measured: byte-only sizing
+                        # planned 3 buckets for a 12M-row transition)
                         buckets = (
                             self.diff_buckets
                             if self.diff_buckets is not None
-                            else max(1, min(16, -(-nb // default)))
+                            else max(
+                                1,
+                                min(
+                                    16,
+                                    max(-(-nb // default_b), -(-nr // default_r)),
+                                ),
+                            )
                         )
                         if buckets > 1:
                             parts += [
