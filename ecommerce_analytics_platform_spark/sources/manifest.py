@@ -67,6 +67,20 @@ from ecommerce_analytics_platform_spark.sources.evolution import (
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 
 
+def _tmap(fn, items, workers: int = 16, serial_below: int = 64):
+    """Order-preserving map, threaded for I/O-bound per-file work (the
+    driver-side Bloom sidecar probes: one ≤16 KB open+read per file —
+    GIL-released, so a thread pool turns a 100k-candidate probe from
+    100k sequential reads into ~16-way overlapped I/O). Small lists
+    stay serial: pool startup costs more than it saves."""
+    if len(items) < serial_below:
+        return [fn(x) for x in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(fn, items))
+
+
 def _labeled(name: str):
     """Stamp commits made inside the decorated method with ``op: name``
     (Delta's DESCRIBE HISTORY operation column). Outermost label wins —
@@ -944,31 +958,28 @@ class ManifestTable:
                 [_py_positions(v, m_bits, k, seed) for v in vals],
                 dtype=np.int64,
             )  # (n_keys, k)
-        out = []
-        for f in files:
+        def probe_one(f: str) -> bool:
             # per key: AND over columns of (all k bits set); file is a
             # candidate if ANY key survives
             alive = None
-            keep = False
             for c in unique_key:
                 try:
                     with open(self._bloom_sidecar(f, c, cfg), "rb") as fh:
                         buf = np.frombuffer(fh.read(), dtype=np.uint8)
                 except FileNotFoundError:
-                    keep = True  # pre-opt-in file: conservative
-                    break
+                    return True  # pre-opt-in file: conservative
                 if buf.size != nbytes:
-                    keep = True
-                    break
+                    return True
                 pos = pos_by_col[c]
                 bits = (buf[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
                 col_ok = bits.all(axis=1)
                 alive = col_ok if alive is None else (alive & col_ok)
                 if not alive.any():
-                    break
-            if keep or (alive is not None and alive.any()):
-                out.append(f)
-        return out
+                    return False
+            return alive is not None and bool(alive.any())
+
+        verdicts = _tmap(probe_one, files)
+        return [f for f, ok in zip(files, verdicts) if ok]
 
     def _prune_by_bloom(
         self,
@@ -1011,24 +1022,22 @@ class ManifestTable:
             pos_sets = [
                 sorted(set(_py_positions(v, m_bits, k, seed))) for v in values
             ]
-            kept = []
-            for f in out:
-                sp = self._bloom_sidecar(f, col, cfg)
+
+            def probe_one(f: str) -> bool:
                 try:
-                    with open(sp, "rb") as fh:
+                    with open(self._bloom_sidecar(f, col, cfg), "rb") as fh:
                         buf = fh.read()
                 except FileNotFoundError:
-                    kept.append(f)  # pre-opt-in file: conservative keep
-                    continue
+                    return True  # pre-opt-in file: conservative keep
                 if len(buf) != nbytes:
-                    kept.append(f)  # stale config geometry: keep
-                    continue
-                if any(
+                    return True  # stale geometry: keep
+                return any(
                     all(buf[q >> 3] & (1 << (q & 7)) for q in ps)
                     for ps in pos_sets
-                ):
-                    kept.append(f)
-            out = kept
+                )
+
+            verdicts = _tmap(probe_one, out)
+            out = [f for f, ok in zip(out, verdicts) if ok]
         return out
 
     @staticmethod
