@@ -202,19 +202,25 @@ def maintenance_plan(
             if declared is None or c in declared.fieldNames()
         ]
         nbytes = int(bcfg["m_bits"]) // 8
-        unindexed = []
-        for f in files:
+        from ecommerce_analytics_platform_spark.sources.manifest import _tmap
+
+        def _unindexed(f: str) -> bool:
             if f in rewritten:
-                continue
+                return False
             for c in want:
-                sp = table._bloom_sidecar(f, c, bcfg)
                 try:
-                    if os.path.getsize(sp) == nbytes:
+                    if os.path.getsize(table._bloom_sidecar(f, c, bcfg)) == nbytes:
                         continue
                 except FileNotFoundError:
                     pass
-                unindexed.append(f)
-                break
+                return True
+            return False
+
+        if want:
+            verdicts = _tmap(_unindexed, files)
+            unindexed = [f for f, bad in zip(files, verdicts) if bad]
+        else:
+            unindexed = []
         if unindexed:
             plan.append(
                 {"op": "bloom_backfill", "files": sorted(unindexed),

@@ -842,16 +842,22 @@ class ManifestTable:
         if not want:
             return []
         nbytes = int(cfg["m_bits"]) // 8
-        missing = []
-        for f in m["files"]:
+
+        def unindexed(f: str) -> bool:
             for c in want:
                 try:
                     if os.path.getsize(self._bloom_sidecar(f, c, cfg)) == nbytes:
                         continue
                 except FileNotFoundError:
                     pass
-                missing.append(f)
-                break
+                return True
+            return False
+
+        # threaded stat sweep: coverage checking a million-file table is
+        # one metadata pass; overlapping the stats matters on object
+        # stores where each is an RPC
+        verdicts = _tmap(unindexed, m["files"])
+        missing = [f for f, bad in zip(m["files"], verdicts) if bad]
         for i in range(0, len(missing), self._BLOOM_BACKFILL_CHUNK):
             self._write_bloom_sidecars(
                 missing[i : i + self._BLOOM_BACKFILL_CHUNK],
