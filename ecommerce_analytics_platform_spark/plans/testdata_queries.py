@@ -7236,29 +7236,10 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 # rounds. After each driver round, bump the sampled entries to that
 # round's number.
 _LAST_GREEN_ROUND = {
-    # last driver-green in round 7 (3 queries)
-    "unigram_vocab": 7, "video_frames_gif": 7, "zorder_key": 7,
-    # last driver-green in round 9 (42 queries)
-    "ann_int8": 9, "basket_pairs": 9, "bigram_logprob": 9,
-    "bpe_token_count": 9, "cluster_keepers": 9, "decontaminate": 9,
-    "doc_chunks": 9, "doc_fingerprint": 9, "embedding_neardup_lsh": 9,
-    "embedding_quantize": 9, "embedding_stats": 9, "entity_clusters": 9,
-    "ewma_features": 9, "feature_snapshot": 9, "funnel_ordered": 9,
-    "gap_fill": 9, "grouping_sets": 9, "interval_merge": 9,
-    "inverted_index": 9, "lang_balanced_sample": 9, "multi_touch": 9,
-    "neardup_clusters_star": 9, "neardup_pairs_capped": 9,
-    "neardup_verified": 9, "pii_scrub": 9, "psi_drift": 9,
-    "random_projection": 9, "range_frame": 9, "repetition_ratio": 9,
-    "rfm_segments": 9, "session_windows": 9, "shipping_priority": 9,
-    "sketch_merge": 9, "sliding_uniques": 9, "source_mix": 9,
-    "state_transitions": 9, "stratified_sample": 9, "tfidf_topk": 9,
-    "token_zipf": 9, "train_val_split": 9, "unigram_token_count": 9,
-    "weighted_sample": 9,
-    # last driver-green in round 10 (50 queries)
-    "ann_pq": 10, "array_setops": 10, "assoc_rules": 10, "bloom_filter":
-    10, "bpe_encode": 10, "bpe_fertility": 10, "content_chunks": 10,
-    "corpus_shuffle": 10, "customer_quartiles": 10, "distinct_event_types":
-    10, "domain_mixture": 10, "dsir_sample": 10, "edit_distance_join": 10,
+    # last driver-green in round 10 (45 queries)
+    "bpe_fertility": 10, "content_chunks": 10, "corpus_shuffle": 10,
+    "customer_quartiles": 10, "distinct_event_types": 10,
+    "domain_mixture": 10, "dsir_sample": 10, "edit_distance_join": 10,
     "embedding_centroids": 10, "event_gaps": 10, "event_rank": 10,
     "fuzzy_pairs": 10, "gopher_quality": 10, "hamming_neardup": 10,
     "heavy_hitters": 10, "image_features": 10, "incremental_dedup": 10,
@@ -7266,19 +7247,19 @@ _LAST_GREEN_ROUND = {
     "late_suppliers": 10, "order_items_array": 10, "part_outlier_revenue":
     10, "percentile_stats": 10, "product_performance": 10,
     "profile_summary": 10, "robust_outliers": 10, "sales_rollup": 10,
-    "scd2_history": 10, "semi_join": 10, "set_ops": 10, "set_sim_join": 10,
-    "sliding_window_rollup": 10, "sorted_neighborhood": 10, "span_mask":
-    10, "status_intervals": 10, "table_stats": 10, "time_bucket_rollup":
-    10, "token_budget_sample": 10, "top_revenue_customers": 10,
-    "user_lifecycle": 10, "value_histogram": 10, "video_frames": 10,
-    "vocab_topk": 10, "window_frames": 10,
+    "scd2_history": 10, "semi_join": 10, "set_ops": 10, "set_sim_join":
+    10, "sliding_window_rollup": 10, "sorted_neighborhood": 10,
+    "span_mask": 10, "status_intervals": 10, "table_stats": 10,
+    "time_bucket_rollup": 10, "token_budget_sample": 10,
+    "top_revenue_customers": 10, "user_lifecycle": 10, "value_histogram":
+    10, "video_frames": 10, "vocab_topk": 10, "window_frames": 10,
     # last driver-green in round 11 (50 queries)
     "ann_ivf": 11, "ann_lsh": 11, "approx_sketches": 11, "asof_join": 11,
-    "attribution": 11, "audio_features": 11, "bpe_merges": 11, "cdc_apply":
-    11, "cohort_retention": 11, "corpus_funnel": 11, "cosine_topk": 11,
-    "customers_without_orders": 11, "daily_funnel": 11, "daily_kpis": 11,
-    "dds_quantiles": 11, "dedup_latest": 11, "dim_date": 11,
-    "dup_passages": 11, "embedding_neardup": 11, "event_pivot": 11,
+    "attribution": 11, "audio_features": 11, "bpe_merges": 11,
+    "cdc_apply": 11, "cohort_retention": 11, "corpus_funnel": 11,
+    "cosine_topk": 11, "customers_without_orders": 11, "daily_funnel": 11,
+    "daily_kpis": 11, "dds_quantiles": 11, "dedup_latest": 11, "dim_date":
+    11, "dup_passages": 11, "embedding_neardup": 11, "event_pivot": 11,
     "exact_dedup": 11, "exploded_lines": 11, "first_touch": 11,
     "incremental_neardup": 11, "jpeg_roundtrip": 11, "label_prop": 11,
     "language_id": 11, "minhash_signatures": 11, "neardup_clusters": 11,
@@ -7289,6 +7270,25 @@ _LAST_GREEN_ROUND = {
     "scd2_merge": 11, "semantic_dedup": 11, "sequence_pack": 11,
     "session_rollup": 11, "simhash": 11, "span_dedup": 11, "token_stats":
     11, "triangle_count": 11, "unigram_logprob": 11,
+    # last driver-green in round 12 (50 queries)
+    "ann_int8": 12, "ann_pq": 12, "array_setops": 12, "assoc_rules": 12,
+    "basket_pairs": 12, "bigram_logprob": 12, "bloom_filter": 12,
+    "bpe_encode": 12, "bpe_token_count": 12, "cluster_keepers": 12,
+    "decontaminate": 12, "doc_chunks": 12, "doc_fingerprint": 12,
+    "embedding_neardup_lsh": 12, "embedding_quantize": 12,
+    "embedding_stats": 12, "entity_clusters": 12, "ewma_features": 12,
+    "feature_snapshot": 12, "funnel_ordered": 12, "gap_fill": 12,
+    "grouping_sets": 12, "interval_merge": 12, "inverted_index": 12,
+    "lang_balanced_sample": 12, "multi_touch": 12,
+    "neardup_clusters_star": 12, "neardup_pairs_capped": 12,
+    "neardup_verified": 12, "pii_scrub": 12, "psi_drift": 12,
+    "random_projection": 12, "range_frame": 12, "repetition_ratio": 12,
+    "rfm_segments": 12, "session_windows": 12, "shipping_priority": 12,
+    "sketch_merge": 12, "sliding_uniques": 12, "source_mix": 12,
+    "state_transitions": 12, "stratified_sample": 12, "tfidf_topk": 12,
+    "token_zipf": 12, "train_val_split": 12, "unigram_token_count": 12,
+    "unigram_vocab": 12, "video_frames_gif": 12, "weighted_sample": 12,
+    "zorder_key": 12,
 }
 
 # the rule: 50 stalest greens over the FULL registry — a query the datum
