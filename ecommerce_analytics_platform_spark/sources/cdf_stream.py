@@ -149,23 +149,12 @@ def _const_array(value, n: int, typ):
     return one.take(pa.array(np.zeros(n, dtype=np.int32)))
 
 
-def _file_table(
-    table_path: str,
-    rel_file: str,
-    schema_json: str,
-    deleted: set[int] | None,
-):
-    """LIVE rows of one data file as a pyarrow Table aligned to the
-    declared columns, in file order. Hive partition columns come from the
-    path; columns the file predates back-fill null (exactly what a
-    snapshot read would show); narrower on-disk types cast up to the
-    declared type. ``deleted`` = this snapshot's DV positions for the
-    file."""
+def _raw_table(table_path: str, rel_file: str, deleted: set[int] | None):
+    """One data file's LIVE rows exactly as stored (no schema
+    alignment): parquet decode + the snapshot's DV position filter."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    target = _arrow_data_schema(schema_json)
-    part_vals = _hive_values(rel_file)
     tbl = pq.read_table(
         os.path.join(table_path, rel_file),
         columns=None,
@@ -176,27 +165,46 @@ def _file_table(
         mask = np.ones(tbl.num_rows, dtype=bool)
         mask[sorted(deleted)] = False
         tbl = tbl.filter(pa.array(mask))
+    return tbl
+
+
+def _cast_declared(col, field, rel_file: str):
+    """Cast an on-disk column to its declared arrow type — the one
+    normalization point for narrower physical types (int32 files under
+    a bigint schema, INT96/ns timestamps under a µs schema)."""
+    if col.type == field.type:
+        return col
+    try:
+        return col.cast(field.type)
+    except Exception as e:
+        # a file written AFTER the declared schema widened, read by a
+        # stream whose schema pinned BEFORE it: values may overflow the
+        # pinned type. Same rule as added columns — restart the stream
+        # to re-pin.
+        raise RuntimeError(
+            f"CDF stream schema pinned column '{field.name}' "
+            f"as {field.type} but file {rel_file} carries "
+            f"{col.type} (table schema widened after stream "
+            f"start?) — restart the stream to pick up the "
+            f"widened schema"
+        ) from e
+
+
+def _align_table(tbl, rel_file: str, schema_json: str):
+    """Align a raw file table to the declared columns, in file order.
+    Hive partition columns come from the path; columns the file predates
+    back-fill null (exactly what a snapshot read would show); narrower
+    on-disk types cast up to the declared type."""
+    import pyarrow as pa
+
+    target = _arrow_data_schema(schema_json)
+    part_vals = _hive_values(rel_file)
     n = tbl.num_rows
     names = set(tbl.schema.names)
     cols = []
     for field in target:
         if field.name in names:
-            col = tbl.column(field.name)
-            if col.type != field.type:
-                try:
-                    col = col.cast(field.type)
-                except Exception as e:
-                    # a file written AFTER the declared schema widened,
-                    # read by a stream whose schema pinned BEFORE it:
-                    # values may overflow the pinned type. Same rule as
-                    # added columns — restart the stream to re-pin.
-                    raise RuntimeError(
-                        f"CDF stream schema pinned column '{field.name}' "
-                        f"as {field.type} but file {rel_file} carries "
-                        f"{col.type} (table schema widened after stream "
-                        f"start?) — restart the stream to pick up the "
-                        f"widened schema"
-                    ) from e
+            col = _cast_declared(tbl.column(field.name), field, rel_file)
         elif field.name in part_vals:
             # partition value from the path, coerced to the declared type
             v = _coerce(part_vals[field.name], str(field.type))
@@ -205,6 +213,20 @@ def _file_table(
             col = pa.nulls(n, field.type)
         cols.append(col)
     return pa.table(cols, schema=target)
+
+
+def _file_table(
+    table_path: str,
+    rel_file: str,
+    schema_json: str,
+    deleted: set[int] | None,
+):
+    """LIVE rows of one data file aligned to the declared columns —
+    ``_raw_table`` + ``_align_table``. ``deleted`` = this snapshot's DV
+    positions for the file."""
+    return _align_table(
+        _raw_table(table_path, rel_file, deleted), rel_file, schema_json
+    )
 
 
 def _file_rows(
@@ -304,7 +326,7 @@ class _FullDiff(InputPartition):
       rewrites of UNPARTITIONED tables and re-layout transitions, where
       dir sharding degenerates, the task keeps only rows whose
       deterministic canonical-string hash lands in its bucket
-      (:func:`_row_hash_u64`) — equal rows hash equal, land in the same
+      (:func:`_file_bucket_hash`) — equal rows hash equal, land in the same
       bucket, and cancel there; unequal rows never needed to meet. The
       hash + filter run VECTORIZED on the arrow table, so each task pays
       the full parquet read but only 1/n_buckets of the expensive
@@ -509,51 +531,71 @@ def _col_hash_u64(col):
     return None
 
 
-def _row_hash_u64(tbl):
-    """Deterministic per-row uint64 over an arrow table, built from the
-    CHEAPEST sufficient column subset: every numeric/temporal/bool
-    column hashes as pure numpy bit-mixing on its physical int64/bits
-    view (zero Python objects — the probe-measured fix over hashing
-    every column through strings); with none of those, ONE
-    string/decimal column pays the vectorized-siphash slow path; with
-    none of THOSE, one binary or nested column hashes at the arrow
-    buffer level (:func:`_col_hash_u64`). Equal rows (same logical
-    values, any file) hash equal on every worker — the property bucket
-    sharding's losslessness rests on. -0.0 normalizes to +0.0 and NaN
-    to one canonical bit pattern so float rows Python/Spark equality
-    would cancel never split buckets."""
+def _hash_cols(schema_json: str) -> list[str]:
+    """The deterministic hash-column subset for bucket sharding, chosen
+    from the DECLARED schema so it is IDENTICAL for every file of a
+    commit — a column one file predates hashes as the null constant
+    there, a hive-partitioned column as its path value's constant, so
+    equal rows co-bucket across files regardless of physical layout.
+    Preference: every fast numeric/temporal/bool column (pure numpy bit
+    mixing); else one string/decimal (vectorized siphash); else the
+    first hashable binary/nested column (arrow buffer hashing)."""
+    fields = json.loads(schema_json).get("fields", [])
+    fast = [
+        f["name"]
+        for f in fields
+        if isinstance(f.get("type"), str) and f["type"] in _BUCKET_FAST_TYPES
+    ]
+    if fast:
+        return fast
+    for f in fields:
+        t = f.get("type")
+        if isinstance(t, str) and (
+            t in _BUCKET_SLOW_TYPES or t.startswith("decimal")
+        ):
+            return [f["name"]]
+    for f in fields:
+        if _type_bucket_hashable(f.get("type")):
+            return [f["name"]]
+    return []
+
+
+def _file_bucket_hash(tbl_raw, rel_file: str, schema_json: str):
+    """Deterministic per-row uint64 over a RAW (unaligned) file table.
+    Hash columns come from :func:`_hash_cols`; each present column
+    casts to its DECLARED arrow type first (an int32 file under a
+    bigint schema, an INT96/ns-timestamp file under a µs schema — both
+    hash equal to an already-wide file), path-carried partition columns
+    hash as one constant, absent columns as the null constant. Running
+    the hash BEFORE alignment lets the bucket filter drop (n-1)/n of
+    the rows before any per-column cast/backfill/const-array work
+    (VERDICT r12 next #7 — align only survivors; the parquet decode
+    itself stays per-task, which is why writer-persisted cdc files are
+    the real fix for writer-known commits). -0.0 normalizes to +0.0 and
+    NaN to one canonical bit pattern inside :func:`_col_hash_u64`, so
+    float rows Spark equality would cancel never split buckets."""
     import numpy as np
     import pyarrow as pa
 
-    n = tbl.num_rows
+    target = _arrow_data_schema(schema_json)
+    part_vals = _hive_values(rel_file)
+    names = set(tbl_raw.schema.names)
+    n = tbl_raw.num_rows
     h = np.zeros(n, dtype=np.uint64)
-    fast_used = 0
-    for col, field in zip(tbl.columns, tbl.schema):
-        t = field.type
-        if (
-            pa.types.is_integer(t)
-            or pa.types.is_date(t)
-            or pa.types.is_timestamp(t)
-            or pa.types.is_boolean(t)
-            or pa.types.is_floating(t)
-        ):
-            ch = _col_hash_u64(col)
-            h = (h << np.uint64(7) | h >> np.uint64(57)) ^ ch
-            fast_used += 1
-    if fast_used:
-        return h
-    # no fast column: one string/decimal column through vectorized
-    # siphash (pd.util.hash_array with its fixed default key)
-    for col, field in zip(tbl.columns, tbl.schema):
-        t = field.type
-        if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_decimal(t):
-            return _col_hash_u64(col)
-    # no atomic column at all: first hashable binary/nested column
-    for col, field in zip(tbl.columns, tbl.schema):
-        ch = _col_hash_u64(col)
-        if ch is not None:
-            return ch
-    return h  # unreachable when _schema_bucketable gated the plan
+    for name in _hash_cols(schema_json):
+        field = target.field(name)
+        if name in names:
+            ch = _col_hash_u64(
+                _cast_declared(tbl_raw.column(name), field, rel_file)
+            )
+        elif name in part_vals:
+            v = _coerce(part_vals[name], str(field.type))
+            one = _col_hash_u64(pa.array([v], type=field.type))
+            ch = np.full(n, one[0], dtype=np.uint64)
+        else:
+            ch = np.full(n, np.uint64(_HASH_NULL), dtype=np.uint64)
+        h = (h << np.uint64(7) | h >> np.uint64(57)) ^ ch
+    return h
 
 
 def _with_cdf_cols(tbl, change_type: str, version: int):
@@ -661,17 +703,23 @@ def _read_partition(table_path: str, part) -> Iterator:
         deleted = dv_pos.get(rel_file) if dvs else None
         if part.bucket is None:
             return _file_rows(table_path, rel_file, part.schema_json, deleted)
-        # bucket shard: hash + filter vectorized BEFORE any per-row
-        # Python materialization — each task reads the file but only
-        # thaws its 1/n_buckets slice
+        # bucket shard: hash the RAW columns (casting only the hash
+        # subset to declared types), filter, and only then pay schema
+        # alignment + per-row Python materialization on the
+        # 1/n_buckets slice (r13: align AFTER the filter — the cast/
+        # backfill/const-array work now scales with the slice, not the
+        # file)
         import numpy as np
         import pyarrow as pa
 
-        tbl = _file_table(table_path, rel_file, part.schema_json, deleted)
-        mask = (_row_hash_u64(tbl) % np.uint64(part.n_buckets)) == np.uint64(
-            part.bucket
+        raw = _raw_table(table_path, rel_file, deleted)
+        mask = (
+            _file_bucket_hash(raw, rel_file, part.schema_json)
+            % np.uint64(part.n_buckets)
+        ) == np.uint64(part.bucket)
+        tbl = _align_table(
+            raw.filter(pa.array(mask)), rel_file, part.schema_json
         )
-        tbl = tbl.filter(pa.array(mask))
         cols = [c.to_pylist() for c in tbl.columns]
         return zip(*cols) if cols else iter(())
 

@@ -593,12 +593,22 @@ class ManifestTable:
         division of labor as the ``data_change=false`` flag)."""
         rel_dir = os.path.join("_changes", uuid.uuid4().hex[:12])
         out_dir = os.path.join(self.path, rel_dir)
-        changes.write.parquet(out_dir)
-        return sorted(
-            os.path.join(rel_dir, fn)
-            for fn in os.listdir(out_dir)
-            if fn.endswith(".parquet")
-        )
+        # change sets inherit the upstream shuffle partitioning (an
+        # exceptAll leaves spark.sql.shuffle.partitions mostly-empty
+        # parts) — coalesce to a handful of files and drop the empty
+        # ones, so the CDF read plans a handful of non-empty tasks
+        # instead of one per empty shard (probe-measured: 64 empty cdc
+        # tasks cost more than the 16-bucket diff they replace)
+        changes.coalesce(4).write.parquet(out_dir)
+        import pyarrow.parquet as pq
+
+        out = []
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            if pq.ParquetFile(os.path.join(out_dir, fn)).metadata.num_rows:
+                out.append(os.path.join(rel_dir, fn))
+        return out
 
     # -- per-file column stats (manifest-level data skipping) ---------------
 

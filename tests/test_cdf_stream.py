@@ -721,3 +721,37 @@ def test_skewed_single_dir_rewrite_buckets_within_dir(spark, tmp_path):
     got = _run_pass(spark, t.path, str(tmp_path / "ckptsk"))
     want = _rows(_batch_changes(spark, t, 1)) + _rows(_batch_changes(spark, t, 2))
     assert _collected_multiset(got) == sorted(want)
+
+
+def test_bucketed_cancellation_across_schema_widening(spark, tmp_path):
+    """r13 align-late reorder: bucket hashes are computed on RAW file
+    columns from the DECLARED schema — a file that predates a widening
+    hashes the added column as the null constant, a post-widening file
+    holding NULL hashes identically, so equal rows co-bucket across the
+    two layouts and a row-preserving rewrite still nets to zero under
+    forced bucketing."""
+    t = ManifestTable(spark, str(tmp_path / "tw"))
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(12)], "k int, v string"
+    )
+    t.overwrite(df.repartition(2))  # v1: files WITHOUT column x
+    t.append(
+        spark.createDataFrame([(100, "w", 1.5)], "k int, v string, x double")
+        .coalesce(1)
+    )  # v2: widens the declared schema
+    t.overwrite(t.read().repartition(3))  # v3: row-preserving rewrite
+    assert t.changes_between(2, 3).count() == 0
+    got = []
+    q = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", t.path)
+        .option("diff_buckets", "4")
+        .load()
+        .writeStream.foreachBatch(lambda d, _e: got.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert [r for r in got if r["_commit_version"] == 3] == []
+    assert sorted(r["_commit_version"] for r in got) == [1] * 12 + [2]
