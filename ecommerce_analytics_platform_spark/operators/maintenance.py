@@ -250,8 +250,12 @@ def apply_maintenance(
     (range-partition + sort on the keys) instead of a plain coalesce —
     without it, compacting range-clustered small files would merge their
     disjoint key ranges back into unprunable wide ones (OPTIMIZE
-    ... ZORDER's reason to exist)."""
+    ... ZORDER's reason to exist). Omitted, it defaults to the table's
+    persisted :meth:`ManifestTable.set_cluster_by` config, so a bare
+    scheduler loop preserves a declared layout (``[]`` opts out)."""
     results = []
+    if cluster_by is None:
+        cluster_by = table.cluster_config()
     part_cols = table.partition_columns() or None
     for step in plan:
         base = step.get("base_version")

@@ -179,6 +179,8 @@ class ManifestTable:
         self._pending_stats_columns = self._UNSET
         # Bloom sidecar config override for the set_bloom_columns commit
         self._pending_bloom = self._UNSET
+        # clustering config override for the set_cluster_by commit
+        self._pending_cluster = self._UNSET
         # commit-time change files (write-side CDF): relative parquet
         # paths under _changes/ holding this commit's NET row changes
         # (data columns + _change_type), staged by the writer paths that
@@ -385,6 +387,16 @@ class ManifestTable:
                 # the bitmaps themselves live NEXT TO the data files
                 # (<file>.bloom.<col>), never in the log
                 doc["bloom"] = bl
+            cl = (
+                self._pending_cluster
+                if self._pending_cluster is not self._UNSET
+                else (m.get("cluster_by") if m else None)
+            )
+            if cl:
+                # persisted clustering config (Delta's clustered-table
+                # metadata): writers and auto-maintenance default their
+                # layout from it (set_cluster_by)
+                doc["cluster_by"] = cl
             if self._staged_cdc is not self._UNSET:
                 # commit-time change files (Delta's cdc actions): the
                 # writer persisted this commit's NET row changes once;
@@ -639,6 +651,40 @@ class ManifestTable:
             )
         finally:
             self._pending_stats_columns = self._UNSET
+
+    # -- persisted clustering config -----------------------------------------
+
+    def cluster_config(self, version: int | None = None) -> list[str] | None:
+        """The table's declared clustering columns (:meth:`set_cluster_by`)
+        or None for tables that never opted in."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            return (
+                None
+                if self._pending_cluster is self._UNSET
+                else self._pending_cluster
+            )
+        return self._read_manifest(v).get("cluster_by")
+
+    @_labeled("set_cluster_by")
+    def set_cluster_by(self, cols: list[str] | None) -> int:
+        """Table-config commit: declare the clustering columns (Delta's
+        clustered-table metadata / Iceberg's sort order). Writers
+        (:meth:`overwrite` / :meth:`append`) whose ``cluster_by``
+        argument is omitted cluster by this config automatically, and
+        auto-maintenance compaction re-clusters rewrites with it — so
+        ``run_maintenance(table)`` alone preserves the layout instead
+        of merging range-disjoint small files back into unprunable wide
+        ones. Existing files keep their layout until rewritten. Pair
+        with :meth:`set_stats_columns` on the same keys so the layout
+        actually prunes. ``None``/``[]`` clears the config."""
+        self._pending_cluster = list(cols) if cols else None
+        try:
+            return self._publish(
+                lambda _b, m: (list(m["files"]) if m else [], self._base_txns(m))
+            )
+        finally:
+            self._pending_cluster = self._UNSET
 
     # -- per-file Bloom sidecars (point-lookup file skipping) ----------------
 
@@ -1310,7 +1356,11 @@ class ManifestTable:
         ``cluster_by`` range-clusters the write so per-file stats become
         prunable ranges (``num_files`` output tasks; see
         :meth:`_clustered`) — pair with :meth:`set_stats_columns` on the
-        cluster key."""
+        cluster key. Omitted (None), it defaults to the table's
+        persisted :meth:`set_cluster_by` config; pass ``[]`` to opt a
+        single write out explicitly."""
+        if cluster_by is None:
+            cluster_by = self.cluster_config()
         if cluster_by:
             df = self._clustered(df, partition_by, cluster_by, num_files)
         files = self._write_files(df, partition_by)
@@ -1334,9 +1384,13 @@ class ManifestTable:
         reference's ``on_schema_change: append_new_columns`` contract
         (dbt_project.yml:29); type changes raise. ``cluster_by``
         range-clusters THIS batch's files (cross-batch overlap is what
-        compaction re-clusters later)."""
+        compaction re-clusters later); omitted, it defaults to the
+        table's persisted :meth:`set_cluster_by` config (``[]`` opts
+        out)."""
         self._check_partition_layout(partition_by)
         df, union = self._evolved(df, on_schema_change)
+        if cluster_by is None:
+            cluster_by = self.cluster_config()
         if cluster_by:
             df = self._clustered(df, partition_by, cluster_by, num_files)
         files = self._write_files(df, partition_by)

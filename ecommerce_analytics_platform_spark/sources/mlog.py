@@ -67,6 +67,7 @@ _SCALARS = (
     "schema",
     "stats_columns",
     "bloom",
+    "cluster_by",
     "data_change",
     "cdc",
 )

@@ -199,6 +199,38 @@ def test_compaction_recusters_with_cluster_by(spark, tmp_path):
     assert t.read().count() == 800
 
 
+def test_bare_maintenance_preserves_declared_cluster_layout(spark, tmp_path):
+    """set_cluster_by + run_maintenance() with NO cluster_by argument:
+    apply_maintenance defaults from the table's persisted config, so a
+    generic scheduler loop (`run_maintenance(t)` over every table)
+    re-clusters compaction output instead of merging range-disjoint
+    small files back into unprunable wide ones."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    t.set_cluster_by(["k"])
+    pad = "p" * 400  # fatten rows so compaction yields MULTIPLE files
+    for i in range(8):  # config-clustered small appends, narrow ranges
+        t.append(
+            spark.createDataFrame(
+                [(i * 100 + j, pad) for j in range(100)], ["k", "v"]
+            ),
+            num_files=1,
+        )
+    sizes = [v[0] for v in t._read_manifest(t.latest_version())["file_meta"].values()]
+    target = max(1, (sum(sizes) + 3) // 4)  # force n_out >= 4
+    res = run_maintenance(
+        t, small_file_bytes=target, min_small_files=2, keep_versions=50
+    )
+    assert any(r["op"] == "compact" for r in res)
+    m = t._read_manifest(t.latest_version())
+    assert len(m["files"]) >= 2  # genuinely multi-file output
+    # compacted output kept disjoint ranges without any explicit arg
+    pruned = t.read(stats_predicates=[("k", "between", 405, 410)])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("k between 405 and 410").count() == 6
+    assert t.read().count() == 800
+
+
 def test_stamp_file_meta_backfills_legacy_inventory(spark, tmp_path):
     """VERDICT r11 missing #3: a manifest predating the commit-time
     file_meta inventory plans a stamp_file_meta step; ONE metadata-only

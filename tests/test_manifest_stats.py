@@ -290,3 +290,45 @@ def test_single_key_and_interval_cluster_by_stay_lexicographic(spark, tmp_path):
     pruned = t.read(stats_predicates=[("k", "=", 42)])
     assert len(pruned.inputFiles()) == 1
     assert pruned.filter("k = 42").count() == 1
+
+
+def test_persisted_cluster_config_defaults_writers(spark, tmp_path):
+    """set_cluster_by (Delta's clustered-table metadata): the declared
+    clustering columns persist in the log; overwrite/append with
+    cluster_by OMITTED cluster from the config, explicit [] opts one
+    write out, and the config survives unrelated commits + time travel +
+    None clears it."""
+    rows = spark.range(4000).select(
+        (F.col("id") * 7919 % 4000).alias("k"),  # shuffled keys
+        (F.col("id") % 9).alias("v"),
+    )
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    v_cfg = t.set_cluster_by(["k"])
+    assert t.cluster_config() == ["k"]
+    t.overwrite(rows, num_files=8)  # no cluster_by arg -> config applies
+    pred = [("k", "between", 100, 120)]
+    assert len(t.read(stats_predicates=pred).inputFiles()) <= 2
+    # append defaults from the config too
+    t.append(
+        spark.range(4000, 4400).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+        ),
+        num_files=4,
+    )
+    one = t.read(stats_predicates=[("k", "=", 4201)])
+    assert len(one.inputFiles()) == 1
+    assert one.filter("k = 4201").count() == 1
+    # unrelated commits carry the config forward; old versions pin theirs
+    t.delete_where("k = 7")
+    assert t.cluster_config() == ["k"]
+    assert t.cluster_config(version=v_cfg) == ["k"]
+    # explicit [] opts a single write out: round-robin, nothing prunes
+    flat = ManifestTable(spark, str(tmp_path / "flat"))
+    flat.set_stats_columns(["k"])
+    flat.set_cluster_by(["k"])
+    flat.overwrite(rows, cluster_by=[], num_files=8)
+    assert len(flat.read(stats_predicates=pred).inputFiles()) > 2
+    # None clears the persisted config
+    flat.set_cluster_by(None)
+    assert flat.cluster_config() is None
