@@ -1901,6 +1901,178 @@ class ManifestTable:
         finally:
             self._staged_cdc = self._UNSET
 
+    @_labeled("update")
+    def update_where(
+        self,
+        condition,
+        set: dict,
+        txn_id: str | None = None,
+        partition_values: dict | None = None,
+    ) -> int:
+        """UPDATE ... SET without rewriting whole data files: matched
+        LIVE rows are tombstoned via deletion vectors and their updated
+        images appended as new files — ONE atomic manifest commit, so
+        readers never see the delete without the insert. Cost ∝ matched
+        rows, zero data-file rewrites (the Delta DV-backed UPDATE shape;
+        ``materialize_deletes`` / compaction folds the tombstones in
+        later). At 100 TB a one-column touch-up of 0.01% of rows writes
+        KBs of addresses + the postimage rows instead of rewriting every
+        file holding a match.
+
+        ``set`` maps EXISTING column names to Columns / SQL strings
+        evaluated over the pre-update row (unknown columns raise —
+        UPDATE never evolves schema; values are cast to the column's
+        current type). Updating a partition column works: the postimage
+        writes through the table's partition layout, so rows move
+        directories. ``txn_id`` makes the update exactly-once;
+        ``partition_values`` prunes the matched-row scan's file list
+        (same contract as :meth:`read`).
+
+        Concurrency: commutes with appends (snapshot semantics — this
+        update serializes before a racing insert, which it never claims
+        to touch). It does NOT commute with a concurrent tombstone on a
+        touched file: unlike two deletes (position sets union), the
+        appended postimage would RESURRECT rows a racing delete killed —
+        so any DV change or file removal on a touched file aborts and
+        RE-DERIVES against the new snapshot (bounded retries), the
+        standard OCC loop. Write-side CDF: preimage deletes + postimage
+        inserts persist once under ``_changes/`` (bit-equal to the
+        derived DV-delta + added-file diff)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        set_exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
+        }
+        last_conflict: ConcurrentWriteConflict | None = None
+        for _attempt in range(5):
+            read_version = self.latest_version()
+            if read_version is None:
+                raise FileNotFoundError(f"no committed manifest under {self.path}")
+            m0 = self._read_manifest(read_version)
+            if txn_id is not None and txn_id in m0.get("txns", []):
+                return read_version
+            raw = self.read(
+                version=read_version,
+                partition_values=partition_values,
+                apply_deletes=False,
+            )
+            # NB: the ``set`` parameter shadows the builtin in this scope
+            bad = sorted(c for c in set_exprs if c not in raw.columns)
+            if bad:
+                raise ValueError(
+                    f"update_where: SET names columns not in the table: {bad}"
+                )
+            # matched LIVE rows only — same ordering as delete_where
+            # (condition first, DV anti-join on the survivors)
+            dv_at_read = m0.get("dv", {})
+            hits_full = self._with_position(raw).filter(cond)
+            if dv_at_read:
+                hits_full = hits_full.join(
+                    self.deleted_positions(read_version),
+                    ["__dv_file", "__dv_pos"],
+                    "left_anti",
+                )
+            # the matched rows feed THREE writes (DV addresses, postimage
+            # data files, cdc change files) — cache so the scan runs once
+            hits_full = hits_full.persist()
+            stage = os.path.join("_dv", uuid.uuid4().hex[:12])
+            os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
+            hits_full.select("__dv_file", "__dv_pos").write.parquet(
+                os.path.join(self.path, stage)
+            )
+            dv_files = [
+                os.path.join(stage, fn)
+                for fn in os.listdir(os.path.join(self.path, stage))
+                if fn.endswith(".parquet")
+            ]
+            touched = sorted(
+                r["__dv_file"]
+                for r in self.spark.read.schema(self._DV_SCHEMA)
+                .parquet(*[os.path.join(self.path, d) for d in dv_files])
+                .select("__dv_file")
+                .distinct()
+                .collect()
+            ) if dv_files else []
+            if not touched:
+                hits_full.unpersist()
+                if txn_id is None:  # nothing matched: pure no-op
+                    return read_version
+                return self._publish(  # record the txn so redelivery no-ops
+                    lambda _b, m: None
+                    if (m and txn_id in m.get("txns", []))
+                    else (list(m["files"]) if m else [], [*self._base_txns(m), txn_id])
+                )
+            data_cols = [
+                c for c in hits_full.columns if c not in ("__dv_file", "__dv_pos")
+            ]
+            pre = hits_full.select(*data_cols)
+            post = pre.select(
+                *[
+                    set_exprs[c].cast(pre.schema[c].dataType).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in data_cols
+                ]
+            )
+            part_cols = self.partition_columns(read_version) or None
+            files_new = self._write_files(post, part_cols)
+            # write-side CDF: preimages out, postimages in — exactly the
+            # multiset a reader would derive from DV delta + added files
+            # (no cancellation between the two, matching the derivation)
+            cdc_files = self._write_cdc(
+                pre.withColumn(self.CDC_COL, F.lit("delete")).unionByName(
+                    post.withColumn(self.CDC_COL, F.lit("insert"))
+                )
+            )
+            hits_full.unpersist()
+
+            def apply(base, m, _dv_at_read=dv_at_read, _touched=touched,
+                      _dv_files=dv_files, _files_new=files_new):
+                if txn_id is not None and m and txn_id in m.get("txns", []):
+                    return None
+                cur = frozenset(m["files"]) if m else frozenset()
+                missing = [f for f in _touched if f not in cur]
+                if missing:
+                    raise ConcurrentWriteConflict(
+                        f"update: data files were removed/rewritten by a "
+                        f"concurrent commit; addresses are stale: {missing[:3]}"
+                    )
+                dv = {
+                    f: list(lst)
+                    for f, lst in (m.get("dv", {}) if m else {}).items()
+                    if f in cur
+                }
+                if any(
+                    sorted(dv.get(f, [])) != sorted(_dv_at_read.get(f, []))
+                    for f in _touched
+                ):
+                    # a racing tombstone may cover rows this update
+                    # matched; appending their postimage would resurrect
+                    # them — not commutative, unlike delete∘delete
+                    raise ConcurrentWriteConflict(
+                        "update: concurrent deletion vectors landed on a "
+                        "touched file; re-deriving against the new snapshot"
+                    )
+                for f in _touched:
+                    dv[f] = dv.get(f, []) + _dv_files
+                txns = self._base_txns(m)
+                if txn_id is not None:
+                    txns.append(txn_id)
+                return (
+                    (list(m["files"]) if m else []) + _files_new,
+                    txns,
+                    None,
+                    dv,
+                )
+
+            self._staged_cdc = cdc_files
+            try:
+                return self._publish(apply)
+            except ConcurrentWriteConflict as e:
+                last_conflict = e  # stale read → re-derive and retry
+            finally:
+                self._staged_cdc = self._UNSET
+        raise last_conflict or ConcurrentWriteConflict("update retries exhausted")
+
     @_labeled("materialize_deletes")
     def materialize_deletes(
         self, files: list[str] | None = None, txn_id: str | None = None

@@ -249,3 +249,83 @@ def test_cdc_respects_schema_evolution_backfill(spark, tmp_path):
     got = _run_pass(spark, t.path, str(tmp_path / "c1"))
     v2 = [r for r in got if r["_commit_version"] == 2]
     assert len(v2) == 1 and v2[0]["x"] is None and v2[0]["k"] == 7
+
+
+def test_update_where_dv_append_cdc_bit_equal(spark, tmp_path):
+    """update_where: matched rows tombstoned + postimage appended in ONE
+    commit — zero data-file rewrites — and the commit's cdc is bit-equal
+    to the derived DV-delta + added-file diff."""
+    t = _mk(spark, tmp_path / "t")
+    old_files = set(t._read_manifest(t.latest_version())["files"])
+    v = t.update_where(
+        F.col("k").isin(2, 5), set={"v": F.upper(F.col("v"))}
+    )
+    m = t._read_manifest(v)
+    # no rewrites: every pre-update file survives, postimage appended
+    assert old_files <= set(m["files"]) and len(m["files"]) > len(old_files)
+    assert m.get("dv")
+    # semantics: values updated in place, row count stable
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert (2, "V2") in got and (5, "V5") in got and len(got) == 8
+    assert t._read_doc(v).get("cdc")
+    assert all(isinstance(p, _CdcFile) for p in _planned(t, v))
+    got_cdc = _run_pass(spark, t.path, str(tmp_path / "c1"))
+    got_drv = _run_pass(spark, t.path, str(tmp_path / "c2"), use_cdc="false")
+    assert _ms(got_cdc) == _ms(got_drv)
+    v_rows = [r for r in got_cdc if r["_commit_version"] == v]
+    assert _ms(v_rows) == _ms(t.changes_between(v - 1, v).collect())
+    assert _ms(v_rows) == sorted(
+        [
+            (2, "v2", "d0", "delete"),
+            (2, "V2", "d0", "insert"),
+            (5, "v5", "d1", "delete"),
+            (5, "V5", "d1", "insert"),
+        ]
+    )
+
+
+def test_update_where_moves_partitions_txn_and_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    # updating the partition column moves the row's directory
+    v = t.update_where("k = 3", set={"d": F.lit("d9")}, txn_id="u1")
+    moved = t.read(partition_values={"d": ["d9"]}).collect()
+    assert [(r["k"], r["d"]) for r in moved] == [(3, "d9")]
+    assert t.read().count() == 8
+    # exactly-once: redelivery of the same txn is a no-op
+    assert t.update_where("k = 3", set={"d": F.lit("dX")}, txn_id="u1") == v
+    assert t.read(partition_values={"d": ["d9"]}).count() == 1
+    # no match -> pure no-op, version unchanged
+    assert t.update_where("k = 99", set={"v": F.lit("x")}) == v
+    # unknown SET column raises before any write
+    with pytest.raises(ValueError, match="not in the table"):
+        t.update_where("k = 1", set={"nope": F.lit(1)})
+
+
+def test_update_where_concurrent_delete_rederives(spark, tmp_path):
+    """update does NOT commute with a racing tombstone on a touched file
+    (the postimage would resurrect the deleted row): the first publish
+    aborts, the retry re-derives against the new snapshot where the row
+    is already dead, and the update correctly becomes a no-op."""
+    t1 = _mk(spark, tmp_path / "t")
+    t2 = ManifestTable(spark, t1.path)
+    orig = t1._publish
+    fired = []
+
+    def racy(self, apply_fn):
+        if not fired:
+            fired.append(1)
+            t2.delete_where(F.col("k") == 2)  # lands first, same row
+        return orig(apply_fn)
+
+    t1._publish = types.MethodType(racy, t1)
+    v = t1.update_where("k = 2", set={"v": F.lit("RESURRECTED")})
+    assert fired
+    rows = {(r["k"], r["v"]) for r in t1.read().collect()}
+    assert not any(k == 2 for k, _ in rows), "racing delete must win"
+    assert "RESURRECTED" not in {x for _, x in rows}
+    # past the v1 bootstrap inserts, the stream sees exactly one delete
+    # for k=2 and nothing from the no-op'd update
+    got = _run_pass(spark, t1.path, str(tmp_path / "c1"))
+    assert _ms(
+        [r for r in got if r["k"] == 2 and r["_commit_version"] > 1]
+    ) == [(2, "v2", "d0", "delete")]
