@@ -1771,6 +1771,7 @@ class ManifestTable:
         condition,
         txn_id: str | None = None,
         partition_values: dict | None = None,
+        stats_predicates: list | None = None,
     ) -> int:
         """DELETE WHERE without rewriting a single data file: find the
         matching LIVE rows' physical addresses (file, row_index), write
@@ -1785,7 +1786,13 @@ class ManifestTable:
         ``condition``: a Column or SQL string over the table's columns.
         ``partition_values`` prunes the scan's FILE LIST first (same
         contract as :meth:`read`) — pass it when the predicate implies
-        partitions. ``txn_id`` makes the delete exactly-once.
+        partitions. ``stats_predicates`` prunes further by per-file
+        min/max stats AND Bloom sidecars (same contract as :meth:`read`)
+        — every predicate MUST be implied by ``condition`` (a file
+        pruned here is asserted to hold no matching row), which turns a
+        point erasure on a clustered/bloom-indexed key into a ~1-file
+        scan instead of a table scan. ``txn_id`` makes the delete
+        exactly-once.
 
         Concurrency: commutes with appends and with deletes of OTHER
         rows (two DV commits on the same file union their lists on
@@ -1802,6 +1809,7 @@ class ManifestTable:
         raw = self.read(
             version=read_version,
             partition_values=partition_values,
+            stats_predicates=stats_predicates,
             apply_deletes=False,
         )
         # condition first, already-deleted anti-join on the survivors
@@ -1908,6 +1916,7 @@ class ManifestTable:
         set: dict,
         txn_id: str | None = None,
         partition_values: dict | None = None,
+        stats_predicates: list | None = None,
     ) -> int:
         """UPDATE ... SET without rewriting whole data files: matched
         LIVE rows are tombstoned via deletion vectors and their updated
@@ -1925,8 +1934,12 @@ class ManifestTable:
         current type). Updating a partition column works: the postimage
         writes through the table's partition layout, so rows move
         directories. ``txn_id`` makes the update exactly-once;
-        ``partition_values`` prunes the matched-row scan's file list
-        (same contract as :meth:`read`).
+        ``partition_values`` prunes the matched-row scan's file list and
+        ``stats_predicates`` prunes further by per-file min/max + Bloom
+        sidecars (both the :meth:`read` contract; each predicate MUST be
+        implied by ``condition`` — a pruned file is asserted to hold no
+        matching row), so a point update on a clustered key scans ~1
+        file, not the table.
 
         Concurrency: commutes with appends (snapshot semantics — this
         update serializes before a racing insert, which it never claims
@@ -1953,6 +1966,7 @@ class ManifestTable:
             raw = self.read(
                 version=read_version,
                 partition_values=partition_values,
+                stats_predicates=stats_predicates,
                 apply_deletes=False,
             )
             # NB: the ``set`` parameter shadows the builtin in this scope

@@ -332,3 +332,34 @@ def test_persisted_cluster_config_defaults_writers(spark, tmp_path):
     # None clears the persisted config
     flat.set_cluster_by(None)
     assert flat.cluster_config() is None
+
+
+def test_delete_update_where_prune_scan_by_stats(spark, tmp_path):
+    """delete_where/update_where forward stats_predicates into the
+    matched-row scan (min/max + Bloom file skipping): a point
+    erasure/touch-up on a clustered key reads ~1 candidate file, not
+    the table."""
+    rows = spark.range(800).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    t.overwrite(rows, cluster_by=["k"], num_files=8)
+    # mechanism pin: a deliberately-wider condition with a narrow
+    # predicate — rows OUTSIDE the pruned file survive, proving the
+    # predicate cut the file list before the condition ever ran
+    t.delete_where(F.lit(True), stats_predicates=[("k", "between", 100, 199)])
+    assert t.read().count() == 700
+    assert sorted(r.k for r in t.read().filter("k < 210").collect()) == (
+        list(range(100)) + list(range(200, 210))
+    )
+    # contract-conform point update through the same pruning path
+    v = t.update_where(
+        "k = 405", set={"v": F.lit(-1)}, stats_predicates=[("k", "=", 405)]
+    )
+    got = t.read().filter("k = 405").collect()
+    assert [(r.k, r.v) for r in got] == [(405, -1)]
+    assert t.read().count() == 700
+    # exactly one file was tombstoned by the update
+    m = t._read_manifest(v)
+    assert len([f for f, d in m.get("dv", {}).items() if d]) <= 2
