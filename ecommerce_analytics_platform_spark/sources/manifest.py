@@ -181,6 +181,8 @@ class ManifestTable:
         self._pending_bloom = self._UNSET
         # clustering config override for the set_cluster_by commit
         self._pending_cluster = self._UNSET
+        # CHECK-constraint config override for add/drop_check_constraint
+        self._pending_constraints = self._UNSET
         # commit-time change files (write-side CDF): relative parquet
         # paths under _changes/ holding this commit's NET row changes
         # (data columns + _change_type), staged by the writer paths that
@@ -397,6 +399,15 @@ class ManifestTable:
                 # metadata): writers and auto-maintenance default their
                 # layout from it (set_cluster_by)
                 doc["cluster_by"] = cl
+            cons = (
+                self._pending_constraints
+                if self._pending_constraints is not self._UNSET
+                else (m.get("constraints") if m else None)
+            )
+            if cons:
+                # persisted CHECK constraints (Delta's ADD CONSTRAINT):
+                # every data-file write enforces them row-level
+                doc["constraints"] = cons
             if self._staged_cdc is not self._UNSET:
                 # commit-time change files (Delta's cdc actions): the
                 # writer persisted this commit's NET row changes once;
@@ -540,10 +551,18 @@ class ManifestTable:
         and return the relative parquet paths. Files land in hive-style
         partition dirs so their paths self-describe partition values."""
         stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex[:12]}")
-        w = df.write.mode("overwrite")
+        w = self._with_checks(df).write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(stage)
+        try:
+            w.parquet(stage)
+        except Exception:
+            import shutil
+
+            # a failed write (e.g. CHECK violation) must not leak its
+            # partially-written staging dir
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         out: list[str] = []
         for root, _dirs, files in os.walk(stage):
             for fn in files:
@@ -685,6 +704,85 @@ class ManifestTable:
             )
         finally:
             self._pending_cluster = self._UNSET
+
+    # -- CHECK constraints ----------------------------------------------------
+
+    def check_constraints(self, version: int | None = None) -> dict:
+        """The table's persisted CHECK constraints ``{name: sql_expr}``
+        (:meth:`add_check_constraint`); {} for tables without any."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            return (
+                {}
+                if self._pending_constraints is self._UNSET
+                else dict(self._pending_constraints or {})
+            )
+        return dict(self._read_manifest(v).get("constraints") or {})
+
+    @_labeled("add_constraint")
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """Table-config commit: persist a CHECK constraint (Delta's
+        ``ALTER TABLE ADD CONSTRAINT``). Existing rows are validated
+        first — ONE pushdown-friendly scan that stops at the first
+        violation — and every subsequent data-file write (append /
+        overwrite / merge / update postimage / compaction rewrite)
+        enforces it ROW-LEVEL inside the write job itself (a violating
+        row fails the job before any manifest publish, so the table
+        never holds it). SQL CHECK semantics: NULL passes; only FALSE
+        violates."""
+        chk = F.expr(expr)
+        if self.latest_version() is not None:
+            bad = (
+                self.read()
+                .where(~F.coalesce(chk, F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot add CHECK constraint {name!r}: existing rows "
+                    f"violate ({expr})"
+                )
+        cons = dict(self.check_constraints())
+        cons[name] = expr
+        self._pending_constraints = cons
+        try:
+            return self._publish(
+                lambda _b, m: (list(m["files"]) if m else [], self._base_txns(m))
+            )
+        finally:
+            self._pending_constraints = self._UNSET
+
+    @_labeled("drop_constraint")
+    def drop_check_constraint(self, name: str) -> int:
+        """Remove a persisted CHECK constraint by name (unknown names
+        no-op, matching ``DROP CONSTRAINT IF EXISTS``)."""
+        cons = dict(self.check_constraints())
+        cons.pop(name, None)
+        self._pending_constraints = cons or None
+        try:
+            return self._publish(
+                lambda _b, m: (list(m["files"]) if m else [], self._base_txns(m))
+            )
+        finally:
+            self._pending_constraints = self._UNSET
+
+    def _with_checks(self, df: DataFrame) -> DataFrame:
+        """Attach row-level CHECK enforcement to a frame about to be
+        written: each constraint becomes a codegen'd predicate INSIDE the
+        write job (zero extra passes) that raises — failing the job and
+        aborting the commit — on the first FALSE row. NULL passes (SQL
+        CHECK semantics)."""
+        for name, sql in self.check_constraints().items():
+            chk = F.expr(sql)
+            df = df.where(
+                F.when(F.coalesce(chk, F.lit(True)), F.lit(True)).otherwise(
+                    F.raise_error(
+                        F.lit(f"CHECK constraint {name!r} violated: {sql}")
+                    )
+                )
+            )
+        return df
 
     # -- per-file Bloom sidecars (point-lookup file skipping) ----------------
 

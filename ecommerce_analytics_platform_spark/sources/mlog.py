@@ -68,6 +68,7 @@ _SCALARS = (
     "stats_columns",
     "bloom",
     "cluster_by",
+    "constraints",
     "data_change",
     "cdc",
 )

@@ -9,6 +9,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from ecommerce_analytics_platform_spark.sources import mlog
 from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
 
@@ -390,3 +392,45 @@ def test_history_records_operation_labels(spark, tmp_path):
     c = t.clone_to(str(tmp_path / "c"))
     assert {r["op"] for r in c.history().collect()} == {"clone"}
     assert t._pending_op is None and c._pending_op is None
+
+
+def test_check_constraints_enforced_on_every_writer_path(spark, tmp_path):
+    """add_check_constraint (Delta's ADD CONSTRAINT): persisted in the
+    log, enforced ROW-LEVEL inside every data-file write job — a
+    violating append/update fails before any manifest publish, so the
+    table never holds the row. NULL passes (SQL CHECK); adding a
+    constraint existing rows violate refuses; drop lifts enforcement."""
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.add_check_constraint("qty_pos", "qty >= 0")
+    assert t.check_constraints() == {"qty_pos": "qty >= 0"}
+    t.append(spark.createDataFrame([(1, 5), (2, 0)], ["k", "qty"]))
+    v_ok = t.latest_version()
+    # violating append fails the WRITE JOB and publishes nothing
+    with pytest.raises(Exception, match="qty_pos"):
+        t.append(spark.createDataFrame([(3, -1)], ["k", "qty"]))
+    assert t.latest_version() == v_ok
+    assert t.read().count() == 2
+    # update postimage is enforced too (goes through the same write path)
+    with pytest.raises(Exception, match="qty_pos"):
+        t.update_where("k = 1", set={"qty": F.lit(-7)})
+    assert [r.qty for r in t.read().filter("k = 1").collect()] == [5]
+    # NULL passes: SQL CHECK semantics
+    t.append(
+        spark.createDataFrame([(4, None)], "k int, qty int")
+    )
+    assert t.read().count() == 3
+    # a constraint existing rows violate is refused (one bounded scan)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_check_constraint("qty_big", "qty >= 100")
+    assert "qty_big" not in t.check_constraints()
+    # config survives unrelated commits and time travel
+    t.delete_where("k = 2")
+    assert t.check_constraints() == {"qty_pos": "qty >= 0"}
+    assert t.check_constraints(version=v_ok) == {"qty_pos": "qty >= 0"}
+    # drop lifts enforcement
+    t.drop_check_constraint("qty_pos")
+    assert t.check_constraints() == {}
+    t.append(spark.createDataFrame([(5, -1)], ["k", "qty"]))
+    assert t.read().filter("qty < 0").count() == 1
