@@ -184,6 +184,37 @@ def probe_cppartial(spark):
     )
 
 
+def probe_update(spark):
+    """DV-backed update_where on a 4M-row range-clustered table: point
+    touch-up of 16 rows, matched-row scan unpruned vs stats-pruned
+    (stats_predicates), vs the full-rewrite alternative (the
+    rewrite-mode merge in probe_cdc is the same table shape)."""
+    N = 4_000_000
+    d = tempfile.mkdtemp()
+    t = ManifestTable(spark, d + "/t")
+    t.set_stats_columns(["k"])
+    df = spark.range(N).selectExpr("id as k", "cast(id as string) as v")
+    t.overwrite(df, cluster_by=["k"], num_files=16)  # v2, disjoint ranges
+    t0 = time.time()
+    t.update_where("k < 16", set={"v": "concat('U', v)"})
+    t_full = time.time() - t0
+    t0 = time.time()
+    v = t.update_where(
+        "k >= 100 and k < 116",
+        set={"v": "concat('U', v)"},
+        stats_predicates=[("k", "between", 100, 115)],
+    )
+    t_pruned = time.time() - t0
+    m = t._read_manifest(v)
+    assert t.read().filter("v like 'U%'").count() == 32
+    assert t.read().count() == N
+    print(
+        f"update rows={N} files=16 changed=16/commit "
+        f"unpruned_scan={t_full:.2f}s stats_pruned={t_pruned:.2f}s "
+        f"dv_files={len(m.get('dv', {}))}"
+    )
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(app_name="probe_r13")
@@ -194,6 +225,8 @@ def main():
         probe_nesteddiff(spark)
     if which in ("cppartial", "all"):
         probe_cppartial(spark)
+    if which in ("update", "all"):
+        probe_update(spark)
 
 
 if __name__ == "__main__":
