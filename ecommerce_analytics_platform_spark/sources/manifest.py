@@ -183,6 +183,8 @@ class ManifestTable:
         self._pending_cluster = self._UNSET
         # CHECK-constraint config override for add/drop_check_constraint
         self._pending_constraints = self._UNSET
+        # generated-column config override for set_generated_columns
+        self._pending_generated = self._UNSET
         # commit-time change files (write-side CDF): relative parquet
         # paths under _changes/ holding this commit's NET row changes
         # (data columns + _change_type), staged by the writer paths that
@@ -408,6 +410,16 @@ class ManifestTable:
                 # persisted CHECK constraints (Delta's ADD CONSTRAINT):
                 # every data-file write enforces them row-level
                 doc["constraints"] = cons
+            gen = (
+                self._pending_generated
+                if self._pending_generated is not self._UNSET
+                else (m.get("generated") if m else None)
+            )
+            if gen:
+                # generated-column config (Delta's GENERATED ALWAYS AS):
+                # writers materialize absent columns, checks enforce
+                # consistency of provided ones
+                doc["generated"] = gen
             if self._staged_cdc is not self._UNSET:
                 # commit-time change files (Delta's cdc actions): the
                 # writer persisted this commit's NET row changes once;
@@ -772,8 +784,14 @@ class ManifestTable:
         written: each constraint becomes a codegen'd predicate INSIDE the
         write job (zero extra passes) that raises — failing the job and
         aborting the commit — on the first FALSE row. NULL passes (SQL
-        CHECK semantics)."""
-        for name, sql in self.check_constraints().items():
+        CHECK semantics). Generated columns enforce the implicit
+        invariant ``col <=> (expr)`` the same way (strict: null-safe
+        equality never yields NULL)."""
+        checks = dict(self.check_constraints())
+        for g, e in self.generated_columns().items():
+            if g in df.columns:
+                checks[f"__generated_{g}"] = f"{g} <=> ({e})"
+        for name, sql in checks.items():
             chk = F.expr(sql)
             df = df.where(
                 F.when(F.coalesce(chk, F.lit(True)), F.lit(True)).otherwise(
@@ -782,6 +800,75 @@ class ManifestTable:
                     )
                 )
             )
+        return df
+
+    # -- generated columns ------------------------------------------------------
+
+    def generated_columns(self, version: int | None = None) -> dict:
+        """The table's generated-column config ``{col: sql_expr}``
+        (:meth:`set_generated_columns`); {} when none declared."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            return (
+                {}
+                if self._pending_generated is self._UNSET
+                else dict(self._pending_generated or {})
+            )
+        return dict(self._read_manifest(v).get("generated") or {})
+
+    @_labeled("set_generated")
+    def set_generated_columns(self, mapping: dict | None) -> int:
+        """Table-config commit: declare generated columns (Delta's
+        ``GENERATED ALWAYS AS``) — ``{col: sql_expr}`` where the expr is
+        evaluated over the row's OTHER columns. Writers materialize an
+        absent generated column automatically (so producers ship ``ts``
+        and the table derives the ``event_date`` it partitions by), and
+        a PROVIDED value is enforced consistent (``col <=> expr``)
+        inside the write job, exactly like a CHECK constraint.
+        :meth:`update_where` recomputes generated columns from the
+        post-update row unless the SET clause assigns them explicitly.
+
+        On a non-empty table the column must already exist and agree
+        with the expression on every live row (one bounded scan) —
+        declare generated columns before first data for the onboarding
+        path. ``None``/``{}`` clears the config."""
+        if mapping and self.latest_version() is not None:
+            sch = self.declared_schema()
+            names = {f.name for f in sch.fields} if sch else set()
+            for g, e in mapping.items():
+                if g not in names:
+                    raise ValueError(
+                        f"generated column {g!r} does not exist; on a "
+                        "non-empty table declare it only for existing "
+                        "columns (or create the table with the config)"
+                    )
+                bad = (
+                    self.read()
+                    .where(~F.expr(f"{g} <=> ({e})"))
+                    .limit(1)
+                    .count()
+                )
+                if bad:
+                    raise ValueError(
+                        f"cannot declare generated column {g!r}: existing "
+                        f"rows disagree with ({e})"
+                    )
+        self._pending_generated = dict(mapping) if mapping else None
+        try:
+            return self._publish(
+                lambda _b, m: (list(m["files"]) if m else [], self._base_txns(m))
+            )
+        finally:
+            self._pending_generated = self._UNSET
+
+    def _with_generated(self, df: DataFrame) -> DataFrame:
+        """Materialize declared generated columns ABSENT from a batch
+        (present ones are validated by :meth:`_with_checks` instead).
+        Runs before schema evolution so the declared schema includes the
+        derived column from the first write."""
+        for g, e in self.generated_columns().items():
+            if g not in df.columns:
+                df = df.withColumn(g, F.expr(e))
         return df
 
     # -- per-file Bloom sidecars (point-lookup file skipping) ----------------
@@ -1457,6 +1544,7 @@ class ManifestTable:
         cluster key. Omitted (None), it defaults to the table's
         persisted :meth:`set_cluster_by` config; pass ``[]`` to opt a
         single write out explicitly."""
+        df = self._with_generated(df)
         if cluster_by is None:
             cluster_by = self.cluster_config()
         if cluster_by:
@@ -1486,6 +1574,7 @@ class ManifestTable:
         table's persisted :meth:`set_cluster_by` config (``[]`` opts
         out)."""
         self._check_partition_layout(partition_by)
+        df = self._with_generated(df)
         df, union = self._evolved(df, on_schema_change)
         if cluster_by is None:
             cluster_by = self.cluster_config()
@@ -1538,7 +1627,7 @@ class ManifestTable:
         if expected_base is self._UNSET:
             expected_base = self.latest_version()
         staged: list[list[str]] = []
-        aligned, union = self._evolved(df)
+        aligned, union = self._evolved(self._with_generated(df))
 
         def apply(base, m):
             if txn_id is not None and m and txn_id in m.get("txns", []):
@@ -2125,6 +2214,14 @@ class ManifestTable:
                     for c in data_cols
                 ]
             )
+            # generated columns recompute from the POST-update row unless
+            # the SET clause assigned them explicitly (Delta semantics) —
+            # updating ts keeps a derived event_date consistent
+            for g, e in self.generated_columns(read_version).items():
+                if g not in set_exprs and g in data_cols:
+                    post = post.withColumn(
+                        g, F.expr(e).cast(post.schema[g].dataType)
+                    )
             part_cols = self.partition_columns(read_version) or None
             files_new = self._write_files(post, part_cols)
             # write-side CDF: preimages out, postimages in — exactly the
@@ -2371,6 +2468,7 @@ class ManifestTable:
         class _InitRace(Exception):
             pass
 
+        new_batch = self._with_generated(new_batch)
         last_conflict: ConcurrentWriteConflict | None = None
         for _attempt in range(5):
             read_version = self.latest_version()

@@ -69,6 +69,7 @@ _SCALARS = (
     "bloom",
     "cluster_by",
     "constraints",
+    "generated",
     "data_change",
     "cdc",
 )

@@ -434,3 +434,59 @@ def test_check_constraints_enforced_on_every_writer_path(spark, tmp_path):
     assert t.check_constraints() == {}
     t.append(spark.createDataFrame([(5, -1)], ["k", "qty"]))
     assert t.read().filter("qty < 0").count() == 1
+
+
+def test_generated_columns_materialize_enforce_and_recompute(spark, tmp_path):
+    """set_generated_columns (Delta's GENERATED ALWAYS AS): producers
+    ship ts, writers derive the event_date the table partitions by;
+    a PROVIDED inconsistent value fails the write job; update_where
+    recomputes the derived column from the post-update row unless SET
+    assigns it; config persists and survives unrelated commits."""
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_generated_columns({"d": "cast(ts as date)"})
+    assert t.generated_columns() == {"d": "cast(ts as date)"}
+    batch = spark.createDataFrame(
+        [(1, "2026-03-01 10:00:00"), (2, "2026-03-02 23:59:59")], ["k", "ts"]
+    ).select("k", F.col("ts").cast("timestamp"))
+    t.append(batch, partition_by=["d"])  # d absent -> materialized
+    got = {(r.k, str(r.d)) for r in t.read().collect()}
+    assert got == {(1, "2026-03-01"), (2, "2026-03-02")}
+    # the derived column is a REAL hive partition dir (prunable)
+    one = t.read(partition_values={"d": ["2026-03-02"]})
+    assert [r.k for r in one.collect()] == [2]
+    # a provided-but-inconsistent value fails the write job
+    bad = batch.withColumn("d", F.lit("1999-01-01").cast("date"))
+    with pytest.raises(Exception, match="__generated_d"):
+        t.append(bad, partition_by=["d"])
+    assert t.read().count() == 2
+    # a provided-and-consistent value passes
+    ok = batch.filter("k = 1").withColumn(
+        "k", F.lit(3)
+    ).withColumn("d", F.col("ts").cast("date"))
+    t.append(ok, partition_by=["d"])
+    assert t.read().count() == 3
+    # update_where on the SOURCE column recomputes the derived column
+    t.update_where(
+        "k = 2", set={"ts": "timestamp'2026-04-15 08:00:00'"}
+    )
+    r2 = t.read().filter("k = 2").collect()
+    assert str(r2[0].d) == "2026-04-15"
+    # config survives unrelated commits; clearing works
+    t.delete_where("k = 3")
+    assert t.generated_columns() == {"d": "cast(ts as date)"}
+    t.set_generated_columns(None)
+    assert t.generated_columns() == {}
+    # declaring on a non-empty table validates existing rows
+    t2 = ManifestTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(spark.createDataFrame([(1, 99)], ["a", "b"]))
+    with pytest.raises(ValueError, match="disagree"):
+        t2.set_generated_columns({"b": "a * 2"})
+    with pytest.raises(ValueError, match="does not exist"):
+        t2.set_generated_columns({"c": "a * 2"})
+    t2b = ManifestTable(spark, str(tmp_path / "t2b"))
+    t2b.overwrite(spark.createDataFrame([(1, 2)], ["a", "b"]))
+    t2b.set_generated_columns({"b": "a * 2"})  # consistent -> accepted
+    t2b.append(spark.createDataFrame([(5,)], ["a"]))  # b materialized
+    assert {(r.a, r.b) for r in t2b.read().collect()} == {(1, 2), (5, 10)}
