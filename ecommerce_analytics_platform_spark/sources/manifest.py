@@ -556,6 +556,41 @@ class ManifestTable:
                     touched.add(os.path.dirname(f))
         return touched
 
+    def _dv_racing_adds(
+        self, since: int | None, until: int | None, touched: list[str]
+    ) -> bool:
+        """Whether a commit in ``(since, until]`` BOTH changed deletion
+        vectors on one of ``touched`` AND added data files — the
+        update/merge(dv) commit class, whose appended postimage may hold
+        replacement rows for positions a racing delete matched. A pure
+        DV-only delete commutes; an update-class commit must conflict
+        (see delete_where). Same O(changes) delta-doc walk as
+        :meth:`_touched_since`; a vacuumed doc is a conservative True."""
+        tset = set(touched)
+        for v in range((since or 0) + 1, (until or 0) + 1):
+            try:
+                d = self._read_doc(v)
+            except FileNotFoundError:
+                return True
+            if not mlog.is_full(d):
+                dvk = set(d.get("dv_put", {})) | set(d.get("dv_del", []))
+                if (dvk & tset) and d.get("add_files"):
+                    return True
+                continue
+            try:
+                m = self._read_manifest(v)
+                pm = self._read_manifest(v - 1) if v - 1 >= 1 else {}
+            except FileNotFoundError:
+                return True
+            cur_dv, prev_dv = m.get("dv", {}), pm.get("dv", {})
+            changed = any(
+                sorted(cur_dv.get(f, [])) != sorted(prev_dv.get(f, []))
+                for f in tset
+            )
+            if changed and set(m["files"]) - set(pm.get("files", [])):
+                return True
+        return False
+
     # -- data files --------------------------------------------------------
 
     def _write_files(self, df: DataFrame, partition_by: list[str] | None) -> list[str]:
@@ -2075,13 +2110,25 @@ class ManifestTable:
                 for f in touched
             ):
                 # a concurrent DV commit landed on a touched file since
-                # the read: the two deletes still COMMUTE (position sets
-                # union below), but this commit's precomputed change rows
-                # may double-count rows the other writer already
-                # tombstoned — drop the cdc staging and let CDF readers
-                # derive this version's delta from the DV diff instead
-                # (correct by construction). cdc is an optimization,
-                # never a correctness dependency.
+                # the read. Two PURE deletes commute (position sets union
+                # below) — but an UPDATE-class commit (DVs + added
+                # postimage files in one commit) does NOT: this delete
+                # matched the OLD row address only; committing over the
+                # update would tombstone the stale position while the
+                # postimage row — which the condition also matches —
+                # survives in the new file (resurrection write-skew).
+                if self._dv_racing_adds(read_version, base, touched):
+                    raise ConcurrentWriteConflict(
+                        "delete: a concurrent update/merge both tombstoned "
+                        "rows in a touched file and appended replacement "
+                        "rows; re-derive against the new snapshot"
+                    )
+                # pure-delete race: still commutes, but this commit's
+                # precomputed change rows may double-count rows the other
+                # writer already tombstoned — drop the cdc staging and let
+                # CDF readers derive this version's delta from the DV diff
+                # instead (correct by construction). cdc is an
+                # optimization, never a correctness dependency.
                 self._staged_cdc = self._UNSET
             for f in touched:
                 dv[f] = dv.get(f, []) + dv_files

@@ -329,3 +329,35 @@ def test_update_where_concurrent_delete_rederives(spark, tmp_path):
     assert _ms(
         [r for r in got if r["k"] == 2 and r["_commit_version"] > 1]
     ) == [(2, "v2", "d0", "delete")]
+
+
+def test_delete_racing_update_conflicts_never_resurrects(spark, tmp_path):
+    """Write-skew guard: an update-class commit (DV + postimage append)
+    landing between a delete's read and its publish must CONFLICT the
+    delete — committing would tombstone only the stale address while the
+    postimage row (which the condition also matches) survives. Pure
+    delete∘delete still commutes (separate test above)."""
+    from ecommerce_analytics_platform_spark.sources.manifest import (
+        ConcurrentWriteConflict,
+    )
+
+    t1 = _mk(spark, tmp_path / "t")
+    t2 = ManifestTable(spark, t1.path)
+    orig = t1._publish
+    fired = []
+
+    def racy(self, apply_fn):
+        if not fired:
+            fired.append(1)
+            t2.update_where("k = 2", set={"v": "'GHOST'"})
+        return orig(apply_fn)
+
+    t1._publish = types.MethodType(racy, t1)
+    with pytest.raises(ConcurrentWriteConflict, match="update/merge"):
+        t1.delete_where(F.col("k") == 2)
+    assert fired
+    # the update's postimage is intact (the delete landed NOTHING) ...
+    assert [r.v for r in t1.read().filter("k = 2").collect()] == ["GHOST"]
+    # ... and the caller-side retry re-derives and kills it for real
+    t1.delete_where(F.col("k") == 2)
+    assert t1.read().filter("k = 2").count() == 0

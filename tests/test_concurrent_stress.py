@@ -157,3 +157,74 @@ def test_racing_same_partition_replaces_one_wins_rest_abort(spark, tmp_path, mk_
     assert v == f"W{k - 100}" and (k - 100) in winners
     # untouched partition survived every interleaving
     assert mk_table(path).read().filter("d = 'd1'").count() == 1
+
+
+def test_racing_updates_same_row_lose_no_increment(spark, tmp_path, mk_table):
+    """The classic lost-update probe on update_where: N writers each
+    apply `n = n + 1` to the SAME row. Every increment must land —
+    the OCC loop re-derives from the new snapshot after a conflict, so
+    a stale postimage can never overwrite a concurrent one — and the
+    version chain stays contiguous with every snapshot reconstructible."""
+    path = str(tmp_path / "t")
+    mk_table(path).overwrite(spark.createDataFrame([(0, 0)], ["k", "n"]))
+    n_writers, n_each = 4, 2
+
+    def writer(_w):
+        t = mk_table(path)
+        for _ in range(n_each):
+            for _try in range(20):  # outer retry: internal loop is bounded
+                try:
+                    t.update_where("k = 0", set={"n": "n + 1"})
+                    break
+                except ConcurrentWriteConflict:
+                    continue
+            else:
+                raise AssertionError("update never landed")
+
+    with ThreadPoolExecutor(n_writers) as ex:
+        list(ex.map(writer, range(n_writers)))
+
+    t = mk_table(path)
+    rows = [(r.k, r.n) for r in t.read().collect()]
+    assert rows == [(0, n_writers * n_each)]  # no increment lost
+    for v in t._versions():
+        assert t._read_manifest(v)["files"] is not None
+
+
+def test_racing_update_vs_delete_never_resurrects(spark, tmp_path, mk_table):
+    """update_where racing delete_where on the same row: every
+    serializable order ends with the row GONE (update-then-delete kills
+    the postimage; delete-then-update matches nothing). The update's
+    postimage must never survive the delete."""
+    path = str(tmp_path / "t")
+    mk_table(path).overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    )
+
+    def upd():
+        t = mk_table(path)
+        for _try in range(20):
+            try:
+                t.update_where("k = 1", set={"v": "'GHOST'"})
+                return
+            except ConcurrentWriteConflict:
+                continue
+
+    def dele():
+        t = mk_table(path)
+        for _try in range(20):
+            try:
+                t.delete_where("k = 1")
+                return
+            except ConcurrentWriteConflict:
+                continue
+
+    with ThreadPoolExecutor(2) as ex:
+        f1, f2 = ex.submit(upd), ex.submit(dele)
+        f1.result(), f2.result()
+
+    t = mk_table(path)
+    got = {(r.k, r.v) for r in t.read().collect()}
+    # delete-then-update leaves {(2,b)}; update-then-delete the same —
+    # either way k=1 is gone and GHOST never survives
+    assert got == {(2, "b")}
