@@ -1899,19 +1899,49 @@ class ManifestTable:
         txn set carries FORWARD from the current snapshot (not the
         restored one): exactly-once dedup must remember every delivery
         that ever committed, or a replayed batch would re-append after a
-        restore."""
+        restore.
+
+        Everything ELSE restores WITH the data (Delta RESTORE semantics):
+        declared schema, stats/bloom/cluster/constraint/generated config,
+        and the target files' per-file stats + file_meta (the current
+        snapshot dropped those maps when the files left it — without
+        re-staging them a restore would silently lose file skipping and
+        metadata-only maintenance planning). In particular a CHECK
+        constraint added AFTER the target does NOT survive a restore to
+        before it: it never validated the restored rows, and keeping it
+        would poison every future rewrite of files holding a violation
+        (the check raises inside compaction's write job, forever)."""
         target = self._read_manifest(version)
-        return self._publish(
-            lambda _base, m: (
-                list(target["files"]),
-                self._base_txns(m),
-                None,
-                # restore the TARGET's deletion vectors, not the current
-                # ones pruned: the restored snapshot's logical content is
-                # the target's (files minus its DVs)
-                dict(target.get("dv", {})),
+        self._pending_stats_columns = target.get("stats_columns") or None
+        self._pending_bloom = target.get("bloom") or None
+        self._pending_cluster = target.get("cluster_by") or None
+        self._pending_constraints = target.get("constraints") or None
+        self._pending_generated = target.get("generated") or None
+        self._staged_stats.update(target.get("stats", {}))
+        self._staged_file_meta.update(target.get("file_meta", {}))
+        try:
+            return self._publish(
+                lambda _base, m: (
+                    list(target["files"]),
+                    self._base_txns(m),
+                    # the target's declared schema (None for legacy
+                    # targets → current schema carries forward)
+                    target.get("schema"),
+                    # restore the TARGET's deletion vectors, not the
+                    # current ones pruned: the restored snapshot's logical
+                    # content is the target's (files minus its DVs)
+                    dict(target.get("dv", {})),
+                )
             )
-        )
+        finally:
+            for a in (
+                "_pending_stats_columns",
+                "_pending_bloom",
+                "_pending_cluster",
+                "_pending_constraints",
+                "_pending_generated",
+            ):
+                setattr(self, a, self._UNSET)
 
     @staticmethod
     def _prune_by_partition_values(

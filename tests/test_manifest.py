@@ -490,3 +490,40 @@ def test_generated_columns_materialize_enforce_and_recompute(spark, tmp_path):
     t2b.set_generated_columns({"b": "a * 2"})  # consistent -> accepted
     t2b.append(spark.createDataFrame([(5,)], ["a"]))  # b materialized
     assert {(r.a, r.b) for r in t2b.read().collect()} == {(1, 2), (5, 10)}
+
+
+def test_restore_restores_metadata_with_data(spark, tmp_path):
+    """RESTORE brings back the target's METADATA alongside its files:
+    per-file stats/file_meta (the current snapshot dropped them when the
+    files left it), declared schema, and table config. A CHECK
+    constraint added AFTER the target does not survive a restore to
+    before it — it never validated the restored rows, and keeping it
+    would fail every future rewrite of a violating file."""
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    t.overwrite(
+        spark.range(-1, 99).selectExpr("id as k", "'old' as v"),
+        cluster_by=["k"],
+        num_files=4,
+    )  # v2: includes k=-1, clustered, stats collected
+    v_data = t.latest_version()
+    stats_then = t._read_manifest(v_data)["stats"]
+    t.overwrite(spark.range(100).selectExpr("id as k", "'new' as v"))  # v3
+    t.add_check_constraint("k_pos", "k >= 0")  # v4: validates v3 only
+    v5 = t.restore(v_data)
+    # the constraint is gone (it never validated k=-1)...
+    assert t.check_constraints() == {}
+    # ...so a rewrite of the restored files cannot fail on it
+    t.materialize_deletes(t._read_manifest(v5)["files"][:1])
+    # per-file stats came back with the files: pruning works post-restore
+    m5 = t._read_manifest(v5)
+    assert all(m5["stats"][f] == stats_then[f] for f in m5["files"]
+               if f in stats_then)
+    one = t.read(stats_predicates=[("k", "=", 50)])
+    assert len(one.inputFiles()) < 4
+    assert {r.v for r in t.read().collect()} == {"old"}
+    assert t.read().count() == 100
+    # file_meta restored too: maintenance plans from metadata alone
+    assert set(m5.get("file_meta", {})) >= set(m5["files"])
