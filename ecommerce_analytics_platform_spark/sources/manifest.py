@@ -1707,7 +1707,7 @@ class ManifestTable:
         reclaims them.)"""
         self._check_partition_layout(partition_by)
         staged: list[list[str]] = []
-        aligned, union = self._evolved(df)
+        aligned, union = self._evolved(self._with_generated(df))
 
         def apply(base, m):
             if m and txn_id in m.get("txns", []):

@@ -490,6 +490,9 @@ def test_generated_columns_materialize_enforce_and_recompute(spark, tmp_path):
     t2b.set_generated_columns({"b": "a * 2"})  # consistent -> accepted
     t2b.append(spark.createDataFrame([(5,)], ["a"]))  # b materialized
     assert {(r.a, r.b) for r in t2b.read().collect()} == {(1, 2), (5, 10)}
+    # the exactly-once sink path materializes too
+    t2b.append_once(spark.createDataFrame([(7,)], ["a"]), txn_id="g1")
+    assert (7, 14) in {(r.a, r.b) for r in t2b.read().collect()}
 
 
 def test_restore_restores_metadata_with_data(spark, tmp_path):
