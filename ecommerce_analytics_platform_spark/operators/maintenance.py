@@ -230,6 +230,35 @@ def maintenance_plan(
                 {"op": "bloom_backfill", "files": sorted(unindexed),
                  "base_version": v}
             )
+
+    # 5) per-file stats backfill: files written before set_stats_columns
+    # (or an expanded config) carry no min/max and are conservatively
+    # scanned by every stats predicate — one distributed column-pruned
+    # scan + one metadata-only commit (ManifestTable.backfill_stats)
+    # makes file skipping cover the whole table (the ALTER-then-ANALYZE
+    # onboarding shape). Files this plan already rewrites are skipped —
+    # their rewrite re-collects. Detection needs the stats map's KEYS,
+    # so stats-configured tables re-include the stats column in the
+    # snapshot load here; unconfigured tables keep the narrow load.
+    sc = m.get("stats_columns") or []
+    if sc:
+        stats_map = table._read_manifest(v, columns=("stats",)).get("stats", {})
+        rewritten = {
+            f
+            for s in plan
+            if s["op"] in ("materialize_deletes", "compact")
+            for f in s.get("files", [])
+        }
+        unstamped = sorted(
+            f
+            for f in files
+            if f not in rewritten
+            and any(c not in stats_map.get(f, {}) for c in sc)
+        )
+        if unstamped:
+            plan.append(
+                {"op": "stats_backfill", "files": unstamped, "base_version": v}
+            )
     return plan
 
 
@@ -313,6 +342,12 @@ def apply_maintenance(
             # deleted) base-version files the step was planned from
             done = table.backfill_blooms()
             results.append({"op": "bloom_backfill", "files_indexed": len(done)})
+        elif step["op"] == "stats_backfill":
+            # latest snapshot + idempotent by coverage, like the other
+            # backfills: files rewritten earlier in this plan already
+            # re-collected, the rest stamp once
+            done = table.backfill_stats()
+            results.append({"op": "stats_backfill", "files_stamped": len(done)})
         else:  # pragma: no cover - plans are produced by maintenance_plan
             raise ValueError(f"unknown maintenance op {step['op']!r}")
     return results

@@ -1250,6 +1250,52 @@ class ManifestTable:
         )
         return missing
 
+    @_labeled("stamp_stats")
+    def backfill_stats(self, chunk: int = 4096) -> list[str]:
+        """Collect per-file min/max column stats for snapshot files that
+        predate the ``set_stats_columns`` config (or an expanded one) —
+        file skipping on an EXISTING table without rewriting a byte (the
+        ALTER-then-ANALYZE onboarding shape; completes the backfill
+        family next to :meth:`backfill_blooms` / :meth:`backfill_file_meta`).
+        One DISTRIBUTED column-pruned scan per ``chunk`` files (cost ∝
+        stats columns' bytes, not table width), ONE metadata-only commit.
+        Idempotent: files already carrying stats for every configured
+        column are skipped; returns the files stamped. A configured
+        column absent from a legacy file's footer stats as [None, None]
+        — the conservative-keep value pruning already honors."""
+        v = self.latest_version()
+        if v is None:
+            return []
+        cols = self.stats_columns(v)
+        if not cols:
+            return []
+        m = self._read_manifest(v)
+        stats = m.get("stats", {})
+        missing = [
+            f
+            for f in m["files"]
+            if any(c not in stats.get(f, {}) for c in cols)
+        ]
+        if not missing:
+            return []
+        for i in range(0, len(missing), chunk):
+            part = missing[i : i + chunk]
+            got = self._collect_stats(part, cols)
+            # explicit [None, None] for columns a legacy file lacks (or
+            # zero-row files the agg never saw): conservative-keep at
+            # prune time AND a coverage marker, so detection converges
+            # instead of re-flagging the same files every pass
+            for f in part:
+                st = got.setdefault(f, {})
+                existing = stats.get(f, {})
+                for c in cols:
+                    st.setdefault(c, existing.get(c, [None, None]))
+            self._staged_stats.update(got)
+        self._publish(
+            lambda _b, mm: (list(mm["files"]) if mm else [], self._base_txns(mm))
+        )
+        return missing
+
     # DV merges collect the batch's distinct keys driver-side to probe
     # Bloom sidecars only when the batch is point-update-sized; bigger
     # batches skip pruning (they'd touch most files anyway)

@@ -363,3 +363,59 @@ def test_delete_update_where_prune_scan_by_stats(spark, tmp_path):
     # exactly one file was tombstoned by the update
     m = t._read_manifest(v)
     assert len([f for f, d in m.get("dv", {}).items() if d]) <= 2
+
+
+def test_backfill_stats_onboards_legacy_files(spark, tmp_path):
+    """backfill_stats (ALTER-then-ANALYZE onboarding): files written
+    BEFORE set_stats_columns gain per-file min/max through one
+    distributed scan + one metadata-only commit — file skipping then
+    covers the whole table without rewriting a byte. A configured column
+    a legacy file lacks stamps [None, None] (conservative keep AND a
+    coverage marker, so detection converges). Idempotent."""
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(_clustered(spark, n=400))  # v1: NO stats config yet
+    t.set_stats_columns(["k", "zz"])  # zz never written anywhere
+    t.append(_clustered(spark, n=100).withColumn("k", F.col("k") + 1000))
+    m = _manifest(tmp_path / "t", t.latest_version())
+    legacy = [f for f in m["files"] if f not in m.get("stats", {})]
+    assert legacy  # v1's files carry no stats
+    stamped = t.backfill_stats()
+    # all legacy files stamp; the appended files stamp too (they carry
+    # "k" but lack the configured-but-never-written "zz")
+    assert set(stamped) >= set(legacy)
+    m2 = _manifest(tmp_path / "t", t.latest_version())
+    assert set(m2["stats"]) == set(m2["files"])
+    # legacy files now prune: a predicate on the NEW range excludes them
+    r = t.read(stats_predicates=[("k", ">=", 1000)])
+    kept = {os.path.relpath(p.replace("file:", ""), str(tmp_path / "t"))
+            for p in r.inputFiles()}
+    assert not (set(legacy) & kept)
+    assert r.filter("k >= 1000").count() == 100
+    # full-range reads still see everything (stats are a pruning aid)
+    assert t.read(stats_predicates=[("k", ">=", 0)]).count() == 500
+    # the never-written column stamped [None, None] on every file
+    assert all(s.get("zz") == [None, None] for s in m2["stats"].values())
+    # converged: a second call is a no-op commit-free pass
+    v = t.latest_version()
+    assert t.backfill_stats() == []
+    assert t.latest_version() == v
+
+
+def test_maintenance_plans_stats_backfill_and_converges(spark, tmp_path):
+    """maintenance_plan flags unstamped files once stats_columns is
+    configured; apply runs backfill_stats; the next plan is empty."""
+    from ecommerce_analytics_platform_spark.operators.maintenance import (
+        apply_maintenance,
+        maintenance_plan,
+    )
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.overwrite(_clustered(spark, n=200))  # pre-config files
+    t.set_stats_columns(["k"])
+    plan = maintenance_plan(t, small_file_bytes=1, keep_versions=10)
+    ops = [s["op"] for s in plan]
+    assert ops == ["stats_backfill"]
+    res = apply_maintenance(t, plan)
+    assert res[0]["op"] == "stats_backfill" and res[0]["files_stamped"] == 4
+    assert maintenance_plan(t, small_file_bytes=1, keep_versions=10) == []
+    assert len(t.read(stats_predicates=[("k", "=", 5)]).inputFiles()) == 1
