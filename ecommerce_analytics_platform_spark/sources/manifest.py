@@ -778,7 +778,8 @@ class ManifestTable:
         never holds it). SQL CHECK semantics: NULL passes; only FALSE
         violates."""
         chk = F.expr(expr)
-        if self.latest_version() is not None:
+        v0 = self.latest_version()
+        if v0 is not None and self._read_manifest(v0)["files"]:
             bad = (
                 self.read()
                 .where(~F.coalesce(chk, F.lit(True)))
@@ -867,7 +868,9 @@ class ManifestTable:
         with the expression on every live row (one bounded scan) —
         declare generated columns before first data for the onboarding
         path. ``None``/``{}`` clears the config."""
-        if mapping and self.latest_version() is not None:
+        v0 = self.latest_version()
+        has_rows = v0 is not None and bool(self._read_manifest(v0)["files"])
+        if mapping and has_rows:
             sch = self.declared_schema()
             names = {f.name for f in sch.fields} if sch else set()
             for g, e in mapping.items():
@@ -2940,6 +2943,16 @@ class ManifestTable:
             dest._pending_stats_columns = list(m["stats_columns"])
         if m.get("bloom"):
             dest._pending_bloom = dict(m["bloom"])
+        # the declarative config clones too — a copy that silently
+        # dropped its CHECK constraints / generated columns / clustering
+        # would accept writes the source never would (same metadata-
+        # travels-with-data rule as restore)
+        if m.get("cluster_by"):
+            dest._pending_cluster = list(m["cluster_by"])
+        if m.get("constraints"):
+            dest._pending_constraints = dict(m["constraints"])
+        if m.get("generated"):
+            dest._pending_generated = dict(m["generated"])
         dest._pending_op = "clone"
         try:
             dest._publish(
@@ -2953,6 +2966,9 @@ class ManifestTable:
         finally:
             dest._pending_stats_columns = dest._UNSET
             dest._pending_bloom = dest._UNSET
+            dest._pending_cluster = dest._UNSET
+            dest._pending_constraints = dest._UNSET
+            dest._pending_generated = dest._UNSET
             dest._pending_op = None
         return dest
 

@@ -530,3 +530,30 @@ def test_restore_restores_metadata_with_data(spark, tmp_path):
     assert t.read().count() == 100
     # file_meta restored too: maintenance plans from metadata alone
     assert set(m5.get("file_meta", {})) >= set(m5["files"])
+
+
+def test_clone_carries_declarative_config(spark, tmp_path):
+    """clone_to copies the table's declarative config with the data: a
+    clone that silently dropped CHECK constraints / generated columns /
+    clustering would accept writes the source never would."""
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "src"))
+    t.set_cluster_by(["k"])
+    t.add_check_constraint("k_pos", "k >= 0")
+    t.set_generated_columns({"d": "cast(k % 2 as string)"})
+    t.append(spark.createDataFrame([(1,), (2,)], ["k"]))
+    c = t.clone_to(str(tmp_path / "dst"))
+    assert c.cluster_config() == ["k"]
+    assert c.check_constraints() == {"k_pos": "k >= 0"}
+    assert c.generated_columns() == {"d": "cast(k % 2 as string)"}
+    # the clone ENFORCES: a violating append fails, a lacking column
+    # materializes
+    with pytest.raises(Exception, match="k_pos"):
+        c.append(spark.createDataFrame([(-5,)], ["k"]))
+    c.append(spark.createDataFrame([(7,)], ["k"]))
+    assert {(r.k, r.d) for r in c.read().collect()} == {
+        (1, "1"), (2, "0"), (7, "1")
+    }
+    # and the source is untouched by the clone's writes
+    assert t.read().count() == 2
