@@ -3108,9 +3108,17 @@ class ManifestTable:
         keep_versions: int = 1,
         tmp_grace_sec: float = 3600.0,
         protect_versions_from=None,
+        keep_hours: float | None = None,
     ) -> int:
         """Delete data files unreferenced by the newest ``keep_versions``
         manifests (and drop older manifests). Returns files removed.
+
+        ``keep_hours`` (Delta's time-based retention): additionally
+        retain every version committed within the last ``keep_hours``
+        hours — an AGE floor composed with the count floor and the
+        consumer anchors (retention only ever widens), so "keep 7 days"
+        holds regardless of commit rate. Versions without a recorded ts
+        (pre-r6 manifests) count as old.
 
         Also reclaims ``*.tmp`` manifest files older than
         ``tmp_grace_sec``: a writer crashing between ``os.link`` and
@@ -3149,6 +3157,17 @@ class ManifestTable:
         if not vs:
             return 0
         floor = vs[-keep_versions:][0]
+        if keep_hours is not None:
+            cutoff = now - keep_hours * 3600.0
+            aged = [
+                v
+                for v in vs
+                # raw doc read — ts rides every delta doc, no
+                # reconstruction (same walk as version_at)
+                if self._read_doc(v).get("ts", float("-inf")) >= cutoff
+            ]
+            if aged:
+                floor = min(floor, aged[0])
         if protect_versions_from:
             from ecommerce_analytics_platform_spark.sources.cdf_stream import (
                 consumer_floor,

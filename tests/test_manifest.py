@@ -557,3 +557,37 @@ def test_clone_carries_declarative_config(spark, tmp_path):
     }
     # and the source is untouched by the clone's writes
     assert t.read().count() == 2
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """vacuum(keep_hours=): versions committed within the window are
+    retained even when keep_versions alone would drop them (Delta's
+    time-based retention — an AGE floor that composes with the count
+    floor; retention only widens)."""
+    import json as _json
+
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], ["k"]).coalesce(1))
+    # age versions 1-3: stamp their doc ts 10 days back
+    for v in (1, 2, 3):
+        p = os.path.join(t.manifest_dir, f"v{v}.json")
+        doc = _json.load(open(p))
+        doc["ts"] = doc["ts"] - 10 * 86400
+        with open(p, "w") as fh:
+            fh.write(_json.dumps(doc))
+    t._snap_cache.clear()
+    # all versions young -> keep_hours retains everything despite
+    # keep_versions=1
+    t2 = ManifestTable(spark, str(tmp_path / "t2"))
+    for i in range(3):
+        t2.append(spark.createDataFrame([(i,)], ["k"]).coalesce(1))
+    assert t2.vacuum(keep_versions=1, keep_hours=24) == 0
+    assert t2._versions() == [1, 2, 3]
+    # aged v1-3 drop; young v4-5 retained beyond the count floor
+    t.vacuum(keep_versions=1, keep_hours=24, tmp_grace_sec=0.0)
+    assert t._versions() == [4, 5]
+    assert t.read().count() == 5  # latest snapshot intact
+    assert t.read(version=4).count() == 4  # young version still readable
