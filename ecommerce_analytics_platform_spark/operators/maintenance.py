@@ -72,6 +72,7 @@ def maintenance_plan(
     dv_ratio: float = 0.10,
     keep_versions: int = 3,
     protect_versions_from: list | None = None,
+    keep_hours: float | None = None,
 ) -> list[dict]:
     """The maintenance steps the table currently needs, from metadata
     only. Ordered: DV fold-ins, then per-partition compactions, then (at
@@ -183,6 +184,10 @@ def maintenance_plan(
         step: dict = {"op": "vacuum", "keep_versions": keep_versions}
         if protect_versions_from:
             step["protect_versions_from"] = list(protect_versions_from)
+        if keep_hours is not None:
+            # time-based retention rides the step (ManifestTable.vacuum
+            # composes it as an age floor — retention only widens)
+            step["keep_hours"] = keep_hours
         plan.append(step)
 
     # 4) Bloom sidecar backfill: files written before set_bloom_columns
@@ -334,6 +339,7 @@ def apply_maintenance(
             removed = table.vacuum(
                 keep_versions=step["keep_versions"],
                 protect_versions_from=step.get("protect_versions_from"),
+                keep_hours=step.get("keep_hours"),
             )
             results.append({"op": "vacuum", "files_removed": removed})
         elif step["op"] == "bloom_backfill":
