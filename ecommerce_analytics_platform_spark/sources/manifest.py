@@ -1253,6 +1253,40 @@ class ManifestTable:
         )
         return missing
 
+    def detail(self, version: int | None = None) -> dict:
+        """DESCRIBE DETAIL: one metadata-only summary dict of the table
+        at ``version`` (default latest) — location, file/byte/row
+        counts (from the manifest's file_meta inventory; None when a
+        legacy file predates it), partition/cluster/stats/bloom/
+        constraint/generated config, DV and CDC presence, txn count.
+        Zero filesystem calls beyond the manifest read."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed manifest under {self.path}")
+        m = self._read_manifest(v)
+        meta = m.get("file_meta", {})
+        covered = [f for f in m["files"] if f in meta]
+        full = len(covered) == len(m["files"])
+        return {
+            "location": self.path,
+            "version": v,
+            "ts": m.get("ts"),
+            "num_files": len(m["files"]),
+            "size_bytes": sum(meta[f][0] for f in covered) if full else None,
+            "num_rows": sum(meta[f][1] for f in covered) if full else None,
+            "partition_columns": self.partition_columns(v),
+            "cluster_by": m.get("cluster_by") or [],
+            "stats_columns": m.get("stats_columns") or [],
+            "bloom_columns": (m.get("bloom") or {}).get("columns", []),
+            "constraints": dict(m.get("constraints") or {}),
+            "generated_columns": dict(m.get("generated") or {}),
+            "num_deletion_vector_files": sum(
+                len(lst) for lst in m.get("dv", {}).values()
+            ),
+            "has_change_files": bool(m.get("cdc")),
+            "num_txns": len(m.get("txns", [])),
+        }
+
     @_labeled("stamp_stats")
     def backfill_stats(self, chunk: int = 4096) -> list[str]:
         """Collect per-file min/max column stats for snapshot files that

@@ -591,3 +591,31 @@ def test_vacuum_time_based_retention(spark, tmp_path):
     assert t._versions() == [4, 5]
     assert t.read().count() == 5  # latest snapshot intact
     assert t.read(version=4).count() == 4  # young version still readable
+
+
+def test_detail_summarizes_table_metadata_only(spark, tmp_path):
+    """DESCRIBE DETAIL: one dict from the manifest alone — counts from
+    the file_meta inventory, full declarative config, DV/cdc presence."""
+    from ecommerce_analytics_platform_spark.sources.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(["k"])
+    t.set_cluster_by(["k"])
+    t.add_check_constraint("k_pos", "k >= 0")
+    t.append(
+        spark.createDataFrame([(i, f"d{i % 2}") for i in range(10)], ["k", "d"]),
+        partition_by=["d"],
+    )
+    t.delete_where("k = 3")
+    d = t.detail()
+    assert d["version"] == t.latest_version()
+    assert d["num_files"] >= 2 and d["num_rows"] == 10  # physical rows
+    assert d["size_bytes"] > 0
+    assert d["partition_columns"] == ["d"]
+    assert d["cluster_by"] == ["k"] and d["stats_columns"] == ["k"]
+    assert d["constraints"] == {"k_pos": "k >= 0"}
+    assert d["num_deletion_vector_files"] >= 1
+    assert d["has_change_files"] is True  # delete persisted cdc
+    # time travel: the pre-delete version shows no DVs
+    d0 = t.detail(version=d["version"] - 1)
+    assert d0["num_deletion_vector_files"] == 0
