@@ -112,6 +112,21 @@ _NET_REVENUE_SQL = (
 )
 
 
+# Per-session memo of table-scan PLANS (never data): constructing
+# ``spark.read.parquet(path)`` costs ~100 ms of py4j + footer/schema
+# inference per call (measured r14, guide §1) and the registry pays it
+# 1-3× per query × 145 queries. A DataFrame is an immutable logical
+# plan — reusing it across queries is catalog-style plan reuse; every
+# action still computes from the parquet files (no .cache(), no result
+# reuse). Keyed weakly on the session so test sessions release their
+# entries on stop.
+import weakref as _weakref
+
+_T_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
@@ -127,6 +142,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark while the DuckDB oracle is tz-naive (SURVEY §7 watch-list).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    per_session = _T_MEMO.setdefault(spark, {})
+    df = per_session.get((sf_dir, name))
+    if df is not None:
+        return df
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -135,8 +154,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type != "timestamp":  # timestamp_ntz (micros, no tz)
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    per_session[(sf_dir, name)] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -1539,6 +1560,10 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image_features,
     )
 
+    # no fan_out: the tiny-PPM codec work is lighter than the per-task
+    # Python-worker overhead of a wider fan (measured r14: 0.43-0.48 s at
+    # 1-8 tasks vs 1.34 s at 32 — two chained mapInPandas double the
+    # worker population); a cluster-scale scan parallelizes by splits
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
@@ -1575,6 +1600,9 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     and DuckDB predicts duration/energy arithmetically."""
     from ecommerce_analytics_platform_spark.functions.multimodal import audio_features
 
+    # no fan_out: constant-PCM WAV codec work is lighter than the
+    # per-task Python overhead of a wide fan (same measurement as
+    # image_features, r14)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
@@ -1657,7 +1685,14 @@ def q_video_frames_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_video_frames,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # fan_out with python_depth=3: GIF LZW encode + frame decode + PPM
+    # re-encode are three CHAINED mapInPandas in one stage — each task
+    # holds 3 live Python workers, so the fan targets cores/3 to keep
+    # the worker population ≈ cores (measured r14: 2.18 s at 1 task,
+    # 0.84 s at 8, 3.68 s at 32 on local[32]; guide §4)
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id"), python_depth=3
+    )
 
     def gen(batches):
         import numpy as np
@@ -1736,7 +1771,9 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py::test_jpeg_roundtrip_tolerances bounds the
     same at ≤1 for constant RGB). A codec regression flips the booleans
     and fails the hash."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # fan_out: the DCT/Huffman round trip is the heaviest per-row Python
+    # work in the registry — parallelize the local single-task scan
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def rt(batches):
         import numpy as np

@@ -100,7 +100,51 @@ def get_spark(
     return spark
 
 
-def fan_out(df, min_rows: int = 0):
+def _scan_split_estimate(df) -> int | None:
+    """Estimate the SCAN partition count of a file-backed DataFrame from
+    its leaf files' sizes using Spark's own split-packing math
+    (FilePartition: maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    (total + files*openCost) / defaultParallelism))) — without the
+    ~40 ms-per-call plan→RDD translation ``df.rdd.getNumPartitions()``
+    pays on the driver (measured r14, guide §1). Returns None when the
+    files are not local-filesystem paths (let the caller fall back to
+    the exact RDD count)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file-backed plan
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            p = f[5:]
+            while p.startswith("//"):
+                p = p[1:]
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                return None
+        elif f.startswith("/"):
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                return None
+        else:
+            return None  # remote FS: size not cheaply knowable here
+    spark = df.sparkSession
+    try:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    except (TypeError, ValueError):  # "128m"-style values: use exact path
+        return None
+    par = spark.sparkContext.defaultParallelism
+    padded = total + len(files) * open_cost
+    split = min(max_split, max(open_cost, padded // max(par, 1)))
+    return max(1, -(-padded // max(split, 1)))
+
+
+def fan_out(df, min_rows: int = 0, python_depth: int = 0):
     """Round-robin repartition to the session's parallelism — but ONLY when
     the scan produced fewer tasks than cores.
 
@@ -112,10 +156,23 @@ def fan_out(df, min_rows: int = 0):
     source already parallelizes. Use it in front of compute-heavy per-row
     work, after pruning to the needed columns (the exchange then moves
     only those).
+
+    ``python_depth``: number of CHAINED Python-eval operators
+    (mapInPandas/pandas UDF) the fanned stage will run. Each task holds
+    one live Python worker PER chained operator, so tasks × depth is the
+    concurrent-worker count; fanning a depth-3 pipeline to the full core
+    count triples the worker population past the cores and measured 4×
+    SLOWER than cores/depth (r14: gif pipeline 3.7 s at 32 tasks vs
+    0.84 s at 8 on local[32]). Scale-adaptively target
+    ``parallelism // depth`` so the worker population ≈ cores.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if python_depth > 1:
+        target = max(1, target // python_depth)
+    est = _scan_split_estimate(df)
+    n = est if est is not None else df.rdd.getNumPartitions()
+    if n >= target:
         return df
     return df.repartition(target)
 

@@ -470,17 +470,26 @@ def _col_hash_u64(col):
         import pandas as pd
 
         s = pc.fill_null(pc.cast(col, pa.string()), "\x00__null__")
-        return pd.util.hash_array(
+        ch = pd.util.hash_array(
             s.to_numpy(zero_copy_only=False), categorize=False
         ).astype(np.uint64)
+        # present-NULL must hash as _HASH_NULL, the same constant an
+        # ABSENT column hashes to in _file_bucket_hash — otherwise a
+        # string/decimal-only hash subset puts logically-equal rows from
+        # a pre-column file and a null-carrying file in different
+        # buckets and they fail to cancel (ADVICE r13 #1)
+        ch[pc.is_null(col).to_numpy(zero_copy_only=False)] = np.uint64(_HASH_NULL)
+        return ch
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         import pandas as pd
 
         # object array of bytes/None: pandas siphashes bytes directly
-        # and hashes None to a fixed value — deterministic per worker
-        return pd.util.hash_array(
+        ch = pd.util.hash_array(
             col.to_numpy(zero_copy_only=False), categorize=False
         ).astype(np.uint64)
+        # same ADVICE r13 #1 normalization as the string branch
+        ch[pc.is_null(col).to_numpy(zero_copy_only=False)] = np.uint64(_HASH_NULL)
+        return ch
     if pa.types.is_fixed_size_list(t):
         col = col.cast(pa.list_(t.value_type))
         t = col.type

@@ -2162,46 +2162,50 @@ class ManifestTable:
         # the matched rows feed TWO writes (the DV addresses and the
         # commit's change files) — cache so the pruned scan runs once
         hits_full = hits_full.persist()
-        hits = hits_full.select("__dv_file", "__dv_pos")
-        stage = os.path.join("_dv", uuid.uuid4().hex[:12])
-        os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
-        hits.write.parquet(os.path.join(self.path, stage))
-        dv_files = [
-            os.path.join(stage, fn)
-            for fn in os.listdir(os.path.join(self.path, stage))
-            if fn.endswith(".parquet")
-        ]
-        touched = sorted(
-            r["__dv_file"]  # attribute access would name-mangle in-class
-            for r in self.spark.read.schema(self._DV_SCHEMA)
-            .parquet(*[os.path.join(self.path, d) for d in dv_files])
-            .select("__dv_file")
-            .distinct()
-            .collect()
-        ) if dv_files else []
-        if not touched:
+        # try/finally: an exception from the DV write or _write_cdc must
+        # not leak the cached blocks for the session's lifetime
+        # (ADVICE r13 #4); unpersist is idempotent on the early return
+        try:
+            hits = hits_full.select("__dv_file", "__dv_pos")
+            stage = os.path.join("_dv", uuid.uuid4().hex[:12])
+            os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
+            hits.write.parquet(os.path.join(self.path, stage))
+            dv_files = [
+                os.path.join(stage, fn)
+                for fn in os.listdir(os.path.join(self.path, stage))
+                if fn.endswith(".parquet")
+            ]
+            touched = sorted(
+                r["__dv_file"]  # attribute access would name-mangle in-class
+                for r in self.spark.read.schema(self._DV_SCHEMA)
+                .parquet(*[os.path.join(self.path, d) for d in dv_files])
+                .select("__dv_file")
+                .distinct()
+                .collect()
+            ) if dv_files else []
+            if not touched:
+                # nothing matched: no-op commit (but still honor txn_id by
+                # recording it so a redelivery stays a no-op)
+                if txn_id is None:
+                    return read_version
+                return self._publish(
+                    lambda _b, m: None
+                    if (m and txn_id in m.get("txns", []))
+                    else (list(m["files"]) if m else [], [*self._base_txns(m), txn_id])
+                )
+            # write-side CDF: the matched rows ARE this commit's net change
+            # set — persist them once so CDF readers skip the DV-delta
+            # re-read entirely (O(changes), VERDICT r12 next #1)
+            data_cols = [
+                c for c in hits_full.columns if c not in ("__dv_file", "__dv_pos")
+            ]
+            cdc_files = self._write_cdc(
+                hits_full.select(*data_cols).withColumn(
+                    self.CDC_COL, F.lit("delete")
+                )
+            )
+        finally:
             hits_full.unpersist()
-            # nothing matched: no-op commit (but still honor txn_id by
-            # recording it so a redelivery stays a no-op)
-            if txn_id is None:
-                return read_version
-            return self._publish(
-                lambda _b, m: None
-                if (m and txn_id in m.get("txns", []))
-                else (list(m["files"]) if m else [], [*self._base_txns(m), txn_id])
-            )
-        # write-side CDF: the matched rows ARE this commit's net change
-        # set — persist them once so CDF readers skip the DV-delta
-        # re-read entirely (O(changes), VERDICT r12 next #1)
-        data_cols = [
-            c for c in hits_full.columns if c not in ("__dv_file", "__dv_pos")
-        ]
-        cdc_files = self._write_cdc(
-            hits_full.select(*data_cols).withColumn(
-                self.CDC_COL, F.lit("delete")
-            )
-        )
-        hits_full.unpersist()
 
         def apply(base, m):
             if txn_id is not None and m and txn_id in m.get("txns", []):
@@ -2335,64 +2339,68 @@ class ManifestTable:
             # the matched rows feed THREE writes (DV addresses, postimage
             # data files, cdc change files) — cache so the scan runs once
             hits_full = hits_full.persist()
-            stage = os.path.join("_dv", uuid.uuid4().hex[:12])
-            os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
-            hits_full.select("__dv_file", "__dv_pos").write.parquet(
-                os.path.join(self.path, stage)
-            )
-            dv_files = [
-                os.path.join(stage, fn)
-                for fn in os.listdir(os.path.join(self.path, stage))
-                if fn.endswith(".parquet")
-            ]
-            touched = sorted(
-                r["__dv_file"]
-                for r in self.spark.read.schema(self._DV_SCHEMA)
-                .parquet(*[os.path.join(self.path, d) for d in dv_files])
-                .select("__dv_file")
-                .distinct()
-                .collect()
-            ) if dv_files else []
-            if not touched:
-                hits_full.unpersist()
-                if txn_id is None:  # nothing matched: pure no-op
-                    return read_version
-                return self._publish(  # record the txn so redelivery no-ops
-                    lambda _b, m: None
-                    if (m and txn_id in m.get("txns", []))
-                    else (list(m["files"]) if m else [], [*self._base_txns(m), txn_id])
+            # try/finally: a CHECK-constraint violation in the postimage
+            # write (or any DV/cdc write failure) must not leak the
+            # cached blocks (ADVICE r13 #4)
+            try:
+                stage = os.path.join("_dv", uuid.uuid4().hex[:12])
+                os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
+                hits_full.select("__dv_file", "__dv_pos").write.parquet(
+                    os.path.join(self.path, stage)
                 )
-            data_cols = [
-                c for c in hits_full.columns if c not in ("__dv_file", "__dv_pos")
-            ]
-            pre = hits_full.select(*data_cols)
-            post = pre.select(
-                *[
-                    set_exprs[c].cast(pre.schema[c].dataType).alias(c)
-                    if c in set_exprs
-                    else F.col(c)
-                    for c in data_cols
+                dv_files = [
+                    os.path.join(stage, fn)
+                    for fn in os.listdir(os.path.join(self.path, stage))
+                    if fn.endswith(".parquet")
                 ]
-            )
-            # generated columns recompute from the POST-update row unless
-            # the SET clause assigned them explicitly (Delta semantics) —
-            # updating ts keeps a derived event_date consistent
-            for g, e in self.generated_columns(read_version).items():
-                if g not in set_exprs and g in data_cols:
-                    post = post.withColumn(
-                        g, F.expr(e).cast(post.schema[g].dataType)
+                touched = sorted(
+                    r["__dv_file"]
+                    for r in self.spark.read.schema(self._DV_SCHEMA)
+                    .parquet(*[os.path.join(self.path, d) for d in dv_files])
+                    .select("__dv_file")
+                    .distinct()
+                    .collect()
+                ) if dv_files else []
+                if not touched:
+                    if txn_id is None:  # nothing matched: pure no-op
+                        return read_version
+                    return self._publish(  # record the txn so redelivery no-ops
+                        lambda _b, m: None
+                        if (m and txn_id in m.get("txns", []))
+                        else (list(m["files"]) if m else [], [*self._base_txns(m), txn_id])
                     )
-            part_cols = self.partition_columns(read_version) or None
-            files_new = self._write_files(post, part_cols)
-            # write-side CDF: preimages out, postimages in — exactly the
-            # multiset a reader would derive from DV delta + added files
-            # (no cancellation between the two, matching the derivation)
-            cdc_files = self._write_cdc(
-                pre.withColumn(self.CDC_COL, F.lit("delete")).unionByName(
-                    post.withColumn(self.CDC_COL, F.lit("insert"))
+                data_cols = [
+                    c for c in hits_full.columns if c not in ("__dv_file", "__dv_pos")
+                ]
+                pre = hits_full.select(*data_cols)
+                post = pre.select(
+                    *[
+                        set_exprs[c].cast(pre.schema[c].dataType).alias(c)
+                        if c in set_exprs
+                        else F.col(c)
+                        for c in data_cols
+                    ]
                 )
-            )
-            hits_full.unpersist()
+                # generated columns recompute from the POST-update row unless
+                # the SET clause assigned them explicitly (Delta semantics) —
+                # updating ts keeps a derived event_date consistent
+                for g, e in self.generated_columns(read_version).items():
+                    if g not in set_exprs and g in data_cols:
+                        post = post.withColumn(
+                            g, F.expr(e).cast(post.schema[g].dataType)
+                        )
+                part_cols = self.partition_columns(read_version) or None
+                files_new = self._write_files(post, part_cols)
+                # write-side CDF: preimages out, postimages in — exactly the
+                # multiset a reader would derive from DV delta + added files
+                # (no cancellation between the two, matching the derivation)
+                cdc_files = self._write_cdc(
+                    pre.withColumn(self.CDC_COL, F.lit("delete")).unionByName(
+                        post.withColumn(self.CDC_COL, F.lit("insert"))
+                    )
+                )
+            finally:
+                hits_full.unpersist()
 
             def apply(base, m, _dv_at_read=dv_at_read, _touched=touched,
                       _dv_files=dv_files, _files_new=files_new):
@@ -2826,38 +2834,42 @@ class ManifestTable:
         # matched rows feed the DV addresses AND the commit's change
         # files — cache so the pruned scan runs once
         hits_full = hits_full.persist()
-        hits = hits_full.select("__dv_file", "__dv_pos")
-        stage = os.path.join("_dv", uuid.uuid4().hex[:12])
-        os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
-        hits.write.parquet(os.path.join(self.path, stage))
-        dv_files = [
-            os.path.join(stage, fn)
-            for fn in os.listdir(os.path.join(self.path, stage))
-            if fn.endswith(".parquet")
-        ]
-        touched = sorted(
-            r["__dv_file"]
-            for r in self.spark.read.schema(self._DV_SCHEMA)
-            .parquet(*[os.path.join(self.path, d) for d in dv_files])
-            .select("__dv_file")
-            .distinct()
-            .collect()
-        ) if dv_files else []
-        # write-side CDF: deletes = the tombstoned rows (aligned to the
-        # union schema, exactly what the DV-delta derivation would emit),
-        # inserts = the batch rows (same multiset as the added files).
-        # No cancellation between the two — the derived diff appends
-        # DV-delta deletes without cancelling against added-file inserts,
-        # and the cdc files must be bit-equal to it.
-        data_cols = [c for c in raw.columns]
-        cdc_files = self._write_cdc(
-            align_to_schema(hits_full.select(*data_cols), union)
-            .withColumn(self.CDC_COL, F.lit("delete"))
-            .unionByName(
-                aligned_batch.withColumn(self.CDC_COL, F.lit("insert"))
+        # try/finally: DV-write/cdc failures must not leak the cached
+        # blocks (ADVICE r13 #4)
+        try:
+            hits = hits_full.select("__dv_file", "__dv_pos")
+            stage = os.path.join("_dv", uuid.uuid4().hex[:12])
+            os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
+            hits.write.parquet(os.path.join(self.path, stage))
+            dv_files = [
+                os.path.join(stage, fn)
+                for fn in os.listdir(os.path.join(self.path, stage))
+                if fn.endswith(".parquet")
+            ]
+            touched = sorted(
+                r["__dv_file"]
+                for r in self.spark.read.schema(self._DV_SCHEMA)
+                .parquet(*[os.path.join(self.path, d) for d in dv_files])
+                .select("__dv_file")
+                .distinct()
+                .collect()
+            ) if dv_files else []
+            # write-side CDF: deletes = the tombstoned rows (aligned to the
+            # union schema, exactly what the DV-delta derivation would emit),
+            # inserts = the batch rows (same multiset as the added files).
+            # No cancellation between the two — the derived diff appends
+            # DV-delta deletes without cancelling against added-file inserts,
+            # and the cdc files must be bit-equal to it.
+            data_cols = [c for c in raw.columns]
+            cdc_files = self._write_cdc(
+                align_to_schema(hits_full.select(*data_cols), union)
+                .withColumn(self.CDC_COL, F.lit("delete"))
+                .unionByName(
+                    aligned_batch.withColumn(self.CDC_COL, F.lit("insert"))
+                )
             )
-        )
-        hits_full.unpersist()
+        finally:
+            hits_full.unpersist()
         files_new = self._write_files(aligned_batch, partition_by)
 
         # decoded allowed values per partition column, for the
