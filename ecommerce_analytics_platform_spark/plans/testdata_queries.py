@@ -1413,14 +1413,32 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     + 1.0 absolute vs the interpolated exact). Tight bounds are
     additionally pytest-asserted in tests/test_registry.py."""
     ev = _t(spark, sf_dir, "events")
-    g = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx_users"),
+    # The distinct-count aggregates and the percentile aggregates are
+    # SPLIT into two aggregations joined on event_type: mixing
+    # countDistinct with percentile buffers in one agg forces an Expand
+    # whose (event_type, user_id) key count pushes ObjectHashAggregate
+    # past its 128-key sort-based fallback, dragging every percentile
+    # buffer through sort/serialization (measured r14: 3.25 s fused vs
+    # 0.65 s split at sf0.1 — guide §1.2 "per-task work"). Exact columns
+    # are bit-identical; approx_count_distinct over the deduped pairs is
+    # the same HLL (duplicate-insensitive); __q's summary merge order
+    # changes but only feeds the toleranced q_ok contract.
+    users = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx_users"),
+        )
+    )
+    vals = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9], 10_000).alias("__q"),
         F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50_exact"),
         F.round(F.percentile(F.col("value"), F.lit(0.9)), 4).alias("p90_exact"),
         F.count(F.lit(1)).alias("n"),
     )
+    g = users.join(vals, "event_type")
     tol = lambda a, e: F.abs(a - e) <= 0.05 * F.abs(e) + F.lit(1.0)  # noqa: E731
     return g.select(
         "event_type",
@@ -2078,14 +2096,23 @@ def _recall_check(
     algorithmic regression (not data growth) can trip them."""
     emb = _t(spark, sf_dir, "embeddings")
     exact = cosine_topk_blas(emb, emb, "vec_id", "vec_id", "embedding", k=k)
-    hits = approx.join(exact.select("qid", "cid"), ["qid", "cid"], "left_semi")
+    # ONE pass over `exact`: the old shape consumed it twice (semi-join +
+    # agg), recomputing the BLAS top-k — ~8-10 s of duplicated CPU per
+    # ANN query at sf0.1 (r14 stage profile). A left join from the exact
+    # side marks hits, then a single aggregate produces |exact|,
+    # |approx ∩ exact| and n_queries together. Both sides' (qid, cid)
+    # are unique top-k lists, so the hit count equals the old
+    # approx-side semi-join count row for row.
+    joined = exact.select("qid", "cid").join(
+        approx.select("qid", "cid").withColumn("__hit", F.lit(1)),
+        ["qid", "cid"],
+        "left",
+    )
     return (
-        hits.agg(F.count(F.lit(1)).alias("__n_hits"))
-        .crossJoin(
-            exact.agg(
-                F.count(F.lit(1)).alias("__n_exact"),
-                F.countDistinct("qid").alias("n_queries"),
-            )
+        joined.agg(
+            F.count(F.lit(1)).alias("__n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n_hits"),
+            F.countDistinct("qid").alias("n_queries"),
         )
         .select(
             F.lit(check).alias("check"),
