@@ -169,6 +169,13 @@ def basket_pairs(
         .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("items"))
         .filter(F.size("items") <= max_basket)
     )
+    # The pair comprehension below is quadratic per basket — CPU-dense,
+    # not byte-dense — but AQE coalesces the basket exchange by BYTES
+    # (r14 profile: the explode stage ran on 4 tasks carrying 4.2 s of
+    # CPU). Spread the compact arrays round-robin before exploding; an
+    # explicit repartition is exempt from AQE coalescing, and the moved
+    # relation is the small aggregated one, never the raw rows.
+    baskets = baskets.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # (items[i], items[j]) for i < j; slice() is 1-based, transform's index
     # arg is 0-based, so the tail after element i starts at slice pos i+2.
     pair_array = F.flatten(

@@ -291,6 +291,7 @@ def pagerank_exact(
     scale: int = 1_000_000_000,
     damp_num: int = 85,
     damp_den: int = 100,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank in scaled integer (fixed-point) arithmetic.
 
@@ -323,9 +324,18 @@ def pagerank_exact(
         .localCheckpoint()
     )
     base = ((damp_den - damp_num) * scale) // damp_den
-    ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint()
-    for _ in range(iterations):
-        superseded = ranks
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    # Checkpoint every `checkpoint_every` rounds, not every round: each
+    # localCheckpoint is an eager, serializing job, and each rank
+    # generation is consumed exactly once, so a few unrolled rounds per
+    # materialization cost nothing extra (r14 profile: 36 driver jobs for
+    # ~3 s of CPU — job-launch overhead, not compute). The FINAL round
+    # always checkpoints: the infra frees below rely on the returned
+    # generation having no lineage into e/deg/nodes. `live_ckpts` holds
+    # superseded checkpoints that unrolled lineage may still reference —
+    # freed only once the next checkpoint truncates past them.
+    live_ckpts: list[DataFrame] = []
+    for it in range(iterations):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -342,11 +352,14 @@ def pagerank_exact(
                     + F.expr(f"({damp_num} * coalesce(in_sum, 0L)) div {damp_den}")
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
-        # the new generation is materialized; free the superseded round's
-        # blocks instead of pinning O(iterations) checkpoints until GC
-        free_local_checkpoint(superseded)
+        if (it + 1) % checkpoint_every == 0 or it + 1 == iterations:
+            ranks = ranks.localCheckpoint()
+            for p in live_ckpts:
+                free_local_checkpoint(p)
+            live_ckpts = [ranks]
+    if not live_ckpts:  # iterations == 0: still detach from infra lineage
+        ranks = ranks.localCheckpoint()
     # e/deg/nodes are iteration infrastructure: the returned ranks is its
     # own checkpoint with no lineage back to them, so their blocks are
     # dead the moment the loop ends
@@ -458,6 +471,7 @@ def label_propagation(
     dst: str = "dst",
     node: str = "node",
     label: str = "label",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
     Raghavan 2007 LPA) with clamped seeds: each unlabeled node adopts the
@@ -481,7 +495,15 @@ def label_propagation(
     base = seeds.select(F.col(node).alias("node"), F.col(label).alias("label"))
     labels = base
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
-    for _ in range(iterations):
+    # Same checkpoint cadence as pagerank_exact: each generation is
+    # consumed once, so a localCheckpoint per round is pure job-launch
+    # overhead at small iteration counts; checkpoint every
+    # `checkpoint_every` rounds and ALWAYS on the final round (the edge
+    # free below requires the returned generation to carry no lineage
+    # into e). `live_ckpts` = superseded checkpoints possibly still
+    # referenced by unrolled lineage.
+    live_ckpts: list[DataFrame] = []
+    for it in range(iterations):
         votes = (
             e.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), "label")
@@ -492,14 +514,13 @@ def label_propagation(
             .filter(F.col("__rn") == 1)
             .select("node", "label")
         )
-        superseded = labels
-        labels = base.unionByName(
-            winners.join(base.select("node"), "node", "left_anti")
-        ).localCheckpoint()
-        if superseded is not base:
-            # round 1's `labels` IS `base` (no checkpoint of its own);
-            # later rounds free the superseded generation eagerly
-            free_local_checkpoint(superseded)
+        labels = base.unionByName(winners.join(base.select("node"), "node", "left_anti"))
+        if (it + 1) % checkpoint_every == 0 or it + 1 == iterations:
+            labels = labels.localCheckpoint()
+            for p in live_ckpts:
+                free_local_checkpoint(p)
+            live_ckpts = [labels]
+    # (iterations == 0 returns `base`, which has no lineage into e)
     # the symmetrized edge checkpoint is iteration infrastructure; the
     # final labels generation is its own checkpoint with no lineage to it
     free_local_checkpoint(e)

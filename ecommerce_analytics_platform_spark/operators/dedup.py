@@ -308,7 +308,15 @@ def neardup_against_corpus(
     cb = lsh_band_buckets(
         corpus, id_col, text_col, num_hashes, bands, shingle_n, max_bucket=max_bucket
     )
-    cand = (
+    # ONE traversal of the incoming side's banding: a LEFT join keeps every
+    # signable delta doc (each has >=1 band row), so the old shape's second
+    # pass over nb (distinct ids re-joined to the candidates) — two extra
+    # shuffles and a cache-fill race between the two concurrent stages that
+    # both read the persisted signature table — is gone. distinct() over
+    # (__id, corpus_doc) before the aggregate dedups multi-band collisions
+    # exactly as the old pair-distinct did; count()/min() ignore the NULL
+    # corpus_doc rows of collision-free docs.
+    return (
         nb.alias("i")
         .join(
             cb.alias("c"),
@@ -316,14 +324,10 @@ def neardup_against_corpus(
                 F.col("i.band") == F.col("c.band"),
                 F.col("i.bucket") == F.col("c.bucket"),
             ],
+            how="left",
         )
         .select(F.col("i.__id").alias("__id"), F.col("c.__id").alias("corpus_doc"))
         .distinct()
-    )
-    return (
-        nb.select("__id")
-        .distinct()
-        .join(cand, "__id", "left")
         .groupBy("__id")
         .agg(
             F.count("corpus_doc").alias("n_candidates"),
@@ -478,12 +482,22 @@ def connected_components_star(
     (n_edges, sum_dst) pair. Output matches ``connected_components``:
     ``(node, component)``, component = min node id reachable.
     """
-    all_nodes = edges.select(F.col(src).alias("node")).union(
-        edges.select(F.col(dst).alias("node"))
-    ).distinct()
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
+    # Materialize the (often expensive) upstream edge DAG exactly once:
+    # `all_nodes` is consumed lazily by the RETURNED frame, so deriving it
+    # straight from `edges` re-ran the whole upstream pipeline (e.g. the
+    # LSH self-join) at the consumer's action — a full duplicate pass
+    # (r14 profile: a 34 s-CPU no-shuffle stage at the end of
+    # neardup_clusters_star). One narrow checkpoint feeds both the node
+    # universe and the contraction rounds; `raw` is freed as soon as its
+    # two eager derivatives are materialized.
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
     )
+    e = raw.filter(F.col("u") != F.col("v"))
 
     def canon(df: DataFrame) -> DataFrame:
         # undirected edge set, canonical u > v orientation (u attaches to v)
@@ -505,6 +519,7 @@ def connected_components_star(
         F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
     ]
     cur = canon(e).localCheckpoint()
+    free_local_checkpoint(raw)  # both eager derivatives are materialized
     stats = cur.agg(*digest_aggs).collect()[0]
     prev = (stats["n"], stats["su"], stats["sv"])
     prev_df = cur

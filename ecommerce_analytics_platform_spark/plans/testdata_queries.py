@@ -2337,6 +2337,12 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lower("tok").alias("term")
     )
     tf = _pin(toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist())
+    # Eager fill: df_ and n below become BROADCAST-build jobs that launch
+    # concurrently with the main pass; all three raced the lazy cache fill
+    # and each re-ran the tokenize+aggregate pipeline (3x ~15 s CPU at
+    # sf0.1 in the r14 stage profile). One blocking count fills the cache
+    # once; the broadcast builds then read blocks (2.58 -> ~1.2 s).
+    tf.count()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -4556,9 +4562,19 @@ def q_unigram_logprob(
     cross-engine (same recipe as tfidf_topk's idf)."""
     _release_lm_pinned()
     docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).select(
-        "doc_id", F.lower("tok").alias("term")
+    # Tokenize ONCE: the regex split is the dominant CPU of this query and
+    # `toks` is consumed twice (vocab build + scored join) — un-persisted it
+    # ran twice (r14 stage profile). The compact token-ARRAY form is
+    # persisted (not the exploded table — same information, fewer rows);
+    # _bounded_broadcast's eager count fills it sequentially before the
+    # broadcast-build jobs can race, and the scored pass just re-explodes
+    # cached arrays.
+    docs_t = _pin(
+        docs.select(
+            "doc_id", F.transform(tokens(F.col("text")), lambda x: F.lower(x)).alias("t")
+        ).persist()
     )
+    toks = docs_t.select("doc_id", F.explode("t").alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = _bounded_broadcast(vocab, broadcast_max_rows)
     total = vocab.select(F.sum("cnt").alias("total"))
@@ -4614,9 +4630,17 @@ def q_bigram_logprob(
     cardinality grows ~vocab², so the broadcast path is never assumed."""
     _release_lm_pinned()
     docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = docs.select(
-        "doc_id", F.transform(tokens(F.col("text")), lambda t: F.lower(t)).alias("t")
-    ).filter(F.size("t") >= 2)
+    # Tokenize ONCE into a persisted token-array table: vocab_size used to
+    # re-tokenize the whole corpus in its own branch (~16 s CPU at sf0.1,
+    # r14 stage profile — as much as the gram pass itself). Both the
+    # bigram extraction and the distinct-term count now derive from the
+    # cached arrays.
+    docs_t = _pin(
+        docs.select(
+            "doc_id", F.transform(tokens(F.col("text")), lambda t: F.lower(t)).alias("t")
+        ).persist()
+    )
+    toks = docs_t.filter(F.size("t") >= 2)
     n = F.size("t")
     grams = toks.select(
         "doc_id",
@@ -4631,10 +4655,7 @@ def q_bigram_logprob(
     # context counts = occurrences of `prev` AS a bigram context (n-1 per doc)
     ctx_counts = bigram_counts.groupBy("prev").agg(F.sum("c_bg").alias("c_ctx"))
     vocab_size = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-        .select(F.lower("tok").alias("term"))
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("v"))
+        docs_t.select(F.explode("t").alias("term")).distinct().agg(F.count(F.lit(1)).alias("v"))
     )
     # score per OCCURRENCE with broadcast count tables, then ONE doc_id
     # shuffle of map-side-combined partials — the per-(doc,bigram) tf
