@@ -6327,6 +6327,12 @@ def q_ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine by construction. One user shuffle shared
     by the window; the 10× posexplode is scan-local."""
     ev = _t(spark, sf_dir, "events")
+    # Explicit repartition on the window key: AQE coalesced the 2 MB
+    # window exchange to 2 tasks, serializing the CPU-dense
+    # collect_list-window + 10x posexplode (r14 profile). The explicit
+    # exchange IS the window's required partitioning (no extra shuffle)
+    # and is exempt from byte-based coalescing.
+    ev = ev.repartition(spark.sparkContext.defaultParallelism, "user_id")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.asc("ts"), F.asc("event_id"))
