@@ -142,6 +142,7 @@ def lsh_band_buckets(
     based: DataFrame | None = None,
     max_bucket: int | None = None,
     sig_holder: list | None = None,
+    persist_sig: bool = True,
 ) -> DataFrame:
     """``(__id, band, bucket)`` LSH band-bucket membership — the shared
     candidate-generation primitive behind corpus self-dedup
@@ -171,13 +172,19 @@ def lsh_band_buckets(
     # session pin registry (released on the next registry-query entry or
     # an explicit release_pinned()) — unless the caller takes ownership
     # via sig_holder
-    sig_df = minhash_table(
-        df, id_col, text_col, num_hashes, shingle_n, based=based
-    ).persist()
-    if sig_holder is not None:
-        sig_holder.append(sig_df)
-    else:
-        pin(sig_df)
+    # ``persist_sig=False``: a caller that consumes the banding exactly
+    # ONCE (and passes max_bucket=None, so this function itself adds no
+    # second traversal) opts out — caching a table read once just pays
+    # the columnar cache build for nothing (guide §5: persist only when
+    # reused). Forced back on when max_bucket needs the size-filter pass.
+    persist_sig = persist_sig or max_bucket is not None
+    sig_df = minhash_table(df, id_col, text_col, num_hashes, shingle_n, based=based)
+    if persist_sig:
+        sig_df = sig_df.persist()
+        if sig_holder is not None:
+            sig_holder.append(sig_df)
+        else:
+            pin(sig_df)
 
     def band_struct(b: int) -> Column:
         cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
@@ -304,9 +311,21 @@ def neardup_against_corpus(
     matched_doc_id)`` — the distinct colliding corpus docs and the smallest
     such id (null = no collision ⇒ the doc is near-dup-fresh).
     """
-    nb = lsh_band_buckets(new_docs, id_col, text_col, num_hashes, bands, shingle_n)
+    # Each side's banding is consumed exactly once by the single LEFT
+    # join below, so skip the signature-table persist (lsh_band_buckets
+    # re-enables it itself when max_bucket forces a second traversal).
+    nb = lsh_band_buckets(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n, persist_sig=False
+    )
     cb = lsh_band_buckets(
-        corpus, id_col, text_col, num_hashes, bands, shingle_n, max_bucket=max_bucket
+        corpus,
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        shingle_n,
+        max_bucket=max_bucket,
+        persist_sig=False,
     )
     # ONE traversal of the incoming side's banding: a LEFT join keeps every
     # signable delta doc (each has >=1 band row), so the old shape's second
