@@ -92,6 +92,18 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # Always use the sort-based shuffle writer, never the bypass-merge
+        # writer. Bypass opens one DiskBlockObjectWriter PER REDUCE
+        # PARTITION per map task (then concatenates); measured r14 on this
+        # kernel that costs ~7 ms per partition file, so a 64-partition
+        # exchange charges ~450 ms of "shuffle write time" to EVERY map
+        # task — 6.6 s of a 1.07 s query's 29 s task time on a 0.85 MB
+        # shuffle. The sort writer streams one spill file per task: same
+        # micro-bench dropped from 6,029 ms to 15 ms summed shuffle-write
+        # time (guide §2.1/§2.3). Production configs never hit bypass
+        # anyway (conf/spark-scale.conf sets 2000 > the 200 threshold), so
+        # this also makes local plans use the SAME writer as the cluster.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
