@@ -57,8 +57,12 @@ def generate_catalog(
 def catalog_df(spark, **kwargs):
     """The catalog as a (small, broadcastable) DataFrame — the dimension
     side of any catalog join at scale."""
-    return spark.createDataFrame(
-        generate_catalog(**kwargs), "product_id string, price_usd double"
+    from ecommerce_analytics_platform_spark.session import literal_df
+
+    return literal_df(
+        spark,
+        [(p["product_id"], p["price_usd"]) for p in generate_catalog(**kwargs)],
+        "product_id string, price_usd double",
     )
 
 

@@ -122,7 +122,12 @@ def bpe_train(
         words.unpersist()
         words = nxt
     words.unpersist()
-    merges_df = spark.createDataFrame(
+    from ecommerce_analytics_platform_spark.session import literal_df
+
+    # Arrow-backed literal (r14): the pickled-list path re-enters Python
+    # workers on every scan of the merge table (guide §4.1)
+    merges_df = literal_df(
+        spark,
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "merge_rank int, left_sym string, right_sym string, pair_cnt bigint",
     )

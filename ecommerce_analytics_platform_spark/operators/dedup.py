@@ -401,11 +401,61 @@ def jaccard_ngram_pairs(
     )
 
 
+def _uf_min_label(pairs) -> list[tuple] | None:
+    """Driver union-find with min-node labels over a SMALL collected edge
+    list: returns ``[(node, component)]`` where component = min node id
+    reachable — exactly the fixpoint both distributed CC variants compute
+    (min-label propagation and star contraction converge to the same
+    labels). Returns None when any id is NULL (the distributed paths own
+    NULL semantics). Python str comparison is codepoint order = UTF-8
+    byte order = Spark's binary string ordering, so min labels match for
+    string ids too."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        if u is None or v is None:
+            return None
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    return [(n, comp_min[find(n)]) for n in parent]
+
+
+# Edge-count bound under which connected components runs as a driver
+# union-find over the collected edge list instead of iterative Spark
+# rounds. Same discipline as the registry's 100k-row pair memo and the
+# exact-top-k collect guard: below the bound the data is driver-trivial
+# (the same rows a broadcast would ship) and the iterative machinery is
+# pure job-launch overhead (r14: 2.3 s of driver gaps + 64-task stages
+# for a 256-edge graph, vs ~0.2 s collected); above it the distributed
+# rounds run unchanged — the 100 TB story does not touch this path.
+_CC_DRIVER_EDGE_CAP = 100_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_cap: int = _CC_DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """Connected components by min-label propagation: cluster id = smallest
     node id reachable through the edge set. The canonical consumer is
@@ -424,17 +474,48 @@ def connected_components(
 
     Output: ``(node, component)``, one row per distinct node in ``edges``.
     """
+    from pyspark.sql import Observation
+
+    from ecommerce_analytics_platform_spark.session import literal_df
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
-    labels = e.select("u").distinct().withColumn("lbl", F.col("u")).localCheckpoint()
+    # symmetrized distinct edge list, materialized ONCE as a checkpoint
+    # (consumed every round); its row count rides on the materialization
+    # via observe() and drives the driver-union-find guard below
+    obs_e = Observation()
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n_edges = obs_e.get["n"]
+    if driver_cap is not None and n_edges <= driver_cap:
+        rows = _uf_min_label((r["u"], r["v"]) for r in e.collect())
+        if rows is not None:
+            t = e.schema["u"].dataType.simpleString()
+            free_local_checkpoint(e)
+            return literal_df(
+                edges.sparkSession, rows, f"node {t}, component {t}"
+            )
     # Labels only ever DECREASE (least of self and min neighbor), so the
     # label sum is strictly monotone until the fixpoint: comparing one
     # cheap sum per round detects convergence without the old
-    # join-the-two-generations change scan (one agg job vs join+filter).
+    # join-the-two-generations change scan. The sum rides on the round's
+    # checkpoint materialization via observe() — CollectMetricsExec
+    # gathers it DURING the one action the round already runs, so a round
+    # is ONE job, not checkpoint + a separate agg job (r14: halves the
+    # per-round driver/job overhead that dominates small graphs).
     # Sum in decimal(38,0): a plain int64 sum of 60-bit labels wraps
     # silently in non-ANSI mode, making "sum unchanged" only probabilistic.
-    label_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
-    prev_sum = labels.agg(label_sum).collect()[0][0]
+    label_sum = F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    obs0 = Observation()
+    labels = (
+        e.select("u").distinct().withColumn("lbl", F.col("u"))
+        .observe(obs0, label_sum)
+        .localCheckpoint()
+    )
+    prev_sum = obs0.get["s"]
     changed = 0
     try:
         for _ in range(max_iter):
@@ -444,21 +525,22 @@ def connected_components(
                 .agg(F.min("nlbl").alias("nbr_lbl"))
             )
             superseded = labels
+            obs = Observation()
             labels = labels.join(nbr, "u", "left").select(
                 "u", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl")
-            ).localCheckpoint()
+            ).observe(obs, label_sum).localCheckpoint()
             # the new generation is materialized (eager checkpoint); the
             # previous round's blocks are dead weight — free them now
             # instead of pinning O(iterations) generations until a driver
             # GC cycle reaches the ContextCleaner
             free_local_checkpoint(superseded)
-            new_sum = labels.agg(label_sum).collect()[0][0]
+            new_sum = obs.get["s"]
             changed = 0 if new_sum == prev_sum else 1
             prev_sum = new_sum
             if changed == 0:
                 break
     finally:
-        e.unpersist()
+        free_local_checkpoint(e)
     if changed != 0:
         import warnings
 
@@ -479,6 +561,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 20,
+    driver_cap: int | None = _CC_DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """Connected components by large-star/small-star contraction (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
@@ -537,10 +620,38 @@ def connected_components_star(
         F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
         F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
     ]
-    cur = canon(e).localCheckpoint()
+    from pyspark.sql import Observation
+
+    def _digest(row) -> tuple:
+        return (row["n"], row["su"], row["sv"])
+
+    # the digest rides on each generation's checkpoint materialization via
+    # observe() — no separate agg job per half-round (r14, same trick as
+    # connected_components: per-round driver/job overhead dominates small
+    # graphs)
+    obs0 = Observation()
+    cur = canon(e).observe(obs0, *digest_aggs).localCheckpoint()
     free_local_checkpoint(raw)  # both eager derivatives are materialized
-    stats = cur.agg(*digest_aggs).collect()[0]
-    prev = (stats["n"], stats["su"], stats["sv"])
+    prev = _digest(obs0.get)
+    # driver union-find under the same edge-count guard as
+    # connected_components (prev[0] = canonical edge count, already
+    # observed — no extra job): the iterative star machinery is pure
+    # job-launch overhead on driver-trivial graphs
+    if driver_cap is not None and prev[0] <= driver_cap:
+        from ecommerce_analytics_platform_spark.session import literal_df
+
+        rows = _uf_min_label((r["u"], r["v"]) for r in cur.collect())
+        nodes = [r["node"] for r in all_nodes.collect()]
+        if rows is not None and all(n is not None for n in nodes):
+            comp = dict(rows)
+            t = all_nodes.schema["node"].dataType.simpleString()
+            free_local_checkpoint(cur)
+            free_local_checkpoint(all_nodes)
+            return literal_df(
+                edges.sparkSession,
+                [(n, comp.get(n, n)) for n in nodes],
+                f"node {t}, component {t}",
+            )
     prev_df = cur
     converged = False
     for _ in range(max_rounds):
@@ -572,11 +683,11 @@ def connected_components_star(
             .union(cur.join(mins2, "u").select("u", F.col("m").alias("v")))
         )
         after_large = cur
-        cur = canon(ss).localCheckpoint()
+        obs = Observation()
+        cur = canon(ss).observe(obs, *digest_aggs).localCheckpoint()
         if after_large is not prev_df:
             free_local_checkpoint(after_large)
-        st = cur.agg(*digest_aggs).collect()[0]
-        now = (st["n"], st["su"], st["sv"])
+        now = _digest(obs.get)
         if now == prev:
             # digests agree — confirm with the exact check: equal counts +
             # empty (prev \ cur) means the distinct sets are identical.

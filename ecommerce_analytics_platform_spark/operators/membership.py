@@ -354,7 +354,10 @@ def dds_quantiles(
     w = Window.partitionBy(*group_cols).orderBy("bin")
     cum = bins.withColumn("cum", F.sum("cnt").over(w))
     n = bins.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
-    qdf = bins.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    from ecommerce_analytics_platform_spark.session import literal_df
+
+    # Arrow-backed literal (r14): avoids Python workers on every scan
+    qdf = literal_df(bins.sparkSession, [(float(q),) for q in qs], "q double")
     sel = (
         cum.join(n, group_cols)
         .crossJoin(F.broadcast(qdf))
@@ -554,8 +557,10 @@ def prune_files_for_keys(
         rows += [(i, p) for p in pos]
     if not rows:
         return []
-    want = spark.createDataFrame(rows, "key_id int, pos long")
-    need_df = spark.createDataFrame(need, "key_id int, need int")
+    from ecommerce_analytics_platform_spark.session import literal_df
+
+    want = literal_df(spark, rows, "key_id int, pos long")
+    need_df = literal_df(spark, need, "key_id int, need int")
     hits = (
         index.join(want, "pos")
         .groupBy("file", "key_id")

@@ -932,6 +932,12 @@ _PAIR_MEMO: dict[tuple, list[tuple] | None] = {}
 _PAIR_MEMO_CAP = 100_000
 
 
+# Literal rows → DataFrame via the Arrow path: see session.literal_df
+# (r14 — replays of memoized pair tables were pickled-Python RDDs whose
+# every scan blocked each task ~300 ms on Python workers).
+from ecommerce_analytics_platform_spark.session import literal_df as _literal_df
+
+
 def _docs_file_key(sf_dir: str) -> tuple:
     f = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(f)
@@ -975,7 +981,7 @@ def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             _t(spark, sf_dir, "documents"), "doc_id", "text",
             num_hashes=16, bands=4,
         )
-    return spark.createDataFrame(rows, _LSH_PAIR_SCHEMA)
+    return _literal_df(spark, rows, _LSH_PAIR_SCHEMA)
 
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,7 +1041,7 @@ def q_neardup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             _t(spark, sf_dir, "documents"), "doc_id", "text",
             num_hashes=16, bands=4, max_bucket=2,
         )
-    return spark.createDataFrame(rows, _LSH_PAIR_SCHEMA)
+    return _literal_df(spark, rows, _LSH_PAIR_SCHEMA)
 
 
 def _neardup_capped_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 2) -> str:
@@ -3083,7 +3089,7 @@ def q_set_sim_join(
     rows = _ssj_scored_rows(spark, sf_dir)
     if rows is None:
         return _set_sim_join_df(spark, sf_dir, _persist)
-    return spark.createDataFrame(rows, _SSJ_SCHEMA)
+    return _literal_df(spark, rows, _SSJ_SCHEMA)
 
 
 SQL_SET_SIM_JOIN = rf"""
@@ -5512,7 +5518,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     The trained list is memoized (shared with q_bpe_encode) and returned
     as a literal DataFrame, so caller materialization is free."""
     merges = _bpe_trained_merges(spark, sf_dir)
-    return spark.createDataFrame(
+    return _literal_df(
+        spark,
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "merge_rank int, left_sym string, right_sym string, pair_cnt bigint",
     )
@@ -5663,7 +5670,7 @@ def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization does not re-run training — and q_unigram_token_count
     reuses the same memoized rows instead of retraining."""
     rows = _unigram_trained_rows(spark, sf_dir)
-    return spark.createDataFrame(rows, "piece string, score bigint, used bigint")
+    return _literal_df(spark, rows, "piece string, score bigint, used bigint")
 
 
 def q_unigram_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

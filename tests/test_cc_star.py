@@ -56,4 +56,31 @@ def test_star_nonconvergence_warns(spark):
     mirroring connected_components' contract."""
     chain = [(i, i + 1) for i in range(200)]
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        connected_components_star(_edges_df(spark, chain), max_rounds=1)
+        # driver_cap=None forces the distributed rounds (the r14 driver
+        # union-find guard would solve a 200-edge chain exactly without
+        # ever iterating)
+        connected_components_star(
+            _edges_df(spark, chain), max_rounds=1, driver_cap=None
+        )
+
+
+def test_driver_guard_matches_distributed_rounds(spark):
+    """r14: below _CC_DRIVER_EDGE_CAP both CC variants run a driver
+    union-find instead of iterative Spark rounds. The guarded result must
+    be row-identical to the distributed paths (driver_cap=None) on a
+    random multi-component graph with self-loops and duplicate edges."""
+    import random
+
+    rng = random.Random(1414)
+    pairs = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+    pairs += [(7, 7), (3, 5), (5, 3)]  # self-loop + both orientations
+    e = _edges_df(spark, pairs)
+
+    guarded_ml = _labels(connected_components(e))
+    dist_ml = _labels(connected_components(e, driver_cap=None))
+    assert guarded_ml == dist_ml
+
+    guarded_st = _labels(connected_components_star(e))
+    dist_st = _labels(connected_components_star(e, driver_cap=None))
+    assert guarded_st == dist_st
+    assert guarded_st == guarded_ml

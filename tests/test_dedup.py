@@ -146,7 +146,9 @@ def test_connected_components_warns_on_non_convergence(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(5)], ["src", "dst"])
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        connected_components(chain, max_iter=1).collect()
+        # driver_cap=None forces the distributed rounds (the r14 driver
+        # union-find guard would solve a 5-edge chain without iterating)
+        connected_components(chain, max_iter=1, driver_cap=None).collect()
     assert any("did not converge" in str(x.message) for x in w)
 
 
