@@ -269,7 +269,17 @@ def shingle_bases(df, id_col: str, text_col: str, shingle_n: int = 3):
     md5 is identical cross-engine, and a within-pair collision is both
     astronomically unlikely and engine-symmetric). fan_out BEFORE the
     shingle+md5 projection: that projection is the CPU-heavy stage and
-    must not run inside a single scan task."""
+    must not run inside a single scan task.
+
+    MAY emit unsignable docs (``__bases`` = []): an explicit
+    ``filter(size(__bases) > 0)`` here gets pushed below the fan_out
+    exchange to the scan, where the whole shingle+md5 pipeline is
+    re-evaluated SINGLE-TASK on the critical path (r14 profile: ~0.7 s
+    serial per consumer at sf0.1) — a full second copy of the heavy
+    expression (guide §1.2: don't compute things twice). Downstream
+    consumers drop empties where it matters: :func:`minhash_table`'s
+    numpy fold masks them (same rows out as the old filter), and joins
+    against candidate ids can never see an unsignable doc."""
     from ecommerce_analytics_platform_spark.session import fan_out
 
     return (
@@ -280,7 +290,6 @@ def shingle_bases(df, id_col: str, text_col: str, shingle_n: int = 3):
                 word_shingles(F.col(text_col), shingle_n), portable_hash60
             ).alias("__bases"),
         )
-        .filter(F.size("__bases") > 0)
     )
 
 
@@ -302,9 +311,13 @@ def minhash_table(
     document segment. Replaces k interpreted ``transform`` folds (measured
     ~0.7 s per hash over 5k docs at sf0.1 → ~0.1 s total for all 16).
     Documents with zero shingles are dropped (callers treat them as
-    unsignable, same as the sentinel filter in :func:`minhash_struct`).
-    The arithmetic mirrors ``compat.multmod61`` exactly — uint64 never
-    overflows by the same derivation — so results stay bit-identical.
+    unsignable, same as the sentinel filter in :func:`minhash_struct`) —
+    masked INSIDE the fold, not via a JVM ``size() > 0`` filter, which
+    would be pushed below the fan_out exchange and re-evaluate the whole
+    shingle+md5 expression single-task at the scan (see
+    :func:`shingle_bases`). The arithmetic mirrors ``compat.multmod61``
+    exactly — uint64 never overflows by the same derivation — so results
+    stay bit-identical.
     """
     import numpy as np
     import pandas as pd
@@ -331,9 +344,21 @@ def minhash_table(
                 continue
             arrs = [np.asarray(v, dtype=np.uint64) for v in pdf["__bases"]]
             lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            ids = pdf["__id"].to_numpy()
+            if not (lens > 0).all():
+                keep = lens > 0
+                arrs = [a for a, k in zip(arrs, keep) if k]
+                lens = lens[keep]
+                ids = ids[keep]
+                if len(arrs) == 0:
+                    yield pd.DataFrame(
+                        {"__id": pd.Series([], dtype=ids.dtype)}
+                        | {c: pd.Series([], dtype="int64") for c in out_cols}
+                    )
+                    continue
             flat = np.concatenate(arrs)
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            out = {"__id": pdf["__id"].to_numpy()}
+            out = {"__id": ids}
             hi, lo = flat >> c30, flat & M30
             for i, (a, b) in enumerate(seeds):
                 ua = np.uint64(a)

@@ -111,6 +111,28 @@ def test_minhash_struct_matches_signature_columns(docs):
                 assert r[f"s{i}"] == r[f"c{i}"]
 
 
+def test_minhash_table_drops_unsignable_in_fold(docs):
+    # r14: the size(__bases)>0 JVM filter was removed (it re-evaluated the
+    # shingle+md5 pipeline single-task below the fan_out exchange); the
+    # numpy fold now masks zero-shingle docs. Row set and values must be
+    # identical to the expression path: docs 4/5 (empty) and 6 (< n
+    # tokens) dropped, the rest bit-equal to minhash_struct.
+    from ecommerce_analytics_platform_spark.functions.text import minhash_table
+
+    got = {
+        r["__id"]: [r[f"mh{i}"] for i in range(4)]
+        for r in minhash_table(docs, "doc_id", "text", num_hashes=4).collect()
+    }
+    assert sorted(got) == [1, 2, 3, 7]
+    ref_df = with_materialized(docs, minhash_struct(F.col("text"), 4, 3), "sig")
+    ref = {
+        r["doc_id"]: [r["sig"][f"mh{i}"] for i in range(4)]
+        for r in ref_df.collect()
+        if r["doc_id"] in got
+    }
+    assert got == ref
+
+
 def test_minhash_near_dup_signatures_close(docs):
     # doc1 vs doc2 differ by one word -> most minhashes agree; doc3 disjoint
     df = with_materialized(docs, minhash_struct(F.col("text"), 16, 3), "sig")
