@@ -60,19 +60,30 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>); [] when fewer than n tokens.
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-TOKENIZED array column.
 
-    Built as n array slices zipped element-wise — the split() is evaluated
-    n× per ROW (not per shingle), and the zip runs on materialized arrays.
-    """
-    w = tokens(text)
+    Pass a materialized token array (``with_materialized(df, tokens(...),
+    "toks")``) when the caller also needs the tokens or references the
+    shingles more than once — :func:`word_shingles` inlines ``split()``
+    n+1 times per row, and every additional reference to its result
+    re-evaluates the whole tree (guide §1.2)."""
+    w = _c(toks)
     ln = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
     parts = [F.slice(w, j + 1, ln) for j in range(n)]
     sh = parts[0]
     for p in parts[1:]:
         sh = F.zip_with(sh, p, lambda x, y: F.concat(x, F.lit(" "), y))
     return sh
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>); [] when fewer than n tokens.
+
+    Built as n array slices zipped element-wise — the split() is evaluated
+    n× per ROW (not per shingle), and the zip runs on materialized arrays.
+    """
+    return shingles_from_tokens(tokens(text), n)
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:

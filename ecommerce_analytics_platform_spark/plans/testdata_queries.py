@@ -2646,12 +2646,20 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     of duplicate word trigrams per document — high values flag boilerplate
     / spam for corpus filtering. One pass: shingle (already materialized
     arrays), distinct count vs total count, no shuffle."""
-    from ecommerce_analytics_platform_spark.functions.text import word_shingles
+    from ecommerce_analytics_platform_spark.functions.text import (
+        word_shingles,
+        with_materialized,
+    )
 
     docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    base = docs.select(
-        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # r14: materialize the shingle array behind a Generate so (a) the
+    # size() filter runs on the materialized value instead of being
+    # pushed below the fan_out exchange where it would re-evaluate the
+    # whole shingle pipeline single-task at the scan, and (b) the two
+    # downstream references (n, nd) share one evaluation (guide §1.2).
+    base = with_materialized(docs, word_shingles(F.col("text"), 3), "sh").filter(
+        F.size("sh") > 0
+    ).select("doc_id", "sh")
     n = F.size("sh")
     nd = F.size(F.array_distinct("sh"))
     return base.select(
@@ -2772,14 +2780,19 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     same materialized token array."""
     from ecommerce_analytics_platform_spark.functions.text import (
         _EN_STOPWORDS,
-        word_shingles,
+        shingles_from_tokens,
         with_materialized,
     )
 
     docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     base = with_materialized(docs, tokens(F.col("text")), "toks")
+    # r14: the shingle array is materialized too (derived from the cached
+    # toks, so split() runs once per row); `rep` references it three
+    # times, and word_shingles-from-text would re-evaluate split+zip for
+    # each reference (guide §1.2 — measured 3.5 s CPU → 1.2 s at sf0.1).
+    base = with_materialized(base, shingles_from_tokens(F.col("toks"), 3), "sh")
     n_tok = F.size("toks")
-    sh = word_shingles(F.col("text"), 3)
+    sh = F.col("sh")
     rep = (F.size(sh) - F.size(F.array_distinct(sh))) / F.greatest(F.size(sh), F.lit(1))
     stop_ratio = F.size(F.filter("toks", lambda w: F.lower(w).isin(*_EN_STOPWORDS))) / F.greatest(
         n_tok, F.lit(1)
@@ -3047,12 +3060,18 @@ def _set_sim_join_df(
     PPJoin LENGTH filter (J ≥ t ⇒ t·|larger| ≤ |smaller|, integer form
     10·min ≥ 6·max) prunes before the distinct and the array
     intersections."""
-    from ecommerce_analytics_platform_spark.functions.text import word_shingles
+    from ecommerce_analytics_platform_spark.functions.text import (
+        word_shingles,
+        with_materialized,
+    )
 
     docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    tkset = docs.select(
-        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("tk")
-    ).filter(F.size("tk") > 0)
+    # r14: Generate-materialized so the size() filter isn't pushed below
+    # the fan_out exchange (scan-side single-task re-evaluation of the
+    # whole shingle pipeline during the cache fill — guide §1.2).
+    tkset = with_materialized(
+        docs, F.array_distinct(word_shingles(F.col("text"), 3)), "tk"
+    ).filter(F.size("tk") > 0).select("doc_id", "tk")
     tkset = tkset.withColumn("sz", F.size("tk").cast("long"))
     if _persist:
         tkset = _pin(tkset.persist())
