@@ -4648,17 +4648,20 @@ def q_unigram_logprob(
         ).persist()
     )
     toks = docs_t.select("doc_id", F.explode("t").alias("term"))
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab = _bounded_broadcast(vocab, broadcast_max_rows)
+    vocab = _pin(toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist())
     total = vocab.select(F.sum("cnt").alias("total"))
-    scored = (
-        toks.join(vocab, "term")
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "logp_dec",
-            F.round(F.log(F.col("cnt") / F.col("total")), 6).cast("decimal(18,6)"),
-        )
+    # r14: fold the ln/round into the vocab-sized table BEFORE the
+    # broadcast, so the per-OCCURRENCE pass is one hash probe picking a
+    # ready decimal — the log/round/division ran per occurrence (~|corpus
+    # tokens| times) when only |vocab| distinct values exist (guide §1.2).
+    # tf·round(ln p) == Σ_occurrences round(ln p) still holds untouched.
+    scores = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("cnt") / F.col("total")), 6)
+        .cast("decimal(18,6)")
+        .alias("logp_dec"),
     )
+    scored = toks.join(_bounded_broadcast(scores, broadcast_max_rows), "term")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.sum("logp_dec").cast("double") / F.count(F.lit(1))).alias("avg_logp"),
@@ -4724,7 +4727,9 @@ def q_bigram_logprob(
         ).alias("g"),
     ).select("doc_id", "g.prev", "g.cur")
     grams = _pin(grams.persist())
-    bigram_counts = grams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    bigram_counts = _pin(
+        grams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg")).persist()
+    )
     # context counts = occurrences of `prev` AS a bigram context (n-1 per doc)
     ctx_counts = bigram_counts.groupBy("prev").agg(F.sum("c_bg").alias("c_ctx"))
     vocab_size = (
@@ -4734,17 +4739,24 @@ def q_bigram_logprob(
     # shuffle of map-side-combined partials — the per-(doc,bigram) tf
     # pre-aggregation was a second full-width shuffle for no gain
     # (tf·round(ln p) == Σ_occurrences round(ln p) exactly).
-    scored = (
-        grams.join(_bounded_broadcast(bigram_counts, broadcast_max_rows), ["prev", "cur"])
-        .join(_bounded_broadcast(ctx_counts, broadcast_max_rows), "prev")
+    # r14: the smoothing/log/round is folded into a bigram-cardinality
+    # score table BEFORE the broadcast — the occurrence pass had been
+    # paying TWO hash probes plus ln/round per gram occurrence when the
+    # value only depends on the (prev, cur) key (guide §1.2; stage CPU
+    # 9.1 s → 4.1 s at sf0.1). Both score-table joins keep the row-cap
+    # guard (the context join inherits it too).
+    scores = (
+        bigram_counts.join(_bounded_broadcast(ctx_counts, broadcast_max_rows), "prev")
         .crossJoin(F.broadcast(vocab_size))
-        .withColumn(
-            "logp_dec",
+        .select(
+            "prev",
+            "cur",
             F.round(
                 F.log((F.col("c_bg") + 1) / (F.col("c_ctx") + F.col("v"))), 6
-            ).cast("decimal(18,6)"),
+            ).cast("decimal(18,6)").alias("logp_dec"),
         )
     )
+    scored = grams.join(_bounded_broadcast(scores, broadcast_max_rows), ["prev", "cur"])
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (F.sum("logp_dec").cast("double") / F.count(F.lit(1))).alias("avg_logp"),
