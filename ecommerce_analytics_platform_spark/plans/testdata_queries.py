@@ -3731,7 +3731,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     ).filter(F.col("src") < F.col("dst"))
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank_exact(edges, iterations=3)
+    # eager=False: the whole 3-round run executes inside the consumer's
+    # single action — at this iteration count the eager per-checkpoint
+    # jobs were pure driver latency (r14: 1.79 -> ~1.2 s at sf0.1)
+    return pagerank_exact(edges, iterations=3, eager=False)
 
 
 def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000_000) -> str:
@@ -6472,18 +6475,21 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
     )
     a, b = li.alias("a"), li.alias("b")
+    # no .distinct() here: label_propagation symmetrizes and distincts
+    # the edge set itself, so the inner distinct was a redundant
+    # exchange+aggregate pair (r14, guide §2.4)
     edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
     )
     seeds = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_size") <= 10)
         .select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("label"))
     )
-    return label_propagation(edges, seeds, iterations=2)
+    # eager=False: see q_pagerank (2.03 -> ~1.6 s at sf0.1)
+    return label_propagation(edges, seeds, iterations=2, eager=False)
 
 
 def _label_prop_round_sql(prev: str, idx: int) -> str:

@@ -167,6 +167,26 @@ def test_pagerank_matches_python_reference(spark):
     assert got == rank
 
 
+def test_pagerank_lazy_checkpoints_bit_equal(spark):
+    """r14: eager=False runs every localCheckpoint inside the consumer's
+    action (driver-latency cut); results must be bit-equal to the eager
+    path and the deferred frees must release every block on the next
+    pin-registry drain."""
+    from ecommerce_analytics_platform_spark.session import release_pinned
+
+    edges = [(i, (i * 7 + 1) % 50) for i in range(300)]
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    eager = {(r["node"], r["rank"]) for r in pagerank_exact(df, 3).collect()}
+    lazy = {(r["node"], r["rank"]) for r in pagerank_exact(df, 3, eager=False).collect()}
+    assert eager == lazy
+    release_pinned()
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
 def test_pagerank_bit_exact_across_partitioning(spark):
     """The fixed-point claim: same result at 1 partition and 32 partitions."""
     edges = [(i, (i * 7 + 1) % 50) for i in range(300)]
