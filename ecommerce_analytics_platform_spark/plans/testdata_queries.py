@@ -173,8 +173,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(6,4)")
     tax = F.col("l_tax").cast("decimal(6,4)")
     one = F.lit(1).cast("decimal(6,4)")
+    # r14: no fan_out — this aggregate is byte-dense, not CPU-dense
+    # (guide §2.5): the keyless repartition pays its own sort + a full
+    # 600k-row exchange to spread partial-agg work the 3-task scan does
+    # in-line (1.25 -> 0.96 s at sf0.1). At scale the scan has thousands
+    # of splits and fan_out would be a no-op anyway.
     return (
-        fan_out(li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum("l_quantity", 2).alias("sum_qty"),
@@ -2324,7 +2329,8 @@ def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the scale-correct top-k; SURVEY §2.7 notes the reference has no
     ORDER BY surface at all, so this extends it). Ties broken by custkey
     for cross-engine determinism."""
-    orders = fan_out(_t(spark, sf_dir, "orders"))
+    # r14: no fan_out — byte-dense aggregate (guide §2.5; 0.54 -> 0.27 s)
+    orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     return (
         orders.groupBy("o_custkey")
@@ -2496,7 +2502,10 @@ def q_part_outlier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     below-average predicate is expressed in exact integer/decimal cross
     multiplication (5*qty*cnt < sum) so no float-boundary row can differ
     between engines."""
-    li = fan_out(_t(spark, sf_dir, "lineitem"))
+    # r14: no fan_out — byte-dense (guide §2.5); lineitem is consumed
+    # twice here (per-part aggregate + re-join), so the keyless exchange
+    # and its sort were paid twice (1.82 -> 0.78 s at sf0.1)
+    li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
@@ -2538,7 +2547,8 @@ def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, exact distinct cardinalities, min/max — the schema-audit
     operator of an ingest pipeline. One scan, one aggregate (the three
     exact countDistincts share the Expand)."""
-    orders = fan_out(_t(spark, sf_dir, "orders"))
+    # r14: no fan_out — byte-dense aggregate (guide §2.5; 1.28 -> 0.63 s)
+    orders = _t(spark, sf_dir, "orders")
     return orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_custkey").alias("n_customers"),
@@ -2719,7 +2729,8 @@ def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, swap for approx quantile cutoffs + a scan-local bucket join;
     kept exact here because the grouped input (one row per customer) is
     small after aggregation."""
-    orders = fan_out(_t(spark, sf_dir, "orders"))
+    # r14: no fan_out — byte-dense aggregate (guide §2.5; 0.56 -> 0.31 s)
+    orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(_dec_sum("o_totalprice", 2).alias("spend"))
     w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
     return spend.select(
@@ -2748,7 +2759,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping-set family beside ROLLUP/CUBE: exactly (status, priority),
     (status), () subtotals, with gid disambiguating NULL-as-subtotal from
     NULL data."""
-    orders = fan_out(_t(spark, sf_dir, "orders"))
+    # r14: no fan_out — byte-dense aggregate (guide §2.5; 0.60 -> 0.34 s)
+    orders = _t(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("__orders_gs")
     return spark.sql(
         """
