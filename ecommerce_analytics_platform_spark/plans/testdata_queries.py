@@ -3743,10 +3743,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     ).filter(F.col("src") < F.col("dst"))
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # eager=False: the whole 3-round run executes inside the consumer's
-    # single action — at this iteration count the eager per-checkpoint
-    # jobs were pure driver latency (r14: 1.79 -> ~1.2 s at sf0.1)
-    return pagerank_exact(edges, iterations=3, eager=False)
+    # eager=True (r14 negative result, kept deliberately): eager=False
+    # fuses all 3 rounds + the edge build into ONE plan, and the fused
+    # whole-stage-codegen compile is a 9.7 s first-run / +0.7 s
+    # steady-state REGRESSION in the bench (full-bench pagerank hit
+    # 13.3 s), dwarfing the per-checkpoint job latency it saves.
+    return pagerank_exact(edges, iterations=3)
 
 
 def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000_000) -> str:
@@ -6500,8 +6502,10 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_size") <= 10)
         .select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("label"))
     )
-    # eager=False: see q_pagerank (2.03 -> ~1.6 s at sf0.1)
-    return label_propagation(edges, seeds, iterations=2, eager=False)
+    # eager=True: see q_pagerank — the lazy fused-plan variant measured
+    # a wash at best (2.06-2.31 vs 2.03 s) under bench conditions, with
+    # the same codegen-compile risk
+    return label_propagation(edges, seeds, iterations=2)
 
 
 def _label_prop_round_sql(prev: str, idx: int) -> str:
