@@ -327,14 +327,26 @@ def neardup_against_corpus(
         max_bucket=max_bucket,
         persist_sig=False,
     )
-    # ONE traversal of the incoming side's banding: a LEFT join keeps every
-    # signable delta doc (each has >=1 band row), so the old shape's second
-    # pass over nb (distinct ids re-joined to the candidates) — two extra
-    # shuffles and a cache-fill race between the two concurrent stages that
-    # both read the persisted signature table — is gone. distinct() over
-    # (__id, corpus_doc) before the aggregate dedups multi-band collisions
-    # exactly as the old pair-distinct did; count()/min() ignore the NULL
-    # corpus_doc rows of collision-free docs.
+    return neardup_join_buckets(nb, cb, id_col)
+
+
+def neardup_join_buckets(nb: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
+    """The candidate join + rollup tail of :func:`neardup_against_corpus`,
+    over PREBANDED ``(__id, band, bucket)`` tables. Exposed separately so
+    a caller whose delta and corpus derive from the SAME relation (the
+    oracle-twin registry query) can band once, persist the small bucket
+    table, and filter it into the two sides — one shingle+MinHash
+    pipeline instead of two (r14: 1.9 -> 1.1 s at sf0.1).
+
+    ONE traversal of the incoming side's banding: a LEFT join keeps every
+    signable delta doc (each has >=1 band row), so the old shape's second
+    pass over nb (distinct ids re-joined to the candidates) — two extra
+    shuffles and a cache-fill race between the two concurrent stages that
+    both read the persisted signature table — is gone. distinct() over
+    (__id, corpus_doc) before the aggregate dedups multi-band collisions
+    exactly as the old pair-distinct did; count()/min() ignore the NULL
+    corpus_doc rows of collision-free docs.
+    """
     return (
         nb.alias("i")
         .join(

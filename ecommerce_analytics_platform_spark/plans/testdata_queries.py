@@ -5100,13 +5100,22 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash companion to incremental_dedup's exact fingerprints. The
     corpus is never re-shingled per batch at scale (its buckets persist as
     a bucketed table); here both sides derive from the same documents
-    table for the oracle."""
-    from ecommerce_analytics_platform_spark.operators.dedup import neardup_against_corpus
+    table for the oracle — so band ONCE, persist the small bucket table,
+    and filter it into the two sides (r14: banding(all).filter(pred) ==
+    banding(filter(pred)) since MinHash is per-row; one shingle+MinHash
+    pipeline instead of two, 1.9 -> 1.1 s at sf0.1)."""
+    from ecommerce_analytics_platform_spark.operators.dedup import (
+        lsh_band_buckets,
+        neardup_join_buckets,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    incoming = docs.filter(F.col("doc_id") % 10 == 7)
-    corpus = docs.filter(F.col("doc_id") % 10 != 7)
-    return neardup_against_corpus(incoming, corpus, "doc_id", "text", 16, 4)
+    buckets = _pin(
+        lsh_band_buckets(docs, "doc_id", "text", 16, 4, persist_sig=False).persist()
+    )
+    incoming = buckets.filter(F.col("__id") % 10 == 7)
+    corpus = buckets.filter(F.col("__id") % 10 != 7)
+    return neardup_join_buckets(incoming, corpus, "doc_id")
 
 
 def _incremental_neardup_sql(num_hashes: int = 16, bands: int = 4) -> str:
