@@ -185,6 +185,12 @@ def lsh_band_buckets(
             sig_holder.append(sig_df)
         else:
             pin(sig_df)
+        # blocking fill: persist_sig means MULTIPLE consumers, and those
+        # consumers typically launch as concurrent stages of one action
+        # (self-join sides, size-filter + join) that would race the lazy
+        # fill and each recompute the shingle+MinHash pipeline (r14:
+        # measured multi-second spikes on the LSH self-join queries)
+        sig_df.count()
 
     def band_struct(b: int) -> Column:
         cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]

@@ -109,6 +109,11 @@ def hamming_neardup_pairs(
 
     member = member.persist()
     pin(member)
+    # no blocking fill here (r14 negative result): the candidate join
+    # broadcasts one side, and that broadcast-build job materializes the
+    # cache BEFORE the probe stage launches — consumers are naturally
+    # serialized, so an explicit fill is a pure extra pass (measured
+    # +0.7 s)
     if max_bucket is not None:
         sizes = member.groupBy("band", "val").agg(F.count(F.lit(1)).alias("__n"))
         member = member.join(

@@ -5113,6 +5113,11 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = _pin(
         lsh_band_buckets(docs, "doc_id", "text", 16, 4, persist_sig=False).persist()
     )
+    # blocking fill: the two filtered sides launch as CONCURRENT stages
+    # of one join and would otherwise race the lazy cache fill, each
+    # recomputing the shingle+MinHash pipeline (measured 5.1 s spikes;
+    # with the fill 1.1-1.3 s stable)
+    buckets.count()
     incoming = buckets.filter(F.col("__id") % 10 == 7)
     corpus = buckets.filter(F.col("__id") % 10 != 7)
     return neardup_join_buckets(incoming, corpus, "doc_id")
