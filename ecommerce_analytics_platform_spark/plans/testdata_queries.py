@@ -32,13 +32,7 @@ from ecommerce_analytics_platform_spark.functions.compat import (
     seeded_hash60,
     seeded_hash60_sql,
 )
-from ecommerce_analytics_platform_spark.functions.text import (
-    language_scores,
-    predicted_lang,
-    minhash_signature,
-    simhash64,
-    tokens,
-)
+from ecommerce_analytics_platform_spark.functions.text import simhash64, tokens
 from ecommerce_analytics_platform_spark.operators.calendar import build_dim_date
 from ecommerce_analytics_platform_spark.operators.dedup import (
     dedup_exact,
