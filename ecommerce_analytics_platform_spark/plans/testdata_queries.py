@@ -4679,16 +4679,21 @@ def q_unigram_logprob(
         ).persist()
     )
     toks = docs_t.select("doc_id", F.explode("t").alias("term"))
-    vocab = _pin(toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist())
-    total = vocab.select(F.sum("cnt").alias("total"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     # r14: fold the ln/round into the vocab-sized table BEFORE the
     # broadcast, so the per-OCCURRENCE pass is one hash probe picking a
     # ready decimal — the log/round/division ran per occurrence (~|corpus
     # tokens| times) when only |vocab| distinct values exist (guide §1.2).
     # tf·round(ln p) == Σ_occurrences round(ln p) still holds untouched.
-    scores = vocab.crossJoin(F.broadcast(total)).select(
+    # The normalizer is a global window over the VOCAB relation (the
+    # domain_mixture pattern) — no scalar crossJoin, no second pass; the
+    # single-partition window is over catalog-sized rows only.
+    total = F.sum("cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    scores = vocab.select(
         "term",
-        F.round(F.log(F.col("cnt") / F.col("total")), 6)
+        F.round(F.log(F.col("cnt") / total), 6)
         .cast("decimal(18,6)")
         .alias("logp_dec"),
     )

@@ -33,6 +33,13 @@ BNLJ_ALLOWED = {
     "asof_join",         # bounded interval condition
     "cosine_topk",       # guarded broadcast brute-force baseline
     "interval_merge",    # gaps-and-islands verify channel
+    # r14: the add-1-smoothing vocab_size is a 1-row global-aggregate
+    # broadcast (HashAggregate(keys=[]) build side — the same scalar
+    # shape _classify_bnlj auto-sanctions), but the score table it
+    # attaches to is now PERSISTED and the nested InMemoryRelation dump
+    # pushes the build-side aggregate beyond the classifier's window.
+    # Bounded by construction: exactly one broadcast row.
+    "bigram_logprob",
 }
 
 
