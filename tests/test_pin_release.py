@@ -40,15 +40,13 @@ def test_pinning_queries_release_on_next_entry(spark):
 def test_release_pinned_direct(spark):
     _hermetic(spark)
     q = entrymod.queries()
-    # clear the r8 pair memo so the query takes its COLD path (the one
-    # that runs the PPJoin DAG and pins the tkset); a memo replay pins
-    # nothing by design
-    tq._PAIR_MEMO.clear()
+    # set_sim_join runs the PPJoin DAG every invocation (r15: no memo)
+    # and pins the tkset persist for the caller's action
     q["set_sim_join"](spark, SF_DIR).count()
     assert _n_persistent(spark) >= 1  # the pinned tkset is live
     tq.release_pinned()
     assert _n_persistent(spark) == 0
-    # and the memoized replay is persist-free end to end
+    # a second invocation re-pins and re-releases the same way
     q["set_sim_join"](spark, SF_DIR).count()
     tq.release_pinned()
     assert _n_persistent(spark) == 0
