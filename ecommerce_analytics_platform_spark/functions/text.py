@@ -273,7 +273,13 @@ def minhash_struct(text: Column | str, num_hashes: int = 16, shingle_n: int = 3)
     )
 
 
-def shingle_bases(df, id_col: str, text_col: str, shingle_n: int = 3):
+def shingle_bases(
+    df,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    signable_only: bool = False,
+):
     """``(__id, __bases)``: per-document hashed-shingle arrays — stage 1 of
     the MinHash pipeline, reusable by exact-Jaccard verification (Jaccard
     over 60-bit shingle hashes equals Jaccard over the raw shingles —
@@ -282,25 +288,30 @@ def shingle_bases(df, id_col: str, text_col: str, shingle_n: int = 3):
     shingle+md5 projection: that projection is the CPU-heavy stage and
     must not run inside a single scan task.
 
-    MAY emit unsignable docs (``__bases`` = []): an explicit
-    ``filter(size(__bases) > 0)`` here gets pushed below the fan_out
-    exchange to the scan, where the whole shingle+md5 pipeline is
-    re-evaluated SINGLE-TASK on the critical path (r14 profile: ~0.7 s
-    serial per consumer at sf0.1) — a full second copy of the heavy
-    expression (guide §1.2: don't compute things twice). Downstream
-    consumers drop empties where it matters: :func:`minhash_table`'s
-    numpy fold masks them (same rows out as the old filter), and joins
-    against candidate ids can never see an unsignable doc."""
+    By default MAY emit unsignable docs (``__bases`` = []) — ADVICE r14:
+    callers that outer-join or aggregate over the output must either
+    handle empty arrays or pass ``signable_only=True``. The default stays
+    relaxed because an explicit ``filter(size(__bases) > 0)`` on the
+    inline expression gets pushed below the fan_out exchange to the scan,
+    where the whole shingle+md5 pipeline is re-evaluated SINGLE-TASK on
+    the critical path (r14 profile: ~0.7 s serial per consumer at sf0.1)
+    — a full second copy of the heavy expression (guide §1.2). The
+    current consumers are audited: :func:`minhash_table`'s numpy fold
+    masks empties (same rows out as the old filter), and
+    q_neardup_verified inner-joins against candidate ids, which can
+    never contain an unsignable doc. ``signable_only=True`` filters
+    safely by materializing the array behind a Generate first (the
+    filter then cannot be pushed past it)."""
     from ecommerce_analytics_platform_spark.session import fan_out
 
+    base = fan_out(df.select(F.col(id_col).alias("__id"), F.col(text_col)))
+    arr = F.transform(word_shingles(F.col(text_col), shingle_n), portable_hash60)
+    if not signable_only:
+        return base.select("__id", arr.alias("__bases"))
     return (
-        fan_out(df.select(F.col(id_col).alias("__id"), F.col(text_col)))
-        .select(
-            "__id",
-            F.transform(
-                word_shingles(F.col(text_col), shingle_n), portable_hash60
-            ).alias("__bases"),
-        )
+        with_materialized(base, arr, "__bases")
+        .filter(F.size("__bases") > 0)
+        .select("__id", "__bases")
     )
 
 
@@ -455,6 +466,69 @@ def simhash_by_agg(df, id_col: str, text_col: str, bits: int = 48):
             F.col(f"__s{b}") * 2 > F.col("__n"), F.lit(1 << b)
         ).otherwise(F.lit(0))
     return g.select(id_col, sig.alias("sig"))
+
+
+def simhash_table(df, id_col: str, text_col: str, bits: int = 48):
+    """Relation-level SimHash via the :func:`minhash_table` pattern:
+    stage 1 stays JVM-side and bit-identical to the oracle twin (token →
+    ``portable_hash60``, one md5 per token, materialized as an array per
+    doc — scan-local, no explode), stage 2 — the per-bit majority count —
+    runs vectorized in numpy via ``mapInPandas``: one flat uint64 array
+    of all token hashes per Arrow batch, ``bits`` vectorized
+    shift-mask-``add.reduceat`` passes. Replaces
+    :func:`simhash_by_agg`'s explode + groupBy(id) + ``bits``
+    codegen'd SUMs (r14 profile: ~2.4 s CPU over ~1M exploded token rows
+    at sf0.1) — no exchange at all, and docs never leave their scan
+    partition. Bit semantics identical: bit b set iff ``2·ones_b > n``
+    (tie → 0), pinned by ``test_simhash_table_matches_agg``. Zero-token
+    docs are masked inside the fold (same row set as the explode-based
+    aggregate, where they vanish naturally).
+
+    Returns ``(id_col, sig)``."""
+    import numpy as np
+    import pandas as pd
+
+    based = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(tokens(F.col(text_col)), lambda w: portable_hash60(w)).alias(
+            "__hs"
+        ),
+    )
+    id_type = based.schema["__id"].dataType.simpleString()
+
+    def fold(batches):
+        one = np.uint64(1)
+        for pdf in batches:
+            arrs = [np.asarray(v, dtype=np.uint64) for v in pdf["__hs"]]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            ids = pdf["__id"].to_numpy()
+            keep = lens > 0
+            if not keep.all():
+                arrs = [a for a, k in zip(arrs, keep) if k]
+                lens = lens[keep]
+                ids = ids[keep]
+            if len(arrs) == 0:
+                yield pd.DataFrame(
+                    {
+                        "__id": pd.Series([], dtype=ids.dtype),
+                        "sig": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            flat = np.concatenate(arrs)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sig = np.zeros(len(lens), dtype=np.int64)
+            for b in range(bits):
+                ones = np.add.reduceat(
+                    ((flat >> np.uint64(b)) & one).astype(np.int64), starts
+                )
+                sig |= (2 * ones > lens).astype(np.int64) << b
+            yield pd.DataFrame({"__id": ids, "sig": sig})
+
+    return (
+        based.mapInPandas(fold, f"__id {id_type}, sig long")
+        .select(F.col("__id").alias(id_col), "sig")
+    )
 
 
 def with_materialized(df, col: Column, name: str):

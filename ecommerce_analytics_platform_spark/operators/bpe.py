@@ -134,6 +134,25 @@ def bpe_train(
     return merges_df, merges
 
 
+def _apply_merges_word(
+    w: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Apply a rank-ordered merge list to one word — the same greedy
+    left-to-right non-overlapping fold :func:`apply_merge` expresses in
+    columns ("aaa" + (a,a) → [aa, a]); plain Python over the symbol
+    list."""
+    syms: list[str] = list(w)
+    for left, right in merges:
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
@@ -143,24 +162,41 @@ def bpe_segment(
     """Segment documents with a learned merge list: per-doc token count
     under the learned vocabulary.
 
-    The merge fold (rank-ordered column expressions, no UDF) runs once
-    per DISTINCT word, not per occurrence — the same vocab-bound shape as
-    the unigram apply path and the DuckDB twin: at 100 TB the distinct-
-    word relation saturates while occurrences keep growing, so folding
-    per occurrence would re-run the k merges billions of redundant times.
-    Occurrences then join the per-word symbol count (AQE broadcasts the
-    word map when it is small, which it is — it's the vocabulary)."""
+    The merge fold runs once per DISTINCT word, not per occurrence — the
+    same vocab-bound shape as the unigram apply path and the DuckDB
+    twin: at 100 TB the distinct-word relation saturates while
+    occurrences keep growing, so folding per occurrence would re-run the
+    k merges billions of redundant times. The fold itself is a
+    ``mapInPandas`` Python pass (guide §4.2): the previous rank-ordered
+    column expressions NESTED — each :func:`apply_merge` references its
+    input ~3× so the tree grows ~3^k — and the analysis/codegen of that
+    tree cost seconds per query against a distinct-word relation of
+    dozens of rows (r15 profile). Occurrences then join the per-word
+    symbol count (AQE broadcasts the word map when it is small, which it
+    is — it's the vocabulary)."""
+    import pandas as pd
+
     from ecommerce_analytics_platform_spark.functions.text import tokens
+
+    pairs = [(m[0], m[1]) for m in merges]
+
+    def n_syms(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_sym": pd.Series(
+                        [len(_apply_merges_word(w, pairs)) for w in pdf["w"]],
+                        dtype="int32",
+                        index=pdf.index,
+                    ),
+                }
+            )
 
     toks = docs.select(
         id_col, F.explode(tokens(F.col(text_col))).alias("w")
     ).select(id_col, F.lower("w").alias("w"))
-    state = chars_state(F.col("w"))
-    for m in merges:
-        state = apply_merge(state, m[0], m[1])
-    wmap = toks.select("w").distinct().select(
-        "w", F.size(F.split(state, SEP)).alias("n_sym")
-    )
+    wmap = toks.select("w").distinct().mapInPandas(n_syms, "w string, n_sym int")
     return (
         toks.join(wmap, "w")
         .groupBy(id_col)

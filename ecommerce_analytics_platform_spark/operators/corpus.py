@@ -46,7 +46,17 @@ class _CkptFreePin:
     action has materialized and consumed it). Used by the lazy
     (``eager=False``) mode of the iterative operators, where the inline
     free would run BEFORE the single consuming action materializes the
-    blocks."""
+    blocks.
+
+    ORDERING INVARIANT (ADVICE r14): ``eager=False`` correctness depends
+    on the caller running its consuming action BEFORE anything drains
+    the pin registry (``release_pinned()`` / the next registry-query
+    entry). If the pin drains first, this adapter unpersists a lazy,
+    never-materialized localCheckpoint whose lineage is already
+    truncated — the later action can fail or silently recompute the full
+    lineage. Registry queries satisfy the invariant structurally (one
+    query's action always runs before the next query enters); library
+    callers using ``eager=False`` own it themselves."""
 
     def __init__(self, df: DataFrame):
         self._df = df

@@ -182,15 +182,22 @@ def lsh_band_buckets(
     if persist_sig:
         sig_df = sig_df.persist()
         if sig_holder is not None:
+            # streaming foreachBatch branch (ADVICE r14): the caller owns
+            # the lifetime AND the consumption order — micro-batch
+            # consumers are serialized by the sink, so a blocking fill
+            # would add one extra job per micro-batch for nothing (the
+            # same measured-negative pattern as the broadcast-build
+            # consumers in fuzzy.py)
             sig_holder.append(sig_df)
         else:
             pin(sig_df)
-        # blocking fill: persist_sig means MULTIPLE consumers, and those
-        # consumers typically launch as concurrent stages of one action
-        # (self-join sides, size-filter + join) that would race the lazy
-        # fill and each recompute the shingle+MinHash pipeline (r14:
-        # measured multi-second spikes on the LSH self-join queries)
-        sig_df.count()
+            # blocking fill: persist_sig means MULTIPLE consumers, and
+            # those consumers typically launch as concurrent stages of one
+            # action (self-join sides, size-filter + join) that would race
+            # the lazy fill and each recompute the shingle+MinHash
+            # pipeline (r14: measured multi-second spikes on the LSH
+            # self-join queries)
+            sig_df.count()
 
     def band_struct(b: int) -> Column:
         cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
@@ -389,12 +396,24 @@ def jaccard_ngram_pairs(
     high Jaccard). For production LSH does the blocking; this operator is
     the exact verifier run on LSH candidates.
     """
-    from ecommerce_analytics_platform_spark.functions.text import word_shingles
+    from ecommerce_analytics_platform_spark.functions.text import (
+        with_materialized,
+        word_shingles,
+    )
 
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
+    # materialize the shingle array behind a Generate before filtering:
+    # a filter on the inline expression gets PUSHED to the scan, where
+    # the whole shingle pipeline re-evaluates single-task on the critical
+    # path (the r14 minhash/PPJoin pathology — see shingle_bases)
+    base = (
+        with_materialized(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+            F.array_distinct(word_shingles(F.col("__t"), shingle_n)),
+            "__sh",
+        )
+        .filter(F.size("__sh") > 0)
+        .select("__id", "__sh")
+    )
 
     a = base.select(
         F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), F.size("__sh").alias("n_a")

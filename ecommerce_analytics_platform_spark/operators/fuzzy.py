@@ -187,8 +187,14 @@ def _deletion_variants(s: Column, max_edits: int) -> Column:
 
 # rows the auto-dispatch stats pass inspects; enough that avg length and
 # posting degeneracy are stable, small enough that the pre-pass never
-# rivals the join itself (limit() short-circuits the scan)
-_STATS_SAMPLE_ROWS = 100_000
+# rivals the join itself (limit() short-circuits the scan). r15
+# (VERDICT r14 #8): 100k → 8k — the dispatch compares order-of-magnitude
+# geometry (per-row avg length; postings/vocab degeneracy, which at 8k
+# rows still reads hundreds-vs-single-digits between fixed-format and
+# free-text corpora), and at 100k the "sample" was a full pass over
+# every test corpus. Decision stability pinned by
+# test_dispatch_stable_under_sample_bound.
+_STATS_SAMPLE_ROWS = 8_192
 
 
 def _choose_method(base: DataFrame, d: int, q: int) -> str:

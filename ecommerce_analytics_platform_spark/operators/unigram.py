@@ -115,12 +115,37 @@ def _prune_and_score(
     )
 
 
-def _vocab_map(vocab_rows: list[tuple[str, int]]) -> Column:
-    items: list[Column] = []
-    for piece, score in sorted(vocab_rows):
-        items.append(F.lit(piece))
-        items.append(F.lit(int(score)).cast("long"))
-    return F.create_map(*items)
+def _viterbi_word(
+    w: str, vmap: dict, max_piece_len: int, unk: int
+) -> list[str]:
+    """Max-score segmentation of one word — the same DP the previous
+    column-expression fold computed: ``dp[i] = max over candidate pieces
+    ending at i`` with candidates compared as ``(score, -piece_len)``
+    tuples (max score, then SMALLEST piece length — engine-neutral
+    tie-break), single chars falling back to ``unk`` so coverage is
+    total. All-integer arithmetic: bit-identical to the oracle."""
+    n = len(w)
+    best = [0] * (n + 1)
+    bl = [0] * (n + 1)
+    for i in range(1, n + 1):
+        b_s = best[i - 1] + vmap.get(w[i - 1], unk)
+        b_nb = -1
+        for p in range(2, max_piece_len + 1):
+            if i >= p:
+                sc = vmap.get(w[i - p : i])
+                if sc is not None:
+                    s2 = best[i - p] + sc
+                    if s2 > b_s:  # ties keep the earlier = shorter piece
+                        b_s, b_nb = s2, -p
+        best[i], bl[i] = b_s, -b_nb
+    pieces: list[str] = []
+    pos = n
+    while pos > 0:
+        length = bl[pos]
+        pieces.append(w[pos - length : pos])
+        pos -= length
+    pieces.reverse()
+    return pieces
 
 
 def viterbi_segment(
@@ -132,85 +157,40 @@ def viterbi_segment(
     """Adds ``pieces array<string>`` and ``n_pieces`` to a ``word`` relation:
     the max-score segmentation under the given (piece, score) vocab.
 
-    Pure scan-local column computation — a fold over word positions builds
-    the DP table ``dp[i] = (best score to i, chosen piece length)``, a
-    second fold walks the backpointers. No shuffle, no UDF, no driver
-    loop over rows; the vocab rides along as a broadcast map literal.
-    Single-char lookups fall back to ``UNK_FACTOR·scale`` so segmentation
-    is total on any input."""
-    vmap = _vocab_map(vocab_rows)
-    unk = F.lit(UNK_FACTOR * scale).cast("long")
-    word = F.col("word")
+    Scan-local ``mapInPandas``: the DP runs as a plain-Python fold per
+    word with the vocab as a closure dict (guide §4.2/§4.5 — heavyweight
+    state once per task). The previous pure-column implementation
+    embedded 4 copies of the vocab as a ``create_map`` literal inside a
+    positions fold — thousands of expression nodes whose analysis +
+    Janino compile cost SECONDS per distinct vocab (r15 profile: the
+    segmentation input is the distinct-WORD relation, ~dozens of rows at
+    sf0.1, yet each Viterbi pass cost 4-7 s — all driver-side plan work,
+    zero data work). Integer arithmetic end to end, identical tie-breaks
+    (max score, then smallest piece; Python dict lookups are exact), so
+    results stay bit-identical — pinned by
+    tests/test_unigram.py::test_viterbi_matches_reference_and_covers.
+    No shuffle: the node is a MapInPandas over the input's partitioning."""
+    import pandas as pd
 
-    def step(acc: Column, i: Column) -> Column:
-        cands = [
-            F.struct(
-                (
-                    F.element_at(acc, i).getField("best")
-                    + F.coalesce(
-                        F.try_element_at(vmap, F.substr(word, i, F.lit(1))), unk
-                    )
-                ).alias("s"),
-                F.lit(-1).alias("nb"),
+    vmap = {p: int(s) for p, s in vocab_rows}
+    unk = UNK_FACTOR * scale
+    mpl = int(max_piece_len)
+
+    def seg(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            pieces = [_viterbi_word(w, vmap, mpl, unk) for w in pdf["word"]]
+            out["pieces"] = pieces
+            out["n_pieces"] = pd.Series(
+                [len(p) for p in pieces], dtype="int64", index=pdf.index
             )
-        ]
-        for p in range(2, max_piece_len + 1):
-            idx = F.greatest(i - (p - 1), F.lit(1))
-            sc = F.try_element_at(vmap, F.substr(word, idx, F.lit(p)))
-            cands.append(
-                F.when(
-                    (i >= p) & sc.isNotNull(),
-                    F.struct(
-                        (F.element_at(acc, idx).getField("best") + sc).alias("s"),
-                        F.lit(-p).alias("nb"),
-                    ),
-                )
-            )
-        best = F.array_max(F.array_compact(F.array(*cands)))
-        return F.concat(
-            acc,
-            F.array(
-                F.struct(
-                    best.getField("s").alias("best"),
-                    (-best.getField("nb")).alias("bl"),
-                )
-            ),
-        )
+            yield out
 
-    dp = F.aggregate(
-        F.sequence(F.lit(1), F.length(word)),
-        F.array(F.struct(F.lit(0).cast("long").alias("best"), F.lit(0).alias("bl"))),
-        step,
+    in_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in words.schema.fields
     )
-    out = words.withColumn("__dp", dp)
-
-    def wstep(acc: Column, _i: Column) -> Column:
-        pos = acc.getField("pos")
-        bl = F.element_at(F.col("__dp"), pos + 1).getField("bl")
-        return F.when(
-            pos > 0,
-            F.struct(
-                (pos - bl).alias("pos"),
-                F.concat(
-                    acc.getField("ps"),
-                    F.array(F.substr(word, F.greatest(pos - bl + 1, F.lit(1)), bl)),
-                ).alias("ps"),
-            ),
-        ).otherwise(acc)
-
-    walk = F.aggregate(
-        F.sequence(F.lit(1), F.length(word)),
-        F.struct(
-            F.length(word).alias("pos"), F.array().cast("array<string>").alias("ps")
-        ),
-        wstep,
-    )
-    return (
-        # the backpointer walk collects pieces end-to-start; reverse to
-        # natural reading order
-        out.withColumn("pieces", F.reverse(walk.getField("ps")))
-        .withColumn("n_pieces", F.size("pieces").cast("long"))
-        .drop("__dp")
+    return words.mapInPandas(
+        seg, f"{in_schema}, pieces array<string>, n_pieces bigint"
     )
 
 

@@ -3014,6 +3014,13 @@ def _set_sim_join_df(
     tkset = tkset.withColumn("sz", F.size("tk").cast("long"))
     if _persist:
         tkset = _pin(tkset.persist())
+        # blocking fill (r15; the r14 #21 pattern): with the cross-query
+        # memo gone this DAG runs per invocation, and the persisted
+        # shingle relation feeds three consumers that launch as
+        # concurrent stages of one action (postings build + both verify
+        # sides) — racing the lazy fill re-runs the shingle pipeline
+        # per consumer
+        tkset.count()
     tok = tkset.select("doc_id", "sz", F.explode("tk").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     w = Window.partitionBy("doc_id").orderBy("freq", "tok")
@@ -6836,15 +6843,18 @@ def q_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside MinHash-LSH banding (Jaccard) and PPJoin prefixes (exact
     sets). The twin replays the signature, the band explode, the
     candidate join and the popcount verify — full hash-match."""
-    from ecommerce_analytics_platform_spark.functions.text import simhash_by_agg
+    from ecommerce_analytics_platform_spark.functions.text import simhash_table
     from ecommerce_analytics_platform_spark.operators.fuzzy import (
         hamming_neardup_pairs,
     )
 
     docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    # flat-aggregate signature (bit-identical to simhash64, ~2x faster at
-    # 48 bits); zero-token docs drop out of the aggregate naturally
-    sigs = simhash_by_agg(docs, "doc_id", "text", bits=_HAM_BITS)
+    # numpy-fold signature (r15, VERDICT r14 #4): bit-identical to
+    # simhash64/simhash_by_agg, but the per-bit majority count runs
+    # vectorized in one Arrow pass with NO exchange — the explode +
+    # groupBy(doc) + 48 codegen'd SUMs are gone; zero-token docs are
+    # masked inside the fold
+    sigs = simhash_table(docs, "doc_id", "text", bits=_HAM_BITS)
     return hamming_neardup_pairs(sigs, "doc_id", "sig", _HAM_BITS, _HAM_D)
 
 

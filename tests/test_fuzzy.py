@@ -225,3 +225,20 @@ def test_auto_output_equals_forced_methods(spark):
     auto = got("auto")
     assert auto == got("deletion") == got("qgram")
     assert (1, 100, 1) in auto  # the planted one-insert pair
+
+
+def test_dispatch_stable_under_sample_bound(spark, monkeypatch):
+    """Shrinking the stats-sample bound (r15: 100k -> 8k) must not flip
+    the auto dispatch: the decision on the registry's real join columns
+    (customer names; document text) is identical to a full-input stats
+    pass."""
+    from ecommerce_analytics_platform_spark.operators import fuzzy
+    from tests.conftest import SF_DIR
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cases = [(cust, "c_name"), (docs, "text")]
+    small = [fuzzy.choose_edit_join_method(df, c, 1, 4) for df, c in cases]
+    monkeypatch.setattr(fuzzy, "_STATS_SAMPLE_ROWS", 10_000_000)
+    full = [fuzzy.choose_edit_join_method(df, c, 1, 4) for df, c in cases]
+    assert small == full

@@ -154,6 +154,29 @@ def test_simhash_properties(docs):
     assert ham(got[1], got[2]) <= ham(got[1], got[3])
 
 
+def test_simhash_table_matches_agg(spark, docs):
+    """The numpy mapInPandas fold (simhash_table) is bit-identical to the
+    explode+SUM aggregate (simhash_by_agg) — same signatures, same row
+    set (zero-token docs dropped), on the synthetic docs AND the sf0.001
+    corpus."""
+    from ecommerce_analytics_platform_spark.functions.text import (
+        simhash_by_agg,
+        simhash_table,
+    )
+    from tests.conftest import SF_DIR
+
+    for df in (docs, spark.read.parquet(f"{SF_DIR}/documents.parquet")):
+        agg = {
+            r["doc_id"]: r["sig"]
+            for r in simhash_by_agg(df, "doc_id", "text", bits=48).collect()
+        }
+        tab = {
+            r["doc_id"]: r["sig"]
+            for r in simhash_table(df, "doc_id", "text", bits=48).collect()
+        }
+        assert tab == agg
+
+
 def test_gram_dup_stats_matches_counter(spark):
     """gram_dup_stats (sorted run-length pass) equals the Counter truth."""
     from collections import Counter
