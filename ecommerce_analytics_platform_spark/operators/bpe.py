@@ -103,12 +103,14 @@ def bpe_train(
     list (the driver needs each round's winner to build the next round's
     states anyway, so the list is free)."""
     spark = docs.sparkSession
-    words = word_counts(docs, text_col).persist()
-    words.count()  # materialize before the loop
+    base = word_counts(docs, text_col).persist()
+    base.count()  # materialize before the loop
+    cur = base
+    pending = 0  # apply_merge folds stacked lazily on top of `base`
     merges: list[tuple[str, str, int]] = []
     for _rank in range(k_merges):
         top = (
-            _pair_counts(words)
+            _pair_counts(cur)
             .orderBy(F.desc("pair_cnt"), F.asc("left_sym"), F.asc("right_sym"))
             .limit(1)
             .collect()
@@ -117,11 +119,20 @@ def bpe_train(
             break
         l, r, c = top[0]["left_sym"], top[0]["right_sym"], top[0]["pair_cnt"]
         merges.append((l, r, int(c)))
-        nxt = words.withColumn("state", apply_merge(F.col("state"), l, r)).persist()
-        nxt.count()
-        words.unpersist()
-        words = nxt
-    words.unpersist()
+        cur = cur.withColumn("state", apply_merge(F.col("state"), l, r))
+        pending += 1
+        # r15: no per-round persist — re-evaluating a short fold chain
+        # over the ONE cached vocab table is cheaper than a
+        # persist-fill job per round (the fold references its input ~3×,
+        # so the expression tree grows ~3^pending: materialize every few
+        # rounds to bound analysis cost, and never after the last merge)
+        if pending >= 3 and _rank < k_merges - 1:
+            nxt = cur.persist()
+            nxt.count()
+            base.unpersist()
+            base = cur = nxt
+            pending = 0
+    base.unpersist()
     from ecommerce_analytics_platform_spark.session import literal_df
 
     # Arrow-backed literal (r14): the pickled-list path re-enters Python

@@ -194,6 +194,44 @@ def viterbi_segment(
     )
 
 
+def _half_up(x: float) -> int:
+    """Spark/DuckDB ``round()`` semantics: half away from zero."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _prune_driver(
+    counts: list[tuple[str, int]],
+    singles: list[str],
+    keep_multi: int,
+    scale: int,
+) -> dict[str, tuple[int, int]]:
+    """Driver half of the M-step over the ALREADY top-k-reduced counts:
+    re-apply the (used DESC, piece ASC) cut (a no-op on a correctly
+    limited input — kept for exactness), give every seed single char its
+    +1 floor, and quantize integer micro-nat scores. Identical math to
+    the old distributed ``_prune_and_score`` tail: the only
+    transcendental is one ``ln`` immediately quantized at ``scale``
+    (robust to last-ulp libm/JVM disagreement by design — the same
+    argument that lets the DuckDB oracle replay training), and
+    ``_half_up`` is Spark's ``round()``."""
+    import math
+
+    used = {p: int(u) for p, u in counts}
+    multi = sorted(
+        ((p, u) for p, u in used.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:keep_multi]
+    kept = dict(multi)
+    for s in singles:
+        kept[s] = used.get(s, 0) + 1
+    total = float(sum(kept.values()))
+    return {
+        p: (_half_up(scale * math.log(u / total)), u) for p, u in kept.items()
+    }
+
+
 def unigram_train(
     docs: DataFrame,
     text_col: str = "text",
@@ -206,25 +244,56 @@ def unigram_train(
 ) -> DataFrame:
     """Train the unigram LM vocab: seed → ``rounds`` × (Viterbi E-step,
     count M-step, prune). Returns ``(piece, score, used)`` — all-integer
-    besides the piece string."""
+    besides the piece string.
+
+    Per-phase distributed work is ONE top-k job (r15): the heavy
+    relations (distinct substrings, per-round piece usage — both grow
+    with the corpus) are reduced in Spark via TakeOrdered top-k plus the
+    alphabet-bounded single-char slice, and only those ≤
+    ``keep_multi + |alphabet|`` rows come to the driver — the SAME rows
+    every EM round already collected to drive the next Viterbi. The +1
+    single-char floor, the total and the quantized ln score now happen
+    driver-side (:func:`_prune_driver`): the old distributed tail spent
+    2-3 s PER PHASE on broadcast-build jobs (singles join, crossJoin
+    total) over ≤300-row relations (r15 profile, warm local[32])."""
+    from ecommerce_analytics_platform_spark.session import literal_df
+
+    spark = docs.sparkSession
     words = corpus_words(docs, text_col, max_word_len).persist()
     try:
         subs = _substring_counts(words, max_piece_len)
-        singles = subs.filter(F.length("piece") == 1).select("piece")
-        vocab = _prune_and_score(subs, singles, seed_multi, scale)
+
+        def topk_plus_singles(counts: DataFrame, k: int) -> list[tuple[str, int]]:
+            reduced = (
+                counts.filter(F.length("piece") >= 2)
+                .orderBy(F.col("used").desc(), F.col("piece").asc())
+                .limit(k)
+                .unionAll(counts.filter(F.length("piece") == 1))
+            )
+            return [(r["piece"], r["used"]) for r in reduced.collect()]
+
+        seed_counts = topk_plus_singles(subs, seed_multi)
+        # the seed alphabet: every single char seen in training data —
+        # singles keep their +1 floor in EVERY later round even when a
+        # round's segmentation never uses them
+        singles = sorted(p for p, _u in seed_counts if len(p) == 1)
+        vocab = _prune_driver(seed_counts, singles, seed_multi, scale)
         for _ in range(rounds):
-            vrows = [
-                (r["piece"], r["score"])
-                for r in vocab.select("piece", "score").collect()
-            ]
+            vrows = [(p, s) for p, (s, _u) in vocab.items()]
             seg = viterbi_segment(words, vrows, max_piece_len, scale)
             used = (
                 seg.select(F.explode("pieces").alias("piece"), "cnt")
                 .groupBy("piece")
                 .agg(F.sum("cnt").alias("used"))
             )
-            vocab = _prune_and_score(used, singles, vocab_multi, scale)
-        return vocab
+            vocab = _prune_driver(
+                topk_plus_singles(used, vocab_multi), singles, vocab_multi, scale
+            )
+        return literal_df(
+            spark,
+            [(p, s, u) for p, (s, u) in vocab.items()],
+            "piece string, score bigint, used bigint",
+        )
     finally:
         words.unpersist()
 

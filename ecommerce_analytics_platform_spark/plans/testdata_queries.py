@@ -3033,6 +3033,14 @@ def _set_sim_join_df(
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "sz", "tok")
     )
+    # persist + blocking fill (r15 profile): the prefix-postings relation
+    # feeds BOTH sides of the candidate self-join, and the two aliased
+    # subtrees do NOT share an exchange — the tok→freq join + per-doc
+    # window chain executed twice (duplicate 32-task stages, ~2.2 s
+    # execRunSum each). The relation is prefix-bounded (q·d+1 grams per
+    # doc), so the cache is small by construction.
+    pref = _pin(pref.persist())
+    pref.count()
     cands = (
         pref.alias("a")
         .join(pref.alias("b"), "tok")
@@ -3045,11 +3053,23 @@ def _set_sim_join_df(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .distinct()
+        # spread the exact verification: the candidate relation is tiny in
+        # BYTES (two longs per pair) so AQE coalesces it to a handful of
+        # tasks, but each row pays an array_intersect over two shingle
+        # sets — CPU-dense ≠ byte-dense (guide §2.5; r15 profile: the
+        # verify stage ran 6 s of CPU on 5 tasks). Round-robin exempt
+        # from AQE coalescing.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     ta = tkset.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tk_a"),
                       F.col("sz").alias("sz_a"))
     tb = tkset.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tk_b"),
                       F.col("sz").alias("sz_b"))
+    # (r15 negative result, measured: materializing `inter` behind a
+    # Generate — the with_materialized pattern — DOUBLED the query; the
+    # Generate forces the two shingle arrays through an extra
+    # non-codegen node, costing more than the filter's re-inlined
+    # array_intersect saves. Left as withColumn + filter.)
     scored = (
         cands.join(ta, "id_a")
         .join(tb, "id_b")

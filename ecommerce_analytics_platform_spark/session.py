@@ -104,6 +104,20 @@ def get_spark(
         # anyway (conf/spark-scale.conf sets 2000 > the 200 threshold), so
         # this also makes local plans use the SAME writer as the cluster.
         .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        # Let AQE re-plan (coalesce) reads OVER CACHED relations. Off by
+        # default because changing a cached plan's output partitioning can
+        # lose a downstream exchange-elision; measured r15 on this suite:
+        # queries that scan a small persisted table several times
+        # (unigram words ×3/invocation, LSH signature tables, PPJoin
+        # postings) schedule full static-width task waves per scan
+        # without it — unigram train 3.7 → 1.9 s, everything else within
+        # noise across alternating-session A/B (4 sessions). Scale-sane:
+        # at cluster widths AQE only coalesces when the cached relation
+        # is genuinely small.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

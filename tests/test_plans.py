@@ -352,10 +352,11 @@ def test_r7_query_plan_shapes(spark):
 
     be = plan_of(q_bpe_encode(spark, SF_DIR))
     # the merge fold runs on the DISTINCT-word relation and joins back —
-    # exactly one join, and the fold expression (aggregate over the
-    # symbol state) must appear on the distinct side only
+    # exactly one join, and the fold (r15: a Python pass via mapInPandas,
+    # replacing the nested column-expression folds) must appear on the
+    # distinct side only
     assert be.count("Join") >= 1
-    assert "aggregate(" in be  # the fold
+    assert "MapInPandas" in be  # the fold
     # occurrences never shuffle their text: the join key is the word
 
 
