@@ -33,9 +33,20 @@ def _l2norm(v: Column) -> Column:
 
 
 def normalize(df: DataFrame, vec_col: str, out_col: str = "__nvec") -> DataFrame:
+    # the norm is materialized behind a Generate BEFORE the divide (r15):
+    # inlined into the transform's lambda, the l2 fold is re-evaluated
+    # once PER ELEMENT (interpreted HOFs hoist nothing) — O(dim²)
+    # arithmetic per vector, measured as the dominant stage CPU of the
+    # LSH embedding queries
+    from ecommerce_analytics_platform_spark.functions.text import (
+        with_materialized,
+    )
+
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    n = _l2norm(v)
-    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+    out = with_materialized(df, _l2norm(v), "__l2n")
+    return out.withColumn(
+        out_col, F.transform(v, lambda x: x / F.col("__l2n"))
+    ).drop("__l2n")
 
 
 def _safe_unit_rows(M):
@@ -531,10 +542,48 @@ def lsh_bucketed_topk(
     c = normalize(corpus, vec_col, "__cv").select(
         F.col(corpus_id).alias("cid"), "__cv", signature(F.col("__cv")).alias("bucket")
     )
+
+    # In-bucket scoring as one numpy matmul per bucket cogroup (r15,
+    # guide §4.2): the bucket equi-join + interpreted zip_with/aggregate
+    # dot per candidate pair was ~10 s of summed stage CPU at sf0.1.
+    # Bucket assignment and normalization stay JVM-side and bit-identical
+    # to the oracle; only the dot's accumulation order changes (BLAS vs
+    # left fold) — absorbed by round(·, round_digits) exactly as in
+    # cosine_topk_blas. Per-bucket top-k under the strict
+    # (cosine DESC, cid ASC) order is the global top-k (a query scores
+    # only within its own bucket).
+    import numpy as np
+    import pandas as pd
+
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
+
+    def score_bucket(_key, qpdf, cpdf):
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"qid": [], "cid": [], "cosine": []})
+        Q = np.array([list(v) for v in qpdf["__qv"]], dtype=np.float64)
+        C = np.array([list(v) for v in cpdf["__cv"]], dtype=np.float64)
+        qids = qpdf["qid"].to_numpy()
+        cids = cpdf["cid"].to_numpy()
+        S = np.round(Q @ C.T, round_digits)
+        S = np.where(cids[None, :] == qids[:, None], -np.inf, S)
+        kk = min(k, S.shape[1])
+        order = np.lexsort((np.broadcast_to(cids, S.shape), -S), axis=1)[:, :kk]
+        rows = np.repeat(np.arange(S.shape[0]), kk)
+        cols = order.ravel()
+        keep = np.isfinite(S[rows, cols])
+        return pd.DataFrame(
+            {
+                "qid": qids[rows[keep]],
+                "cid": cids[cols[keep]],
+                "cosine": S[rows[keep], cols[keep]],
+            }
+        )
+
     scored = (
-        q.join(c, "bucket")
-        .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", F.round(_dot(F.col("__qv"), F.col("__cv")), round_digits).alias("cosine"))
+        q.groupBy("bucket")
+        .cogroup(c.groupBy("bucket"))
+        .applyInPandas(score_bucket, f"qid {qid_t}, cid {cid_t}, cosine double")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
@@ -692,17 +741,29 @@ def lsh_neardup_pairs(
     n = normalize(base, vec_col, "__nv").select(
         F.col(id_col).alias("__id"), "__nv", signature(F.col("__nv")).alias("bucket")
     )
-    a = n.select(F.col("__id").alias("id_a"), F.col("__nv").alias("va"), "bucket")
-    b = n.select(F.col("__id").alias("id_b"), F.col("__nv").alias("vb"), "bucket")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_dot(F.col("va"), F.col("vb")), round_digits).alias("cosine"),
+    # In-bucket pair scoring as one numpy matmul per bucket (r15, guide
+    # §4.2 — same rationale and bit-robustness argument as
+    # lsh_bucketed_topk: normalization and bucket signs stay JVM-side;
+    # only the dot accumulation order changes, absorbed by the rounding).
+    import numpy as np
+    import pandas as pd
+
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def score_bucket(_key, pdf):
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        V = np.array([list(v) for v in pdf["__nv"]], dtype=np.float64)
+        ids = pdf["__id"].to_numpy()
+        S = np.round(V @ V.T, round_digits)
+        ia, ib = np.where((ids[:, None] < ids[None, :]) & (S >= threshold))
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "cosine": S[ia, ib]}
         )
-        .filter(F.col("cosine") >= threshold)
+
+    return n.groupBy("bucket").applyInPandas(
+        score_bucket, f"id_a {id_t}, id_b {id_t}, cosine double"
     )
 
 
@@ -759,6 +820,13 @@ def semantic_dedup(
                 }
             )
 
+    # (r15 negative result, measured: fan_out before the assign pass +
+    # an explicit repartition(list_id) before applyInPandas — the §2.5
+    # spread pattern — read 1.7-2.1 s vs 1.5-1.6 s as-is at sf0.1. Every
+    # stage of this query runs single-task locally, but the SUMMED stage
+    # CPU is only ~1.6 s, under the cost of the extra exchanges. At
+    # cluster scale the scan arrives pre-split and n_lists is raised, so
+    # the single-task shape is a small-input artifact, not a scale risk.)
     assigned = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     ).mapInPandas(assign, "__id long, list_id int, __nvec array<double>")
