@@ -377,10 +377,13 @@ def process_neardup_batch_hamming(
     half-committed replay sees its own rows in the index, which the
     ``cand < id`` + distinct decision scores identically (same argument
     as :func:`process_neardup_batch`)."""
-    from ecommerce_analytics_platform_spark.functions.text import simhash_by_agg
+    from ecommerce_analytics_platform_spark.functions.text import simhash_table
     from ecommerce_analytics_platform_spark.operators.fuzzy import _band_bounds
 
-    sigs = simhash_by_agg(
+    # numpy per-bit majority fold (r15) — bit-identical to simhash_by_agg
+    # (pinned by test_simhash_table_matches_agg) with no per-micro-batch
+    # exchange for the signature aggregate
+    sigs = simhash_table(
         batch_df.select("doc_id", "text"), "doc_id", "text", bits=bits
     )
     sig = F.col("sig")

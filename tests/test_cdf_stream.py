@@ -73,6 +73,7 @@ def _collected_multiset(rows):
     return sorted((r["k"], r["v"], r["d"], r["_change_type"]) for r in rows)
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_changes_across_choppings(spark, tmp_path):
     """Interleave commits with stream passes; the union of streamed rows
     must equal the union of per-version batch changes_between regardless

@@ -49,6 +49,7 @@ def _view_rows(view: ManifestTable):
     )
 
 
+@pytest.mark.slow
 def test_view_tracks_base_through_arbitrary_history(spark, tmp_path):
     base = ManifestTable(spark, str(tmp_path / "base"))
     view_path = str(tmp_path / "view")
@@ -179,6 +180,7 @@ def test_all_null_value_group_reads_null_sum(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_bootstrap_plus_stream_equals_full_replay(spark, tmp_path):
     """VERDICT r10 missing #1: snapshot-bootstrap the view with a JVM
     batch aggregate, stream from N — equals the full-replay view AND the

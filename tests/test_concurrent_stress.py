@@ -159,6 +159,7 @@ def test_racing_same_partition_replaces_one_wins_rest_abort(spark, tmp_path, mk_
     assert mk_table(path).read().filter("d = 'd1'").count() == 1
 
 
+@pytest.mark.slow
 def test_racing_updates_same_row_lose_no_increment(spark, tmp_path, mk_table):
     """The classic lost-update probe on update_where: N writers each
     apply `n = n + 1` to the SAME row. Every increment must land —
@@ -191,6 +192,7 @@ def test_racing_updates_same_row_lose_no_increment(spark, tmp_path, mk_table):
         assert t._read_manifest(v)["files"] is not None
 
 
+@pytest.mark.slow
 def test_racing_update_vs_delete_never_resurrects(spark, tmp_path, mk_table):
     """update_where racing delete_where on the same row: every
     serializable order ends with the row GONE (update-then-delete kills

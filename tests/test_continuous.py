@@ -13,6 +13,7 @@ from ecommerce_analytics_platform_spark.streaming.continuous_pipeline import (
 )
 
 
+@pytest.mark.slow
 def test_continuous_silver_converges_to_batch_truth(spark, tmp_path):
     raw = tmp_path / "raw"
     wh_root = str(tmp_path / "wh")

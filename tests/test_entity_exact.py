@@ -7,6 +7,7 @@ every chopping of the feed, with exactly-once commits."""
 
 from __future__ import annotations
 
+import pytest
 import json
 import os
 
@@ -98,6 +99,7 @@ ROWS = [
 ]
 
 
+@pytest.mark.slow
 def test_bridge_merges_at_low_threshold_only(spark, tmp_path):
     """Scenario self-check + semantics: at t10=4 the concat doc links both
     families into ONE cluster; at t10=6 it links neither."""
@@ -113,6 +115,7 @@ def test_bridge_merges_at_low_threshold_only(spark, tmp_path):
         assert got == truth
 
 
+@pytest.mark.slow
 def test_batch_split_invariance(spark, tmp_path):
     truth = _canon(_truth(spark, ROWS, 4))
     for split in (
@@ -198,6 +201,7 @@ def test_half_commit_replay_converges(spark, tmp_path):
     assert per_doc == 1
 
 
+@pytest.mark.slow
 def test_matches_bruteforce_on_testdata_corpus(spark, tmp_path):
     """Real corpus slice at the registry threshold (t=0.6), chopped
     round-robin so planted near-dup groups SPAN batches: streamed

@@ -6,6 +6,7 @@ across redelivery and half-commit replays."""
 
 from __future__ import annotations
 
+import pytest
 import json
 import os
 
@@ -94,6 +95,7 @@ def test_late_bridge_merges_established_clusters(spark, tmp_path):
     assert final == {1: 1, 2: 1, 10: 1, 11: 1, 50: 1}
 
 
+@pytest.mark.slow
 def test_batch_split_invariance(spark, tmp_path):
     """Any chopping of the same feed yields the same assignment."""
     truth = _canon(_batch_truth(spark, ROWS))
@@ -223,6 +225,7 @@ def test_max_bucket_keeps_boilerplate_out_of_cluster_graph(spark, tmp_path):
     assert max_sz1 <= 5
 
 
+@pytest.mark.slow
 def test_per_batch_index_read_is_partition_pruned(spark, tmp_path):
     """VERDICT r7 What's wrong #3: the per-batch index read must list only
     the files of the bucket_part partitions the batch touches — manifest-
@@ -251,6 +254,7 @@ def test_per_batch_index_read_is_partition_pruned(spark, tmp_path):
     assert pruned.count() == expected
 
 
+@pytest.mark.slow
 def test_compact_assign_zordered_prunes_member_lookup(spark, tmp_path):
     """Directive r7 #8: after the root-clustering compaction, a member
     lookup (root = r) reads a small fraction of the table's rows —

@@ -291,6 +291,7 @@ def test_bloom_file_skipping_prunes_within_a_partition(spark, tmp_path):
     assert all(probe_rows[200 + i] is not None for i in range(5))
 
 
+@pytest.mark.slow
 def test_compact_index_shrinks_files_and_preserves_semantics(spark, tmp_path):
     """Maintenance compaction: after N micro-batches the index holds ~N
     files per touched partition; compact_index rewrites to one file per
@@ -404,6 +405,7 @@ def _exact_decision_truth(spark, rows, t10):
     )
 
 
+@pytest.mark.slow
 def test_exact_neardup_decisions_match_bruteforce(spark, tmp_path):
     """process_neardup_batch_exact over any chopping equals the exact
     all-pairs truth (no LSH false negatives by construction), and a

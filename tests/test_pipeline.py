@@ -80,6 +80,7 @@ def test_v1_v2_schema_merge(spark, data_lake):
     assert silver.filter(F.col("referrer").isNull()).count() > 0
 
 
+@pytest.mark.slow
 def test_incremental_rerun_converges(spark, data_lake, result):
     """Re-running the pipeline (now incremental) must not change results:
     bronze at-most-once per ingest_date + delete+insert idempotency."""
