@@ -3013,14 +3013,11 @@ def _set_sim_join_df(
     ).filter(F.size("tk") > 0).select("doc_id", "tk")
     tkset = tkset.withColumn("sz", F.size("tk").cast("long"))
     if _persist:
+        # no blocking fill here: the pref.count() fill below evaluates
+        # tkset's shingle pipeline as its single consumer (no race) and
+        # fills this cache transitively; the later verify sides read the
+        # warm cache
         tkset = _pin(tkset.persist())
-        # blocking fill (r15; the r14 #21 pattern): with the cross-query
-        # memo gone this DAG runs per invocation, and the persisted
-        # shingle relation feeds three consumers that launch as
-        # concurrent stages of one action (postings build + both verify
-        # sides) — racing the lazy fill re-runs the shingle pipeline
-        # per consumer
-        tkset.count()
     tok = tkset.select("doc_id", "sz", F.explode("tk").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     w = Window.partitionBy("doc_id").orderBy("freq", "tok")
